@@ -1,0 +1,24 @@
+"""iresearch_spark — a from-scratch PySpark-native full-text index + BM25
+query engine with the capabilities of the reference (yyht/iresearch, a fork
+of iresearch-toolkit/iresearch; see SURVEY.md §0 for citation basis).
+
+Architecture: pure DataFrame + vectorized pandas/Arrow UDF code paths; no
+per-row Python anywhere (BASELINE.json:15). All custom kernels are numpy
+inside mapInArrow/applyInPandas; all policy logic is driver-side Python.
+"""
+
+__version__ = "0.1.0"
+
+# BM25 defaults pinned by BASELINE.json:6 ("BM25 (k1=1.2, b=0.75)"),
+# mirroring the reference's bm25_sort defaults
+# ([up] core/search/bm25.cpp :: bm25_sort).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# Posting-list block size, mirroring the reference's postings format
+# ([up] core/formats/formats_10.cpp — 128-document blocks).
+BLOCK_SIZE = 128
+
+# Bump whenever the tokenizer/extraction spec changes (FIXTURES.md §6);
+# invalidates all goldens.
+ANALYZER_VERSION = 1

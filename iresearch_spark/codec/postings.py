@@ -1,0 +1,252 @@
+"""Posting-list block format: docID-delta + bitpack/VByte 128-doc blocks,
+skip list, per-block max-score metadata.
+
+Mirrors the reference's postings format semantics
+([up] core/formats/formats_10.cpp :: postings_writer/postings_reader):
+  * documents are split into blocks of BLOCK_SIZE (=128) docIDs;
+  * full blocks are fixed-width bitpacked ("SIMD-style"), the tail block is
+    VByte — both over (delta - 1) of strictly-increasing docIDs
+    (BASELINE.json:6 "docID-delta + VByte/SIMD-style block compression");
+  * a skip entry per block (last docID + byte offset) allows seek(target)
+    without decoding prior blocks ([up] core/formats/skip_list.hpp);
+  * per-block WAND metadata (max tf, min doc length) bounds the block's best
+    possible BM25 contribution ([up] core/formats/formats_10.cpp wand hooks,
+    BASELINE.json:6 "per-block max-score metadata").
+
+Blob layout (all little-endian):
+  u32 n_docs
+  repeated blocks:
+    u16 n          docs in this block (1..128)
+    u8  doc_mode   0 = VByte, else bit width of packed doc deltas
+    u8  tf_mode    0 = VByte, else bit width of packed (tf-1)
+    u32 first_doc  absolute first docID of the block
+    u32 len_docs   payload bytes for the n-1 doc deltas (delta-1 encoded)
+    u32 len_tfs    payload bytes for the n tf values (tf-1 encoded)
+    bytes payload_docs, payload_tfs
+
+Skip blob: per block (last_doc u32, offset u32) — offset is the block start
+relative to the beginning of the postings blob.
+Blockmax blob: per block (max_tf u32, min_dl u32).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from iresearch_spark import BLOCK_SIZE
+from iresearch_spark.codec.bitpack import bitpack, bitunpack, width_for
+from iresearch_spark.codec.vbyte import vbyte_decode, vbyte_encode
+
+_HDR = 16  # per-block header bytes: 2+1+1+4+4+4
+
+
+@dataclass
+class PostingList:
+    doc_ids: np.ndarray  # uint32, sorted ascending, ≥1
+    tfs: np.ndarray  # uint32, ≥1
+
+    def __len__(self) -> int:
+        return len(self.doc_ids)
+
+
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> tuple[bytes, bytes, bytes]:
+    """Encode one posting list -> (postings_blob, skip_blob, blockmax_blob).
+
+    `dls` are the document lengths aligned with doc_ids (for blockmax).
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint32)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
+    dls = np.ascontiguousarray(dls, dtype=np.uint32)
+    n = len(doc_ids)
+    if n == 0:
+        return (np.uint32(0).tobytes(), b"", b"")
+    if len(tfs) != n or len(dls) != n:
+        raise ValueError("doc_ids/tfs/dls length mismatch")
+
+    parts: list[bytes] = [np.uint32(n).astype("<u4").tobytes()]
+    offset = 4
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    skip = np.empty((n_blocks, 2), dtype="<u4")
+    bmax = np.empty((n_blocks, 2), dtype="<u4")
+
+    for bi in range(n_blocks):
+        lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
+        d = doc_ids[lo:hi]
+        t = tfs[lo:hi]
+        nb = hi - lo
+        deltas = (np.diff(d.astype(np.uint64)) - 1).astype(np.uint32)
+        tf0 = (t.astype(np.uint64) - 1).astype(np.uint32)
+        if nb == BLOCK_SIZE:
+            dw = width_for(deltas)
+            tw = width_for(tf0)
+            pd = bitpack(deltas, dw)
+            pt = bitpack(tf0, tw)
+        else:
+            dw = tw = 0
+            pd = vbyte_encode(deltas)
+            pt = vbyte_encode(tf0)
+        hdr = (
+            np.uint16(nb).astype("<u2").tobytes()
+            + bytes([dw, tw])
+            + np.uint32(d[0]).astype("<u4").tobytes()
+            + np.uint32(len(pd)).astype("<u4").tobytes()
+            + np.uint32(len(pt)).astype("<u4").tobytes()
+        )
+        skip[bi] = (d[-1], offset)
+        bmax[bi] = (t.max(), dls[lo:hi].min())
+        parts.extend((hdr, pd, pt))
+        offset += _HDR + len(pd) + len(pt)
+
+    return b"".join(parts), skip.tobytes(), bmax.tobytes()
+
+
+def _decode_block(buf: np.ndarray, off: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Decode one block at byte offset `off` -> (doc_ids, tfs, next_offset)."""
+    nb = int(buf[off]) | (int(buf[off + 1]) << 8)
+    dw, tw = int(buf[off + 2]), int(buf[off + 3])
+    first = int(buf[off + 4 : off + 8].view("<u4")[0])
+    ld = int(buf[off + 8 : off + 12].view("<u4")[0])
+    lt = int(buf[off + 12 : off + 16].view("<u4")[0])
+    p = off + _HDR
+    pd = buf[p : p + ld]
+    pt = buf[p + ld : p + ld + lt]
+    if dw:
+        deltas = bitunpack(pd, dw, nb - 1)
+    else:
+        deltas = vbyte_decode(pd, nb - 1)
+    if tw:
+        tf0 = bitunpack(pt, tw, nb)
+    else:
+        tf0 = vbyte_decode(pt, nb)
+    docs = np.empty(nb, dtype=np.uint64)
+    docs[0] = first
+    if nb > 1:
+        docs[1:] = first + np.cumsum(deltas.astype(np.uint64) + 1)
+    return docs.astype(np.uint32), (tf0.astype(np.uint64) + 1).astype(np.uint32), p + ld + lt
+
+
+def decode_postings(
+    blob: bytes, block_indices: np.ndarray | None = None, skip: bytes | None = None
+) -> PostingList:
+    """Decode a postings blob fully, or only selected blocks.
+
+    With `block_indices` + `skip`, decodes only those blocks (seek path —
+    the skip list gives each block's byte offset, [up] core/formats/
+    skip_list.hpp semantics without touching preceding blocks).
+    """
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    n = int(buf[0:4].view("<u4")[0])
+    if n == 0:
+        return PostingList(np.empty(0, np.uint32), np.empty(0, np.uint32))
+    docs_out: list[np.ndarray] = []
+    tfs_out: list[np.ndarray] = []
+    if block_indices is None:
+        off = 4
+        while off < len(buf):
+            d, t, off = _decode_block(buf, off)
+            docs_out.append(d)
+            tfs_out.append(t)
+    else:
+        offsets = decode_skip(skip)[:, 1]
+        for bi in np.asarray(block_indices, dtype=np.int64):
+            d, t, _ = _decode_block(buf, int(offsets[bi]))
+            docs_out.append(d)
+            tfs_out.append(t)
+    return PostingList(np.concatenate(docs_out), np.concatenate(tfs_out))
+
+
+def decode_skip(skip: bytes) -> np.ndarray:
+    """Skip blob -> (n_blocks, 2) array of [last_doc, byte_offset]."""
+    return np.frombuffer(skip, dtype="<u4").reshape(-1, 2).astype(np.int64)
+
+
+def decode_blockmax(bmax: bytes) -> np.ndarray:
+    """Blockmax blob -> (n_blocks, 2) array of [max_tf, min_dl]."""
+    return np.frombuffer(bmax, dtype="<u4").reshape(-1, 2).astype(np.int64)
+
+
+# ---------------------------------------------------------------- positions
+
+
+def encode_positions(pos_flat: np.ndarray, counts: np.ndarray) -> tuple[bytes, bytes]:
+    """Encode per-doc position lists -> (offsets_blob, payload_blob).
+
+    `pos_flat` is the concatenation of each matched doc's strictly-increasing
+    0-based positions; `counts` gives the number of positions per doc (== tf,
+    aligned with the posting list's doc order). Per doc: first position
+    as-is, then (delta - 1), all VByte. The offsets blob stores the byte END
+    of each doc's slice (u32), enabling random access without decoding
+    preceding docs (the columnstore-style dense index of
+    [up] core/formats/columnstore2.cpp, applied to positions).
+    """
+    pos_flat = np.ascontiguousarray(pos_flat, dtype=np.uint64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    if len(counts) == 0:
+        return b"", b""
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    # delta-encode within each doc: value - previous, first stays absolute;
+    # subtract 1 from non-first deltas (positions strictly increase)
+    enc = pos_flat.copy()
+    prev = np.empty_like(pos_flat)
+    prev[0] = 0
+    prev[1:] = pos_flat[:-1]
+    is_first = np.zeros(len(pos_flat), dtype=bool)
+    is_first[starts[counts > 0]] = True
+    nonfirst = ~is_first
+    enc[nonfirst] = pos_flat[nonfirst] - prev[nonfirst] - 1
+    payload_parts = []
+    byte_ends = np.empty(len(counts), dtype="<u4")
+    # encode per-doc slices; vectorized inside vbyte_encode, loop is per doc
+    # slice bookkeeping only (needed for the offsets index)
+    total = 0
+    for i in range(len(counts)):
+        chunk = vbyte_encode(enc[starts[i] : ends[i]].astype(np.uint32))
+        payload_parts.append(chunk)
+        total += len(chunk)
+        byte_ends[i] = total
+    return byte_ends.tobytes(), b"".join(payload_parts)
+
+
+def decode_positions_for(
+    offsets_blob: bytes,
+    payload_blob: bytes,
+    doc_indices: np.ndarray,
+    counts: np.ndarray,
+) -> list[np.ndarray]:
+    """Decode position lists for selected doc indices (by posting order).
+
+    `counts` are the tf values for the SELECTED docs. Gathers all requested
+    byte ranges and decodes them in one vectorized VByte pass.
+    """
+    doc_indices = np.asarray(doc_indices, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if len(doc_indices) == 0:
+        return []
+    ends_all = np.frombuffer(offsets_blob, dtype="<u4").astype(np.int64)
+    payload = np.frombuffer(payload_blob, dtype=np.uint8)
+    starts_all = np.empty_like(ends_all)
+    starts_all[0] = 0
+    starts_all[1:] = ends_all[:-1]
+    sel_starts = starts_all[doc_indices]
+    sel_lens = ends_all[doc_indices] - sel_starts
+    # gather byte ranges into one buffer
+    gather_idx = np.repeat(sel_starts, sel_lens) + (
+        np.arange(int(sel_lens.sum()), dtype=np.int64)
+        - np.repeat(np.cumsum(sel_lens) - sel_lens, sel_lens)
+    )
+    vals = vbyte_decode(payload[gather_idx], int(counts.sum()))
+    out: list[np.ndarray] = []
+    pos = 0
+    for c in counts:
+        chunk = vals[pos : pos + c].astype(np.int64)
+        if c > 1:
+            chunk[1:] += 1
+            chunk = np.cumsum(chunk)
+        out.append(chunk)
+        pos += c
+    return out

@@ -1,0 +1,208 @@
+"""The query algebra: a boolean filter tree over one indexed text field.
+
+Mirrors the reference's filter object model ([up] core/search/filter.hpp and
+the concrete filters under core/search/ — see SURVEY.md §2c F1–F16): leaves
+match terms in the dictionary, inner nodes combine children. There is no SQL
+layer in the reference; this tree IS the query IR.
+
+Scoring spec (frozen; the oracle in iresearch_spark.oracle and the Spark
+executor in iresearch_spark.query.executor must agree exactly, float64):
+
+  idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))           # global stats
+  tfn(tf, dl) = (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))  # k1=1.2 b=0.75
+  Term        : (boost * idf(t)) * tfn   — float64, THIS association order
+                (rank-identity requires bitwise-stable float evaluation)
+  And         : docs in ALL children; score = Σ child scores
+  Or          : docs in ≥ min_match children; score = Σ matching child scores
+  Not         : docs of `child` minus docs of `excluded`; child's score
+  Terms       : Or over the term set (per-term boosts)
+  Prefix/Wildcard/Fuzzy/TermRange : expand against the dictionary, keep the
+                top `scored_terms_limit` expansions by (df desc, term asc)
+                ([up] core/search/multiterm_query.cpp's scored-expansion cap,
+                simplified: non-kept expansions do not match), then Or
+  Phrase      : terms at consecutive positions; phrase_tf = #occurrences;
+                score = (Σ idf(t_i)) * tfn(phrase_tf, dl)
+  Ties        : (score desc, seg_id asc, doc_id asc) — total order
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Filter:
+    """Base class; nodes are immutable value objects."""
+
+
+@dataclass(frozen=True)
+class Term(Filter):
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Terms(Filter):
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+    def __init__(self, terms, boost: float = 1.0):
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class Prefix(Filter):
+    prefix: str
+    scored_terms_limit: int = 64
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRange(Filter):
+    lo: str | None
+    hi: str | None
+    include_lo: bool = True
+    include_hi: bool = False
+    scored_terms_limit: int = 64
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Wildcard(Filter):
+    pattern: str  # '%' = any run, '_' = any single char (reference syntax)
+    scored_terms_limit: int = 64
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Fuzzy(Filter):
+    term: str
+    max_distance: int = 1
+    with_transpositions: bool = False
+    scored_terms_limit: int = 64
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Phrase(Filter):
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+    def __init__(self, terms, boost: float = 1.0):
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class And(Filter):
+    children: tuple[Filter, ...]
+    boost: float = 1.0
+
+    def __init__(self, *children, boost: float = 1.0):
+        if len(children) == 1 and isinstance(children[0], (list, tuple)):
+            children = tuple(children[0])
+        object.__setattr__(self, "children", tuple(children))
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class Or(Filter):
+    children: tuple[Filter, ...]
+    min_match: int = 1
+    boost: float = 1.0
+
+    def __init__(self, *children, min_match: int = 1, boost: float = 1.0):
+        if len(children) == 1 and isinstance(children[0], (list, tuple)):
+            children = tuple(children[0])
+        object.__setattr__(self, "children", tuple(children))
+        object.__setattr__(self, "min_match", min_match)
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class Not(Filter):
+    child: Filter
+    excluded: Filter
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Boost(Filter):
+    child: Filter
+    boost: float
+
+
+@dataclass(frozen=True)
+class AllDocs(Filter):
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Empty(Filter):
+    pass
+
+
+def _scaled(node: Filter, factor: float) -> Filter:
+    """Return node with its boost multiplied by factor."""
+    if factor == 1.0 or isinstance(node, Empty):
+        return node
+    if isinstance(node, Boost):
+        return Boost(node.child, node.boost * factor)
+    kwargs = {f.name: getattr(node, f.name) for f in node.__dataclass_fields__.values()}  # type: ignore[attr-defined]
+    kwargs["boost"] = node.boost * factor
+    if isinstance(node, And):
+        return And(*kwargs.pop("children"), **kwargs)
+    if isinstance(node, Or):
+        return Or(*kwargs.pop("children"), **kwargs)
+    if isinstance(node, (Terms, Phrase)):
+        return type(node)(kwargs.pop("terms"), **kwargs)
+    return type(node)(**kwargs)
+
+
+def normalize(node: Filter) -> Filter:
+    """Boolean normalization, mirroring the reference's prepare-time rewrites
+    ([up] core/search/boolean_filter.cpp :: optimize): fold Boost wrappers,
+    flatten nested And/Or (when min_match allows), unwrap single children,
+    propagate Empty (And with Empty child -> Empty; Or drops Empty children).
+    """
+    if isinstance(node, Boost):
+        return normalize(_scaled(node.child, node.boost))
+    if isinstance(node, Not):
+        child = normalize(node.child)
+        excluded = normalize(node.excluded)
+        if isinstance(child, Empty):
+            return Empty()
+        if isinstance(excluded, Empty):
+            return normalize(_scaled(child, node.boost))
+        return Not(child, excluded, node.boost)
+    if isinstance(node, And):
+        kids = [normalize(_scaled(c, node.boost)) for c in node.children]
+        flat: list[Filter] = []
+        for c in kids:
+            if isinstance(c, Empty):
+                return Empty()
+            if isinstance(c, And):
+                flat.extend(_scaled(g, c.boost) for g in c.children)
+            else:
+                flat.append(c)
+        if not flat:
+            return Empty()
+        if len(flat) == 1:
+            return flat[0]
+        return And(*flat)
+    if isinstance(node, Or):
+        kids = [normalize(_scaled(c, node.boost)) for c in node.children]
+        flat: list[Filter] = []
+        for c in kids:
+            if isinstance(c, Empty):
+                continue
+            if isinstance(c, Or) and c.min_match == 1 and node.min_match == 1:
+                flat.extend(_scaled(g, c.boost) for g in c.children)
+            else:
+                flat.append(c)
+        if not flat or node.min_match > len(flat):
+            return Empty()
+        if len(flat) == 1 and node.min_match <= 1:
+            return flat[0]
+        return Or(*flat, min_match=node.min_match)
+    return node

@@ -1,0 +1,244 @@
+"""Segment build job: corpus table -> doc table + encoded postings +
+snapshot commit (SURVEY.md §3.1 Spark re-architecture).
+
+Dataflow (one wide shuffle of documents, two compact shuffles of partials):
+
+  corpus (url, warc_ts, html, text, lang)
+    | seg_id = pmod(crc32(url), n_segments)          [JVM, matches oracle]
+    | mapInArrow tokenize_kernel                     [narrow: extract+tokenize]
+    | repartition(seg_id) + sortWithinPartitions(seg_id, url)
+    | mapInArrow assign_kernel                       [per-segment docIDs]
+    |--- docs table write (columnstore role, [up] core/formats/columnstore2)
+    | mapInArrow partials_kernel                     [map-side combine -> raw
+    |                                                 (seg,term,band) partials]
+    | repartition(seg_id, term, band) + sort + merge_kernel   [salted level-1]
+    | repartitionByRange(seg_id, term) + sort + encode_kernel [final encode,
+    |                                                term-sorted for pruning]
+    '--- postings table write + snapshot commit (two-phase, [up]
+         core/index/index_writer.cpp :: begin/commit)
+
+The (seg, term, band) level-1 shuffle is the salted groupBy mandated by
+BASELINE.json:6: a hot term's postings are split across doc-range bands so
+no single reducer owns the whole term; level-2 concatenates the few band
+rows per (seg, term). Final postings files are range-partitioned and sorted
+by term, so parquet min/max row-group stats give dictionary-style block
+skipping on term lookups ([up] formats_burst_trie's FST role).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from iresearch_spark.build import kernels
+from iresearch_spark.store import SnapshotStore
+
+
+def _with_seg_id(corpus: DataFrame, n_segments: int) -> DataFrame:
+    # crc32 matches zlib.crc32 in the oracle (both standard CRC-32)
+    return corpus.withColumn(
+        "seg_id",
+        F.pmod(F.crc32(F.col("url").cast("binary")), F.lit(n_segments)).cast("int"),
+    )
+
+
+def build_index(
+    spark,
+    corpus: DataFrame,
+    store: SnapshotStore,
+    n_segments: int = 8,
+    *,
+    band_bits: int = 16,
+    parts: int | None = None,
+    source: str = "",
+) -> int:
+    """Build a new index generation from `corpus`; returns the snapshot id.
+
+    Resumable: stage outputs live under one commit dir with parquet
+    _SUCCESS markers; if the docs/postings table for this commit already
+    completed (same commit dir passed via a staged checkpoint file), the
+    stage is skipped (BASELINE.json:14 checkpoint resume). The staged dir is
+    keyed by (source, n_segments) in <root>/_staging.json.
+    """
+    t_start = time.time()
+    sc = spark.sparkContext
+    parts = parts or sc.defaultParallelism * 2
+
+    # ---- staged-checkpoint lookup (resume path)
+    import json
+
+    staging_path = os.path.join(store.root, "_staging.json")
+    stage_key = f"{source}|{n_segments}|{band_bits}"
+    staged = {}
+    if os.path.exists(staging_path):
+        with open(staging_path) as f:
+            staged = json.load(f)
+    if staged.get("key") == stage_key and os.path.isdir(staged.get("dir", "")):
+        commit_dir = staged["dir"]
+    else:
+        commit_dir = store.new_commit_dir()
+        with open(staging_path, "w") as f:
+            json.dump({"key": stage_key, "dir": commit_dir}, f)
+    docs_dir = os.path.join(commit_dir, "docs")
+    post_dir = os.path.join(commit_dir, "postings")
+    norms_dir = os.path.join(commit_dir, "norms")
+    timings: dict[str, float] = {}
+
+    docs_done = os.path.exists(os.path.join(docs_dir, "_SUCCESS"))
+    post_done = os.path.exists(os.path.join(post_dir, "_SUCCESS"))
+    norms_done = os.path.exists(os.path.join(norms_dir, "_SUCCESS"))
+
+    assigned = None
+    if not (docs_done and post_done):
+        cols = ["seg_id", "url", "warc_ts", "lang", "html", "text"]
+        corpus_cols = set(corpus.columns)
+        src = _with_seg_id(corpus, n_segments)
+        if "html" not in corpus_cols:
+            src = src.withColumn("html", F.lit(None).cast("binary"))
+        if "text" not in corpus_cols:
+            src = src.withColumn("text", F.lit(None).cast("string"))
+        if "warc_ts" not in corpus_cols:
+            src = src.withColumn("warc_ts", F.lit(None).cast("timestamp"))
+        if "lang" not in corpus_cols:
+            src = src.withColumn("lang", F.lit(None).cast("string"))
+        tokenized = src.select(*cols).mapInArrow(
+            kernels.tokenize_kernel, kernels.TOKENIZED_SCHEMA
+        )
+        assigned = (
+            tokenized.repartition(n_segments, "seg_id")
+            .sortWithinPartitions("seg_id", "url")
+            .mapInArrow(kernels.assign_kernel, kernels.ASSIGNED_SCHEMA)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    # ---- docs table (per-segment columnstore)
+    t0 = time.time()
+    if not docs_done:
+        # partition dirs are named seg_part=N while seg_id stays a data
+        # column, so per-segment dir reads keep the column without basePath
+        (
+            assigned.select("seg_id", "doc_id", "url", "warc_ts", "lang", "dl")
+            .withColumn("seg_part", F.col("seg_id"))
+            .write.partitionBy("seg_part")
+            .parquet(docs_dir, mode="overwrite")
+        )
+    timings["docs_write_s"] = time.time() - t0
+
+    # ---- postings build
+    t0 = time.time()
+    if not post_done:
+        partials = assigned.select(
+            "seg_id", "doc_id", "dl", "terms", "tfs", "positions"
+        ).mapInArrow(kernels.make_partials_kernel(band_bits), kernels.PARTIAL_SCHEMA)
+        lvl1 = (
+            partials.repartition(parts, "seg_id", "term", "band")
+            .sortWithinPartitions("seg_id", "term", "band", "min_doc")
+            .mapInArrow(kernels.merge_kernel, kernels.PARTIAL_SCHEMA)
+        )
+        final = (
+            lvl1.repartitionByRange(parts, "seg_id", "term")
+            .sortWithinPartitions("seg_id", "term", "min_doc")
+            .mapInArrow(kernels.encode_kernel, kernels.POSTING_SCHEMA)
+        )
+        final.withColumn("seg_part", F.col("seg_id")).write.partitionBy(
+            "seg_part"
+        ).parquet(post_dir, mode="overwrite")
+    timings["postings_write_s"] = time.time() - t0
+    if assigned is not None:
+        assigned.unpersist()
+
+    # ---- norms table (per-segment dense doc-length array)
+    t0 = time.time()
+    if not norms_done:
+        (
+            spark.read.parquet(docs_dir)
+            .select("seg_id", "doc_id", "dl")
+            .groupBy("seg_id")
+            .applyInPandas(kernels.norms_builder, kernels.NORMS_SCHEMA)
+            .withColumn("seg_part", F.col("seg_id"))
+            .write.partitionBy("seg_part")
+            .parquet(norms_dir, mode="overwrite")
+        )
+    timings["norms_write_s"] = time.time() - t0
+
+    # ---- per-segment stats + lineage (read back the written tables)
+    t0 = time.time()
+    docs_df = spark.read.parquet(docs_dir)
+    doc_stats = {
+        int(r["seg_id"]): (int(r["n"]), int(r["sum_dl"]))
+        for r in docs_df.groupBy("seg_id")
+        .agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
+        .collect()
+    }
+    post_df = spark.read.parquet(post_dir)
+    post_stats = {
+        int(r["seg_id"]): r.asDict()
+        for r in post_df.groupBy("seg_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("postings"),
+            F.sum(F.length("blob")).alias("blob_bytes"),
+            F.sum(F.length("pos_pay") + F.length("pos_off")).alias("pos_bytes"),
+        )
+        .collect()
+    }
+    timings["stats_s"] = time.time() - t0
+
+    rel = os.path.relpath(commit_dir, store.root)
+    segments, lineage = [], []
+    n_docs_total, sum_dl_total, postings_total, blob_bytes_total = 0, 0, 0, 0
+    for seg_id, (n, sum_dl) in sorted(doc_stats.items()):
+        ps = post_stats.get(seg_id, {})
+        seg = {
+            "seg_id": seg_id,
+            "docs_path": f"{rel}/docs/seg_part={seg_id}",
+            "postings_path": f"{rel}/postings/seg_part={seg_id}",
+            "norms_path": f"{rel}/norms/seg_part={seg_id}",
+            "n_docs": n,
+            "sum_dl": sum_dl,
+            "n_terms": int(ps.get("n_terms", 0)),
+        }
+        segments.append(seg)
+        n_docs_total += n
+        sum_dl_total += sum_dl
+        postings_total += int(ps.get("postings", 0))
+        blob_bytes_total += int(ps.get("blob_bytes", 0))
+        lineage.append(
+            {
+                "partition": f"seg_id={seg_id}",
+                "source": source,
+                "n_docs": n,
+                "postings": int(ps.get("postings", 0)),
+                "blob_bytes": int(ps.get("blob_bytes", 0)),
+                "pos_bytes": int(ps.get("pos_bytes", 0)),
+            }
+        )
+
+    wall = time.time() - t_start
+    metrics = {
+        "wall_s": round(wall, 3),
+        "docs_per_sec": round(n_docs_total / wall, 1) if wall else None,
+        "postings_per_sec": round(postings_total / wall, 1) if wall else None,
+        "postings": postings_total,
+        "bytes_raw_postings": postings_total * 8,  # u32 doc + u32 tf
+        "bytes_blob": blob_bytes_total,
+        "timings": {k: round(v, 3) for k, v in timings.items()},
+        "resumed_stages": {
+            "docs": docs_done,
+            "postings": post_done,
+            "norms": norms_done,
+        },
+    }
+    sid = store.commit(
+        segments,
+        stats={"n_docs": n_docs_total, "sum_dl": sum_dl_total},
+        lineage=lineage,
+        metrics=metrics,
+        operation="append" if store.current_snapshot_id() is None else "rebuild",
+    )
+    if os.path.exists(staging_path):
+        os.remove(staging_path)
+    return sid

@@ -199,17 +199,17 @@ def encode_positions(pos_flat: np.ndarray, counts: np.ndarray) -> tuple[bytes, b
     is_first[starts[counts > 0]] = True
     nonfirst = ~is_first
     enc[nonfirst] = pos_flat[nonfirst] - prev[nonfirst] - 1
-    payload_parts = []
-    byte_ends = np.empty(len(counts), dtype="<u4")
-    # encode per-doc slices; vectorized inside vbyte_encode, loop is per doc
-    # slice bookkeeping only (needed for the offsets index)
-    total = 0
-    for i in range(len(counts)):
-        chunk = vbyte_encode(enc[starts[i] : ends[i]].astype(np.uint32))
-        payload_parts.append(chunk)
-        total += len(chunk)
-        byte_ends[i] = total
-    return byte_ends.tobytes(), b"".join(payload_parts)
+    enc32 = enc.astype(np.uint32)
+    # VByte is per-value self-delimiting, so encoding the whole flat stream
+    # equals the concatenation of per-doc encodings; per-doc byte offsets
+    # come from the per-value byte lengths (fully vectorized).
+    payload = vbyte_encode(enc32)
+    from iresearch_spark.codec.vbyte import _byte_lengths
+
+    lens = _byte_lengths(enc32.astype(np.uint64))
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    byte_ends = cum[ends].astype("<u4")
+    return byte_ends.tobytes(), payload
 
 
 def decode_positions_for(

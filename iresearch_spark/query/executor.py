@@ -1,0 +1,440 @@
+"""Distributed query execution: filter tree -> prepared plan -> per-segment
+scoring kernel -> global top-k (SURVEY.md §3.2 Spark re-architecture).
+
+Phases mirror the reference's prepare/execute split
+([up] core/search/filter.hpp :: prepare, prepared::execute):
+
+  1. PREPARE (driver + one small dictionary job): normalize trees, expand
+     multiterm filters against the term dictionary (prefix/range/wildcard
+     pushed down to the term-sorted parquet scan; fuzzy via a vectorized
+     Levenshtein pandas UDF), cap expansions at scored_terms_limit by
+     (df desc, term asc) ([up] core/search/multiterm_query.cpp), and
+     collect global term stats (N, avgdl, df -> idf) as a small dict.
+  2. EXECUTE (one cogrouped job): posting rows for the needed terms are
+     cogrouped with the segment norms table by seg_id; a numpy kernel
+     decodes blobs once per (term, segment), evaluates every query's tree,
+     and emits per-segment top-k — segments are independent exactly as the
+     reference's per-segment execute.
+  3. REDUCE: window row_number over (score desc, seg asc, doc asc) takes
+     the global top-k per query; an optional broadcast join against the doc
+     table resolves urls.
+
+Scores are float64 with the association order frozen in
+iresearch_spark.query.filters — rank-identical to the oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from iresearch_spark import BM25_B, BM25_K1
+from iresearch_spark.codec.postings import (
+    decode_positions_for,
+    decode_postings,
+)
+from iresearch_spark.oracle.model import wildcard_to_regex
+from iresearch_spark.query import filters as qf
+from iresearch_spark.query.fuzzy import levenshtein_leq_mask
+from iresearch_spark.store import SnapshotStore
+
+RESULT_SCHEMA = "qid bigint, seg_id int, doc_id bigint, score double"
+
+_EXPANDABLE = (qf.Prefix, qf.TermRange, qf.Wildcard, qf.Fuzzy)
+
+
+def _walk_terms(node: qf.Filter, terms: set[str], phrases: list) -> None:
+    if isinstance(node, qf.Term):
+        terms.add(node.term)
+    elif isinstance(node, (qf.Terms,)):
+        terms.update(node.terms)
+    elif isinstance(node, qf.Phrase):
+        terms.update(node.terms)
+        phrases.append(node)
+    elif isinstance(node, qf.And):
+        for c in node.children:
+            _walk_terms(c, terms, phrases)
+    elif isinstance(node, qf.Or):
+        for c in node.children:
+            _walk_terms(c, terms, phrases)
+    elif isinstance(node, qf.Not):
+        _walk_terms(node.child, terms, phrases)
+        _walk_terms(node.excluded, terms, phrases)
+
+
+def _collect_expansions(node: qf.Filter, out: list) -> None:
+    if isinstance(node, _EXPANDABLE):
+        out.append(node)
+    elif isinstance(node, qf.And) or isinstance(node, qf.Or):
+        for c in node.children:
+            _collect_expansions(c, out)
+    elif isinstance(node, qf.Not):
+        _collect_expansions(node.child, out)
+        _collect_expansions(node.excluded, out)
+
+
+def _rewrite(node: qf.Filter, resolved: dict[qf.Filter, tuple[str, ...]]) -> qf.Filter:
+    if isinstance(node, _EXPANDABLE):
+        terms = resolved.get(node, ())
+        if not terms:
+            return qf.Empty()
+        return qf.Terms(terms, boost=node.boost)
+    if isinstance(node, qf.And):
+        return qf.And(*[_rewrite(c, resolved) for c in node.children], boost=node.boost)
+    if isinstance(node, qf.Or):
+        return qf.Or(
+            *[_rewrite(c, resolved) for c in node.children],
+            min_match=node.min_match,
+            boost=node.boost,
+        )
+    if isinstance(node, qf.Not):
+        return qf.Not(
+            _rewrite(node.child, resolved), _rewrite(node.excluded, resolved), node.boost
+        )
+    return node
+
+
+class IndexSearcher:
+    def __init__(
+        self,
+        spark,
+        store: SnapshotStore,
+        snapshot_id: int | None = None,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ):
+        self.spark = spark
+        self.store = store
+        self.sid = snapshot_id if snapshot_id is not None else store.current_snapshot_id()
+        stats = store.global_stats(self.sid)
+        self.n_docs = stats["n_docs"]
+        self.avgdl = stats["avgdl"]
+        self.k1, self.b = k1, b
+        self._postings = store.read_postings(spark, self.sid)
+        self._norms = store.read_norms(spark, self.sid)
+
+    # ------------------------------------------------------------ prepare
+
+    def idf(self, df: int) -> float:
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def _expand(self, nodes: list[qf.Filter]) -> dict[qf.Filter, tuple[str, ...]]:
+        """One distributed dictionary job expanding all multiterm nodes."""
+        if not nodes:
+            return {}
+        conds = []
+        for node in nodes:
+            if isinstance(node, qf.Prefix):
+                conds.append(F.col("term").startswith(node.prefix))
+            elif isinstance(node, qf.TermRange):
+                c = F.lit(True)
+                if node.lo is not None:
+                    c = c & (
+                        (F.col("term") >= node.lo)
+                        if node.include_lo
+                        else (F.col("term") > node.lo)
+                    )
+                if node.hi is not None:
+                    c = c & (
+                        (F.col("term") <= node.hi)
+                        if node.include_hi
+                        else (F.col("term") < node.hi)
+                    )
+                conds.append(c)
+            elif isinstance(node, qf.Wildcard):
+                conds.append(
+                    F.col("term").rlike("^(?:" + wildcard_to_regex(node.pattern) + ")$")
+                )
+            elif isinstance(node, qf.Fuzzy):
+                q, d = node.term, node.max_distance
+                len_ok = F.length("term").between(len(q) - d, len(q) + d)
+
+                @F.pandas_udf("boolean")
+                def lev_ok(terms: pd.Series) -> pd.Series:
+                    mask = levenshtein_leq_mask(q, terms.to_numpy(dtype=np.str_), d)
+                    return pd.Series(mask)
+
+                conds.append(len_ok & lev_ok(F.col("term")))
+            else:  # pragma: no cover
+                raise TypeError(type(node))
+        union = conds[0]
+        for c in conds[1:]:
+            union = union | c
+        dict_df = (
+            self._postings.filter(union)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        tag = F.array(
+            *[F.when(c, F.lit(i)).otherwise(F.lit(None)) for i, c in enumerate(conds)]
+        )
+        limit_map = F.create_map(
+            *[
+                x
+                for i, n in enumerate(nodes)
+                for x in (F.lit(i), F.lit(n.scored_terms_limit))
+            ]
+        )
+        w = Window.partitionBy("node_id").orderBy(F.desc("df"), F.asc("term"))
+        rows = (
+            dict_df.select("term", "df", F.explode(tag).alias("node_id"))
+            .filter(F.col("node_id").isNotNull())
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= limit_map[F.col("node_id")])
+            .select("node_id", "term")
+            .collect()
+        )
+        by_node: dict[int, list[str]] = {}
+        for r in rows:
+            by_node.setdefault(int(r["node_id"]), []).append(r["term"])
+        return {
+            node: tuple(sorted(by_node.get(i, []))) for i, node in enumerate(nodes)
+        }
+
+    def prepare(self, queries: dict[int, qf.Filter]):
+        """Normalize + expand all query trees; returns (trees, terms, idf)."""
+        norm = {qid: qf.normalize(f) for qid, f in queries.items()}
+        exp_nodes: list[qf.Filter] = []
+        for t in norm.values():
+            _collect_expansions(t, exp_nodes)
+        # dedupe, preserving order
+        seen: dict[qf.Filter, None] = {}
+        for n in exp_nodes:
+            seen.setdefault(n)
+        resolved = self._expand(list(seen))
+        trees = {
+            qid: qf.normalize(_rewrite(t, resolved)) for qid, t in norm.items()
+        }
+        terms: set[str] = set()
+        phrases: list = []
+        for t in trees.values():
+            _walk_terms(t, terms, phrases)
+        # global df stats for exactly the needed terms (small agg, term
+        # filter pushed down to the sorted parquet scan)
+        idf: dict[str, float] = {}
+        if terms:
+            stat_rows = (
+                self._postings.filter(F.col("term").isin(list(terms)))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            for r in stat_rows:
+                idf[r["term"]] = self.idf(int(r["df"]))
+        return trees, terms, idf, bool(phrases)
+
+    # ------------------------------------------------------------ execute
+
+    def search_batch(
+        self,
+        queries: dict[int, qf.Filter],
+        k: int = 10,
+        with_urls: bool = True,
+    ) -> DataFrame:
+        """Run a batch of queries; returns DataFrame
+        (qid, rank, seg_id, doc_id[, url], score) with global top-k rows."""
+        trees, terms, idf, need_pos = self.prepare(queries)
+        avgdl, k1, b = self.avgdl, self.k1, self.b
+        if not terms:
+            schema = "qid bigint, rank int, seg_id int, doc_id bigint, score double"
+            if with_urls:
+                schema = (
+                    "qid bigint, rank int, seg_id int, doc_id bigint, "
+                    "url string, score double"
+                )
+            return self.spark.createDataFrame([], schema)
+
+        cols = ["seg_id", "term", "blob", "skip", "bmax"]
+        if need_pos:
+            cols += ["pos_off", "pos_pay"]
+        rows = self._postings.filter(F.col("term").isin(list(terms))).select(*cols)
+        kernel = _make_segment_kernel(trees, idf, avgdl, k1, b, k, need_pos)
+        per_seg = (
+            rows.groupBy("seg_id")
+            .cogroup(self._norms.groupBy("seg_id"))
+            .applyInPandas(kernel, RESULT_SCHEMA)
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("seg_id"), F.asc("doc_id")
+        )
+        topk = (
+            per_seg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        if with_urls:
+            docs = self.store.read_docs(self.spark, self.sid).select(
+                "seg_id", "doc_id", "url"
+            )
+            topk = docs.join(F.broadcast(topk), ["seg_id", "doc_id"]).select(
+                "qid", "rank", "seg_id", "doc_id", "url", "score"
+            )
+        else:
+            topk = topk.select("qid", "rank", "seg_id", "doc_id", "score")
+        return topk.orderBy("qid", "rank")
+
+    def search(self, flt: qf.Filter, k: int = 10, with_urls: bool = True) -> DataFrame:
+        return self.search_batch({0: flt}, k=k, with_urls=with_urls).drop("qid")
+
+
+# ------------------------------------------------------------------ kernel
+
+
+def _make_segment_kernel(trees, idf, avgdl, k1, b, k, need_pos):
+    """Per-segment scoring kernel (runs in applyInPandas cogroup).
+
+    Decodes each needed (term, seg) posting list once, evaluates every
+    query tree with float64 numpy in the frozen association order, and
+    returns the per-segment top-k per query."""
+
+    def kernel(postings_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"qid": pd.Series([], dtype="int64"), "seg_id": pd.Series([], dtype="int32"),
+             "doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")}
+        )
+        if len(norms_pdf) == 0 or len(postings_pdf) == 0:
+            return empty
+        seg_id = int(norms_pdf["seg_id"].iloc[0])
+        dls = np.frombuffer(norms_pdf["dls_bin"].iloc[0], dtype="<u4").astype(
+            np.float64
+        )
+        term_rows = {r.term: r for r in postings_pdf.itertuples()}
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def get_postings(term):
+            got = decoded.get(term)
+            if got is None:
+                row = term_rows.get(term)
+                if row is None:
+                    got = (np.empty(0, np.int64), np.empty(0, np.float64))
+                else:
+                    pl = decode_postings(bytes(row.blob))
+                    got = (pl.doc_ids.astype(np.int64), pl.tfs.astype(np.float64))
+                decoded[term] = got
+            return got
+
+        def tfn(tf, dl_arr):
+            return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl_arr / avgdl))
+
+        def eval_node(node):
+            if isinstance(node, qf.Empty):
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            if isinstance(node, qf.AllDocs):
+                docs = np.arange(1, len(dls) + 1, dtype=np.int64)
+                return docs, np.full(len(dls), float(node.boost))
+            if isinstance(node, qf.Term):
+                docs, tfs = get_postings(node.term)
+                if len(docs) == 0:
+                    return docs, np.empty(0, np.float64)
+                w = node.boost * idf.get(node.term, 0.0)
+                return docs, w * tfn(tfs, dls[docs - 1])
+            if isinstance(node, qf.Terms):
+                kids = [qf.Term(t, node.boost) for t in sorted(set(node.terms))]
+                return eval_node(qf.Or(*kids)) if kids else (
+                    np.empty(0, np.int64),
+                    np.empty(0, np.float64),
+                )
+            if isinstance(node, qf.And):
+                results = [eval_node(c) for c in node.children]
+                common = results[0][0]
+                for d, _ in results[1:]:
+                    common = common[np.isin(common, d, assume_unique=True)]
+                    if len(common) == 0:
+                        return common, np.empty(0, np.float64)
+                score = np.zeros(len(common), np.float64)
+                for d, s in results:
+                    score += s[np.searchsorted(d, common)]
+                return common, score
+            if isinstance(node, qf.Or):
+                results = [eval_node(c) for c in node.children]
+                alldocs = np.concatenate([d for d, _ in results]) if results else np.empty(0, np.int64)
+                if len(alldocs) == 0:
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+                uniq = np.unique(alldocs)
+                score = np.zeros(len(uniq), np.float64)
+                cnt = np.zeros(len(uniq), np.int64)
+                for d, s in results:
+                    idx = np.searchsorted(uniq, d)
+                    score[idx] += s
+                    cnt[idx] += 1
+                keep = cnt >= node.min_match
+                return uniq[keep], score[keep]
+            if isinstance(node, qf.Not):
+                pos_d, pos_s = eval_node(node.child)
+                neg_d, _ = eval_node(node.excluded)
+                keep = ~np.isin(pos_d, neg_d, assume_unique=True)
+                return pos_d[keep], pos_s[keep]
+            if isinstance(node, qf.Phrase):
+                return eval_phrase(node)
+            raise TypeError(f"cannot evaluate {type(node)}")
+
+        def eval_phrase(node):
+            terms = list(node.terms)
+            per_term = []
+            for t in terms:
+                row = term_rows.get(t)
+                if row is None:
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+                docs, tfs = get_postings(t)
+                per_term.append((row, docs, tfs))
+            common = per_term[0][1]
+            for _, d, _ in per_term[1:]:
+                common = common[np.isin(common, d, assume_unique=True)]
+            if len(common) == 0:
+                return common, np.empty(0, np.float64)
+            pos_lists = []
+            for row, docs, tfs in per_term:
+                sel = np.searchsorted(docs, common)
+                counts = tfs[sel].astype(np.int64)
+                pls = decode_positions_for(
+                    bytes(row.pos_off), bytes(row.pos_pay), sel, counts
+                )
+                pos_lists.append(pls)
+            idf_sum = 0.0
+            for t in terms:
+                idf_sum += idf.get(t, 0.0)
+            w = node.boost * idf_sum
+            out_docs, out_scores = [], []
+            for i, doc in enumerate(common):
+                first = pos_lists[0][i]
+                sets = [set(pl[i].tolist()) for pl in pos_lists[1:]]
+                hits = 0
+                for p in first.tolist():
+                    ok = True
+                    for off, s in enumerate(sets, start=1):
+                        if p + off not in s:
+                            ok = False
+                            break
+                    if ok:
+                        hits += 1
+                if hits:
+                    out_docs.append(int(doc))
+                    out_scores.append(w * tfn(float(hits), dls[doc - 1]))
+            return (
+                np.asarray(out_docs, dtype=np.int64),
+                np.asarray(out_scores, dtype=np.float64),
+            )
+
+        out_frames = []
+        for qid, tree in trees.items():
+            docs, scores = eval_node(tree)
+            if len(docs) == 0:
+                continue
+            order = np.lexsort((docs, -scores))[:k]
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.full(len(order), qid, dtype=np.int64),
+                        "seg_id": np.full(len(order), seg_id, dtype=np.int32),
+                        "doc_id": docs[order],
+                        "score": scores[order],
+                    }
+                )
+            )
+        if not out_frames:
+            return empty
+        return pd.concat(out_frames, ignore_index=True)
+
+    return kernel

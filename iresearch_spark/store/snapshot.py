@@ -1,0 +1,142 @@
+"""Iceberg-shaped snapshot layer over parquet: atomic two-phase commit,
+pinned-snapshot reads, per-partition lineage + build metrics.
+
+Plays the role of the reference's directory + index-generation commit
+([up] core/store/fs_directory.cpp, [up] core/index/index_writer.cpp ::
+begin()/commit() — stage pending meta, then atomically publish the new
+generation) and of the Iceberg catalog required by BASELINE.json:14/15
+(no Iceberg runtime jar exists in this sandbox — SURVEY.md §0 — so the
+manifest layer is explicit JSON with the same shape: snapshots, manifests
+of data files, summary stats; a real Iceberg catalog can replace it on a
+cluster without touching the build/query jobs).
+
+Layout:
+    <root>/data/<commit-uuid>/<table>/seg_id=<n>/*.parquet
+    <root>/snapshots/snap-<id>.json
+    <root>/CURRENT                      (text: latest snapshot id)
+
+Atomicity: manifests and CURRENT are written to a temp file then
+os.rename()d — POSIX-atomic on one filesystem; on HDFS/S3 this maps to the
+usual rename/putIfAbsent commit protocol.
+
+Resumability (BASELINE.json:14 "resumable from checkpoint with
+per-partition lineage + metrics"): a snapshot's `lineage` records, per
+segment partition, the source corpus fingerprint and build metrics; an
+interrupted build leaves data dirs but no snapshot — rerun skips segments
+already recorded in a staged checkpoint (see build.indexer.build_index).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        os.makedirs(os.path.join(self.root, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+
+    # ------------------------------------------------------------- paths
+
+    def new_commit_dir(self) -> str:
+        """Fresh data directory for a pending (uncommitted) write."""
+        d = os.path.join(self.root, "data", uuid.uuid4().hex[:12])
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _snap_path(self, sid: int) -> str:
+        return os.path.join(self.root, "snapshots", f"snap-{sid:08d}.json")
+
+    # ---------------------------------------------------------- snapshots
+
+    def current_snapshot_id(self) -> int | None:
+        cur = os.path.join(self.root, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, sid: int | None = None) -> dict | None:
+        if sid is None:
+            sid = self.current_snapshot_id()
+            if sid is None:
+                return None
+        with open(self._snap_path(sid)) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[int]:
+        d = os.path.join(self.root, "snapshots")
+        return sorted(
+            int(f[5:-5]) for f in os.listdir(d) if f.startswith("snap-") and f.endswith(".json")
+        )
+
+    def _atomic_write(self, path: str, payload: str) -> None:
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+
+    def commit(
+        self,
+        segments: list[dict],
+        stats: dict,
+        lineage: list[dict] | None = None,
+        metrics: dict | None = None,
+        operation: str = "append",
+    ) -> int:
+        """Publish a new snapshot. `segments` is the FULL live segment list:
+        [{seg_id, docs_path, postings_path, n_docs, sum_dl, n_terms, ...}];
+        paths are relative to root. Returns the new snapshot id."""
+        parent = self.current_snapshot_id()
+        sid = (parent or 0) + 1
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "segments": segments,
+            "stats": stats,
+            "lineage": lineage or [],
+            "metrics": metrics or {},
+        }
+        snap_path = self._snap_path(sid)
+        if os.path.exists(snap_path):
+            raise RuntimeError(f"snapshot {sid} already exists (concurrent commit?)")
+        self._atomic_write(snap_path, json.dumps(manifest, indent=1))
+        self._atomic_write(os.path.join(self.root, "CURRENT"), str(sid))
+        return sid
+
+    # -------------------------------------------------------------- reads
+
+    def abs_path(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def read_docs(self, spark, snapshot_id: int | None = None):
+        return self._read(spark, "docs_path", snapshot_id)
+
+    def read_postings(self, spark, snapshot_id: int | None = None):
+        return self._read(spark, "postings_path", snapshot_id)
+
+    def read_norms(self, spark, snapshot_id: int | None = None):
+        return self._read(spark, "norms_path", snapshot_id)
+
+    def _read(self, spark, key: str, snapshot_id: int | None):
+        snap = self.snapshot(snapshot_id)
+        if snap is None or not snap["segments"]:
+            raise FileNotFoundError("no committed snapshot / empty index")
+        paths = sorted({self.abs_path(s[key]) for s in snap["segments"]})
+        return spark.read.parquet(*paths)
+
+    def global_stats(self, snapshot_id: int | None = None) -> dict:
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return {"n_docs": 0, "sum_dl": 0, "avgdl": 0.0}
+        st = dict(snap["stats"])
+        st["avgdl"] = (st["sum_dl"] / st["n_docs"]) if st.get("n_docs") else 0.0
+        return st

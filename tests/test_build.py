@@ -1,0 +1,135 @@
+"""Segment build pipeline tests: the built index must structurally equal
+the oracle's in-memory index (docIDs, postings, stats) — mirrors the
+reference's index round-trip suites ([up] tests/index/index_tests.cpp)."""
+
+import numpy as np
+import pytest
+
+from iresearch_spark.codec import decode_postings, decode_positions_for
+
+
+def test_snapshot_committed(unit_index):
+    store, sid, oracle = unit_index
+    snap = store.snapshot(sid)
+    assert snap["snapshot_id"] == sid
+    assert snap["stats"]["n_docs"] == oracle.n_docs
+    assert snap["stats"]["sum_dl"] == sum(oracle.doc_len.values())
+    assert len(snap["segments"]) == 4
+    assert snap["metrics"]["postings"] > 0
+    assert snap["lineage"] and all("partition" in r for r in snap["lineage"])
+
+
+def test_doc_table_matches_oracle(spark, unit_index):
+    store, sid, oracle = unit_index
+    docs = store.read_docs(spark, sid).select("seg_id", "doc_id", "url", "dl").collect()
+    assert len(docs) == oracle.n_docs
+    for r in docs:
+        key = (r["seg_id"], r["doc_id"])
+        assert oracle.doc_url[key] == r["url"]
+        assert oracle.doc_len[key] == r["dl"]
+
+
+def test_postings_match_oracle(spark, unit_index):
+    store, sid, oracle = unit_index
+    rows = (
+        store.read_postings(spark, sid)
+        .select("seg_id", "term", "df", "cf", "blob", "skip", "pos_off", "pos_pay")
+        .collect()
+    )
+    by_key = {(r["seg_id"], r["term"]): r for r in rows}
+    # every oracle posting list is present and identical
+    n_checked = 0
+    for term, by_seg in oracle.postings.items():
+        for seg, (docs, tfs, poss) in by_seg.items():
+            r = by_key.pop((seg, term))
+            pl = decode_postings(bytes(r["blob"]))
+            assert pl.doc_ids.tolist() == docs, (term, seg)
+            assert pl.tfs.tolist() == tfs, (term, seg)
+            n_checked += 1
+            # positions spot-check on the first doc
+            got_pos = decode_positions_for(
+                bytes(r["pos_off"]), bytes(r["pos_pay"]), np.array([0]), np.array([tfs[0]])
+            )[0]
+            assert got_pos.tolist() == poss[0], (term, seg)
+    assert not by_key, f"extra posting rows: {list(by_key)[:5]}"
+    assert n_checked > 1000
+
+
+def test_df_cf_match_oracle(spark, unit_index):
+    from pyspark.sql import functions as F
+
+    store, sid, oracle = unit_index
+    agg = (
+        store.read_postings(spark, sid)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .collect()
+    )
+    got_df = {r["term"]: r["df"] for r in agg}
+    assert got_df == oracle.df
+
+
+def test_build_determinism_across_parallelism(spark, unit_corpus, tmp_path):
+    """Same corpus, different partitioning -> byte-identical blobs and
+    identical docIDs (the N-vs-4N invariant, SURVEY.md §7 hard-part (c))."""
+    from pyspark.sql import functions as F
+
+    from iresearch_spark.build import build_index
+    from iresearch_spark.store import SnapshotStore
+
+    def fingerprint(store, sid):
+        rows = (
+            store.read_postings(spark, sid)
+            .select("seg_id", "term", F.md5(F.col("blob")).alias("h"))
+            .collect()
+        )
+        return sorted((r["seg_id"], r["term"], r["h"]) for r in rows)
+
+    s1 = SnapshotStore(str(tmp_path / "a"))
+    s2 = SnapshotStore(str(tmp_path / "b"))
+    df1 = spark.createDataFrame(unit_corpus).repartition(2)
+    df2 = spark.createDataFrame(unit_corpus).repartition(13)
+    sid1 = build_index(spark, df1, s1, n_segments=4, parts=3, source="a")
+    sid2 = build_index(spark, df2, s2, n_segments=4, parts=11, source="b")
+    assert fingerprint(s1, sid1) == fingerprint(s2, sid2)
+
+
+def test_resume_from_checkpoint(spark, unit_corpus, tmp_path):
+    """Interrupted build (docs written, postings not) resumes without
+    rewriting docs (BASELINE.json:14 checkpoint resume)."""
+    import json
+    import os
+
+    from iresearch_spark.build import build_index
+    from iresearch_spark.store import SnapshotStore
+
+    root = str(tmp_path / "resume")
+    store = SnapshotStore(root)
+    sdf = spark.createDataFrame(unit_corpus)
+    sid = build_index(spark, sdf, store, n_segments=2, source="r1")
+    snap1 = store.snapshot(sid)
+    assert snap1["metrics"]["resumed_stages"] == {
+        "docs": False,
+        "postings": False,
+        "norms": False,
+    }
+
+    # simulate an interrupted second build: stage dir with docs completed
+    commit_dir = store.new_commit_dir()
+    with open(os.path.join(root, "_staging.json"), "w") as f:
+        json.dump({"key": "r2|2|16", "dir": commit_dir}, f)
+    docs_dir = os.path.join(commit_dir, "docs")
+    # "complete" the docs stage by building it once via a throwaway store
+    tmp_store = SnapshotStore(str(tmp_path / "throwaway"))
+    build_index(spark, sdf, tmp_store, n_segments=2, source="r2")
+    import shutil
+
+    src = tmp_store.snapshot(None)["segments"][0]["docs_path"]
+    src_root = os.path.dirname(tmp_store.abs_path(src))
+    shutil.copytree(src_root, docs_dir)
+    assert os.path.exists(os.path.join(docs_dir, "_SUCCESS"))
+
+    sid2 = build_index(spark, sdf, store, n_segments=2, source="r2")
+    snap2 = store.snapshot(sid2)
+    assert snap2["metrics"]["resumed_stages"]["docs"] is True
+    assert snap2["stats"] == snap1["stats"]

@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Benchmark harness: index-build docs/sec + BM25 query latency/QPS.
+
+Default (driver contract): build the index over $SPARK_GRAFT_SF_DIR's
+documents table on local[$SPARK_GRAFT_CPUS], run the frozen 12-kind query
+suite, print ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {kind: sec}, "sf": ..., "build": {...}, "query_qps": ...}
+
+Modes:
+  python bench.py                      # driver mode (sf tables)
+  python bench.py --synthetic 200000   # Zipf web corpus, 100-query batch
+  python bench.py --scaling           # N-vs-4N cores scaling run -> BENCH.md
+
+The scaling mode is the sandbox stand-in for the N->4N *executor* scaling
+requirement (BASELINE.json:14): same synthetic input, local[8] vs
+local[32], efficiency = (T_8 / T_32) / 4 per phase.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _mk_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"iresearch_bench_{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _headline_filters():
+    from __spark_entry__ import _FILTERS
+
+    return _FILTERS
+
+
+def _synthetic_queries(n: int = 100):
+    from iresearch_spark.fixtures.queries import build_filter, gen_queries
+
+    specs = gen_queries(None, n_queries=n)
+    return {s["qid"]: build_filter(s["kind"], s["terms"]) for s in specs}
+
+
+def run_bench(
+    cpus: int,
+    sf_dir: str,
+    synthetic_docs: int = 0,
+    n_segments: int | None = None,
+) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from iresearch_spark.build.indexer import build_index
+    from iresearch_spark.fixtures.adapter import documents_as_corpus
+    from iresearch_spark.fixtures.corpus import gen_corpus_spark
+    from iresearch_spark.query.executor import IndexSearcher
+    from iresearch_spark.store import SnapshotStore
+
+    spark = _mk_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    n_segments = n_segments or max(8, cpus)
+    try:
+        if synthetic_docs:
+            corpus = gen_corpus_spark(spark, synthetic_docs)
+            sf_label = f"synthetic-{synthetic_docs}"
+        else:
+            corpus = documents_as_corpus(spark, sf_dir)
+            sf_label = os.path.basename(sf_dir.rstrip("/"))
+
+        with tempfile.TemporaryDirectory(prefix="iresearch_bench_") as root:
+            store = SnapshotStore(root)
+            t0 = time.time()
+            sid = build_index(
+                spark, corpus, store, n_segments=n_segments, source=sf_label
+            )
+            build_wall = time.time() - t0
+            snap = store.snapshot(sid)
+            n_docs = snap["stats"]["n_docs"]
+            metrics = snap.get("metrics", {})
+
+            searcher = IndexSearcher(spark, store)
+            # warm-up: JVM + Arrow paths (excluded from timings)
+            from iresearch_spark.query import filters as qf
+
+            searcher.search_batch({0: qf.Term("warmup")}, k=5, with_urls=False).count()
+
+            if synthetic_docs:
+                batch = _synthetic_queries(100)
+                t0 = time.time()
+                searcher.search_batch(batch, k=10, with_urls=False).count()
+                batch_wall = time.time() - t0
+                per_query = {"batch100": round(batch_wall, 3)}
+                n_q = len(batch)
+            else:
+                per_query = {}
+                batch_wall = 0.0
+                flts = _headline_filters()
+                for name, flt in flts.items():
+                    t0 = time.time()
+                    searcher.search_batch({0: flt}, k=10, with_urls=False).count()
+                    dt = time.time() - t0
+                    per_query[name] = round(dt, 3)
+                    batch_wall += dt
+                n_q = len(flts)
+
+            total = build_wall + batch_wall
+            return {
+                "metric": "index_build_plus_bm25_topk_suite",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf_label,
+                "cpus": cpus,
+                "queries": per_query,
+                "build": {
+                    "n_docs": n_docs,
+                    "wall_s": round(build_wall, 3),
+                    "docs_per_sec": round(n_docs / build_wall, 1),
+                    "postings_per_sec": metrics.get("postings_per_sec"),
+                    "bytes_blob": metrics.get("bytes_blob"),
+                    "bytes_raw_postings": metrics.get("bytes_raw_postings"),
+                },
+                "query_qps": round(n_q / batch_wall, 2) if batch_wall else None,
+            }
+    finally:
+        spark.stop()
+
+
+def scaling_main(docs: int) -> None:
+    """Run the same synthetic job at 8 and 32 cores in fresh JVMs."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cpus)
+        env["SPARK_GRAFT_BENCH_DOCS"] = str(docs)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single-scaling-run"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+
+    r8, r32 = results[8], results[32]
+    build_eff = (r32["build"]["docs_per_sec"] / r8["build"]["docs_per_sec"]) / 4
+    q8 = r8["queries"]["batch100"]
+    q32 = r32["queries"]["batch100"]
+    query_eff = (q8 / q32) / 4
+    e2e_eff = (r8["value"] / r32["value"]) / 4
+    report = {
+        "input_docs": docs,
+        "local8": r8,
+        "local32": r32,
+        "scaling_efficiency": {
+            "build_docs_per_sec": round(build_eff, 3),
+            "query_batch": round(query_eff, 3),
+            "end_to_end": round(e2e_eff, 3),
+        },
+    }
+    print(json.dumps(report))
+    _write_bench_md(report)
+
+
+def _write_bench_md(report: dict) -> None:
+    r8, r32 = report["local8"], report["local32"]
+    eff = report["scaling_efficiency"]
+    md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
+
+Sandbox stand-in for the N->4N executor scaling requirement
+(BASELINE.json `north_rule`): identical deterministic synthetic web corpus
+({report["input_docs"]:,} docs, Zipf vocabulary with hot-term skew), same
+code path, `local[8]` vs `local[32]` on the 32-core host.
+Efficiency = (T_N / T_4N) / 4 (1.0 = perfectly linear).
+
+| phase | local[8] | local[32] | efficiency |
+|---|---|---|---|
+| index build (docs/sec) | {r8["build"]["docs_per_sec"]:,.0f} | {r32["build"]["docs_per_sec"]:,.0f} | **{eff["build_docs_per_sec"]:.2f}** |
+| 100-query BM25 batch (s) | {r8["queries"]["batch100"]:.1f} | {r32["queries"]["batch100"]:.1f} | **{eff["query_batch"]:.2f}** |
+| end-to-end (s) | {r8["value"]:.1f} | {r32["value"]:.1f} | **{eff["end_to_end"]:.2f}** |
+
+Build metrics at local[32]: postings/sec={r32["build"]["postings_per_sec"]},
+blob bytes={r32["build"]["bytes_blob"]} (raw {r32["build"]["bytes_raw_postings"]}).
+
+Generated by `python bench.py --scaling` on {time.strftime("%Y-%m-%d")}.
+"""
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+        f.write(md)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        idx = sys.argv.index("--scaling")
+        docs = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 120_000
+        scaling_main(docs)
+        return
+    if "--single-scaling-run" in sys.argv:
+        docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+        print(json.dumps(run_bench(cpus, sf_dir, synthetic_docs=docs)))
+        return
+    if "--synthetic" in sys.argv:
+        idx = sys.argv.index("--synthetic")
+        docs = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 100_000
+        print(json.dumps(run_bench(cpus, sf_dir, synthetic_docs=docs)))
+        return
+    print(json.dumps(run_bench(cpus, sf_dir)))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,11 +37,13 @@ from iresearch_spark.build import kernels
 from iresearch_spark.store import SnapshotStore
 
 
-def _with_seg_id(corpus: DataFrame, n_segments: int) -> DataFrame:
+def _with_seg_id(corpus: DataFrame, n_segments: int, base: int = 0) -> DataFrame:
     # crc32 matches zlib.crc32 in the oracle (both standard CRC-32)
     return corpus.withColumn(
         "seg_id",
-        F.pmod(F.crc32(F.col("url").cast("binary")), F.lit(n_segments)).cast("int"),
+        (
+            F.pmod(F.crc32(F.col("url").cast("binary")), F.lit(n_segments)) + base
+        ).cast("int"),
     )
 
 
@@ -54,8 +56,15 @@ def build_index(
     band_bits: int = 16,
     parts: int | None = None,
     source: str = "",
+    mode: str = "replace",
 ) -> int:
     """Build a new index generation from `corpus`; returns the snapshot id.
+
+    mode="replace" commits the new segments as the whole index;
+    mode="append" adds them after the current snapshot's live segments
+    (seg_ids continue past the existing maximum) — the incremental-ingest
+    path of the reference's index_writer ([up] index_writer.cpp: new
+    flush segments join the committed generation; readers reopen()).
 
     Resumable: stage outputs live under one commit dir with parquet
     _SUCCESS markers; if the docs/postings table for this commit already
@@ -66,12 +75,18 @@ def build_index(
     t_start = time.time()
     sc = spark.sparkContext
     parts = parts or sc.defaultParallelism * 2
+    prev_snap = store.snapshot() if mode == "append" else None
+    seg_base = (
+        max((int(s["seg_id"]) for s in prev_snap["segments"]), default=-1) + 1
+        if prev_snap
+        else 0
+    )
 
     # ---- staged-checkpoint lookup (resume path)
     import json
 
     staging_path = os.path.join(store.root, "_staging.json")
-    stage_key = f"{source}|{n_segments}|{band_bits}"
+    stage_key = f"{source}|{n_segments}|{band_bits}|{mode}|{seg_base}"
     staged = {}
     if os.path.exists(staging_path):
         with open(staging_path) as f:
@@ -95,7 +110,7 @@ def build_index(
     if not (docs_done and post_done):
         cols = ["seg_id", "url", "warc_ts", "lang", "html", "text"]
         corpus_cols = set(corpus.columns)
-        src = _with_seg_id(corpus, n_segments)
+        src = _with_seg_id(corpus, n_segments, seg_base)
         if "html" not in corpus_cols:
             src = src.withColumn("html", F.lit(None).cast("binary"))
         if "text" not in corpus_cols:
@@ -232,12 +247,16 @@ def build_index(
             "norms": norms_done,
         },
     }
+    if prev_snap:
+        segments = list(prev_snap["segments"]) + segments
+        n_docs_total += int(prev_snap["stats"]["n_docs"])
+        sum_dl_total += int(prev_snap["stats"]["sum_dl"])
     sid = store.commit(
         segments,
         stats={"n_docs": n_docs_total, "sum_dl": sum_dl_total},
         lineage=lineage,
         metrics=metrics,
-        operation="append" if store.current_snapshot_id() is None else "rebuild",
+        operation="append" if prev_snap else "rebuild",
     )
     if os.path.exists(staging_path):
         os.remove(staging_path)

@@ -233,9 +233,19 @@ class IndexSearcher:
         queries: dict[int, qf.Filter],
         k: int = 10,
         with_urls: bool = True,
+        tie: str = "segdoc",
+        score_round: int | None = None,
     ) -> DataFrame:
         """Run a batch of queries; returns DataFrame
-        (qid, rank, seg_id, doc_id[, url], score) with global top-k rows."""
+        (qid, rank, seg_id, doc_id[, url], score) with global top-k rows.
+
+        tie: "segdoc" (reference order: score desc, seg asc, doc asc) or
+        "url" (score desc, url asc — a total order that external oracles
+        can reproduce without knowing segment hashing).
+        score_round: round scores to N dp INSIDE the kernel before
+        per-segment top-k, so rank ties are decided on the same values an
+        external double-precision oracle computes (absorbs last-ulp
+        numpy-vs-libm noise; see SURVEY.md §7 hard-part (a))."""
         trees, terms, idf, need_pos = self.prepare(queries)
         avgdl, k1, b = self.avgdl, self.k1, self.b
         if not terms:
@@ -251,12 +261,30 @@ class IndexSearcher:
         if need_pos:
             cols += ["pos_off", "pos_pay"]
         rows = self._postings.filter(F.col("term").isin(list(terms))).select(*cols)
-        kernel = _make_segment_kernel(trees, idf, avgdl, k1, b, k, need_pos)
+        kernel = _make_segment_kernel(
+            trees, idf, avgdl, k1, b, k, need_pos, score_round
+        )
         per_seg = (
             rows.groupBy("seg_id")
             .cogroup(self._norms.groupBy("seg_id"))
             .applyInPandas(kernel, RESULT_SCHEMA)
         )
+        if tie == "url":
+            # per-segment doc order IS url order (docIDs assigned by url
+            # sort), so per-segment top-k prefixes merge exactly into the
+            # global (score desc, url asc) top-k
+            docs = self.store.read_docs(self.spark, self.sid).select(
+                "seg_id", "doc_id", "url"
+            )
+            cand = docs.join(F.broadcast(per_seg), ["seg_id", "doc_id"])
+            w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
+            topk = cand.withColumn("rank", F.row_number().over(w)).filter(
+                F.col("rank") <= k
+            )
+            cols_out = ["qid", "rank", "seg_id", "doc_id", "url", "score"]
+            if not with_urls:
+                cols_out.remove("url")
+            return topk.select(*cols_out).orderBy("qid", "rank")
         w = Window.partitionBy("qid").orderBy(
             F.desc("score"), F.asc("seg_id"), F.asc("doc_id")
         )
@@ -282,7 +310,7 @@ class IndexSearcher:
 # ------------------------------------------------------------------ kernel
 
 
-def _make_segment_kernel(trees, idf, avgdl, k1, b, k, need_pos):
+def _make_segment_kernel(trees, idf, avgdl, k1, b, k, need_pos, score_round=None):
     """Per-segment scoring kernel (runs in applyInPandas cogroup).
 
     Decodes each needed (term, seg) posting list once, evaluates every
@@ -300,6 +328,11 @@ def _make_segment_kernel(trees, idf, avgdl, k1, b, k, need_pos):
         dls = np.frombuffer(norms_pdf["dls_bin"].iloc[0], dtype="<u4").astype(
             np.float64
         )
+        mask = None
+        if "mask_bin" in norms_pdf.columns:
+            mb = norms_pdf["mask_bin"].iloc[0]
+            if mb is not None and len(mb):
+                mask = np.frombuffer(bytes(mb), dtype="<u4").astype(np.int64)
         term_rows = {r.term: r for r in postings_pdf.itertuples()}
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -420,8 +453,13 @@ def _make_segment_kernel(trees, idf, avgdl, k1, b, k, need_pos):
         out_frames = []
         for qid, tree in trees.items():
             docs, scores = eval_node(tree)
+            if mask is not None and len(docs):
+                keep = ~np.isin(docs, mask, assume_unique=True)
+                docs, scores = docs[keep], scores[keep]
             if len(docs) == 0:
                 continue
+            if score_round is not None:
+                scores = np.round(scores, score_round)
             order = np.lexsort((docs, -scores))[:k]
             out_frames.append(
                 pd.DataFrame(

@@ -124,7 +124,23 @@ class SnapshotStore:
         return self._read(spark, "postings_path", snapshot_id)
 
     def read_norms(self, spark, snapshot_id: int | None = None):
-        return self._read(spark, "norms_path", snapshot_id)
+        """Norms rows + per-segment tombstone mask blob (mask_bin, null when
+        the segment has no deletes — [up] formats.hpp document_mask)."""
+        from pyspark.sql import functions as F
+
+        norms = self._read(spark, "norms_path", snapshot_id)
+        snap = self.snapshot(snapshot_id)
+        mask_paths = sorted(
+            {
+                self.abs_path(s["mask_path"])
+                for s in snap["segments"]
+                if s.get("mask_path")
+            }
+        )
+        if mask_paths:
+            masks = spark.read.parquet(*mask_paths).select("seg_id", "mask_bin")
+            return norms.join(masks, "seg_id", "left")
+        return norms.withColumn("mask_bin", F.lit(None).cast("binary"))
 
     def _read(self, spark, key: str, snapshot_id: int | None):
         snap = self.snapshot(snapshot_id)

@@ -1,0 +1,255 @@
+"""Text-analysis operators: token counting, quality scoring, language
+marker identification, winnowing document fingerprints.
+
+All pure JVM expressions (split/transform/aggregate) — one narrow scan per
+operator, no shuffle except final ordering; safe to run inline in a 100 TB
+ingest pass. Each has a DuckDB oracle twin below it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from iresearch_spark.textops.common import md5_long, raw_tokens_col, tokens_col
+from iresearch_spark.textops.sqlgen import TOKEN_SPLIT_RE, _STOP_SQL, tokens_expr
+
+# ------------------------------------------------------------ token stats
+
+
+def token_stats(docs: DataFrame, top: int = 100) -> DataFrame:
+    """Per-doc token counts: raw tokens, kept (non-stop) tokens, unique
+    kept terms, mean kept-token length (the BPE-ish budget estimator)."""
+    d = docs.select(
+        "doc_id",
+        raw_tokens_col(F.col("text")).alias("raw"),
+        tokens_col(F.col("text")).alias("kept"),
+    )
+    mean_len = F.when(
+        F.size("kept") > 0,
+        F.round(
+            F.aggregate(
+                F.transform("kept", lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.size("kept"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        d.select(
+            "doc_id",
+            F.size("raw").alias("n_raw"),
+            F.size("kept").alias("n_kept"),
+            F.size(F.array_distinct("kept")).alias("n_unique"),
+            mean_len.alias("mean_tok_len"),
+        )
+        .orderBy("doc_id")
+        .limit(top)
+    )
+
+
+def token_stats_sql(top: int = 100) -> str:
+    raw = (
+        f"list_filter(string_split_regex(lower(coalesce(text, '')), "
+        f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {raw} AS raw, {tokens_expr()} AS kept FROM documents)
+SELECT doc_id, len(raw)::INT AS n_raw, len(kept)::INT AS n_kept,
+       len(list_distinct(kept))::INT AS n_unique,
+       CASE WHEN len(kept) > 0 THEN
+         round(list_sum(list_transform(kept, t -> length(t)::DOUBLE)) / len(kept), 6)
+       ELSE 0.0 END AS mean_tok_len
+FROM d ORDER BY doc_id LIMIT {top}"""
+
+
+# --------------------------------------------------------- quality score
+
+
+def quality_scores(docs: DataFrame, top: int = 100) -> DataFrame:
+    """Heuristic quality metrics per doc: length, stopword ratio,
+    non-alnum character ratio, and a composite keep/drop flag — the usual
+    pre-training corpus filter family."""
+    lower = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    n_chars = F.length(lower)
+    n_alnum = F.length(F.regexp_replace(lower, "[^a-z0-9 ]", ""))
+    d = docs.select(
+        "doc_id",
+        raw_tokens_col(F.col("text")).alias("raw"),
+        tokens_col(F.col("text")).alias("kept"),
+        n_chars.alias("n_chars_c"),
+        (n_chars - n_alnum).alias("n_punct"),
+    )
+    stop_ratio = F.when(
+        F.size("raw") > 0,
+        F.round((F.size("raw") - F.size("kept")).cast("double") / F.size("raw"), 6),
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.col("n_chars_c") > 0,
+        F.round(F.col("n_punct").cast("double") / F.col("n_chars_c"), 6),
+    ).otherwise(F.lit(0.0))
+    out = d.select(
+        "doc_id",
+        F.size("raw").alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+    )
+    keep = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("stop_ratio") <= 0.6)
+        & (F.col("punct_ratio") <= 0.3)
+    )
+    return (
+        out.withColumn("keep", keep)
+        .orderBy("doc_id")
+        .limit(top)
+    )
+
+
+def quality_scores_sql(top: int = 100) -> str:
+    raw = (
+        f"list_filter(string_split_regex(lower(coalesce(text, '')), "
+        f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {raw} AS raw, {tokens_expr()} AS kept,
+         length(lower(coalesce(text, ''))) AS n_chars_c,
+         length(lower(coalesce(text, '')))
+           - length(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g')) AS n_punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(raw)::INT AS n_tokens,
+         CASE WHEN len(raw) > 0
+              THEN round((len(raw) - len(kept))::DOUBLE / len(raw), 6) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars_c > 0
+              THEN round(n_punct::DOUBLE / n_chars_c, 6) ELSE 0.0 END AS punct_ratio
+  FROM d
+)
+SELECT doc_id, n_tokens, stop_ratio, punct_ratio,
+       (n_tokens >= 10 AND stop_ratio <= 0.6 AND punct_ratio <= 0.3) AS keep
+FROM m ORDER BY doc_id LIMIT {top}"""
+
+
+# ------------------------------------------------------------ language id
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "en": ("the", "and", "is", "of", "to", "in", "that"),
+    "es": ("el", "la", "los", "que", "es", "una", "para"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pour"),
+}
+
+
+def lang_marker_id(docs: DataFrame, top: int = 100) -> DataFrame:
+    """Marker-word language ID over RAW tokens (stopwords kept — they ARE
+    the markers). pred = argmax count, ties broken by lang asc, all-zero
+    -> 'und' (undetermined)."""
+    d = docs.select("doc_id", raw_tokens_col(F.col("text")).alias("raw"))
+
+    def _score(lang: str, ws: tuple[str, ...]):
+        wl = list(ws)  # closure capture; 2-param lambdas mean (elem, idx)
+        return F.size(F.filter("raw", lambda t: t.isin(wl))).alias(f"s_{lang}")
+
+    scores = [_score(lang, ws) for lang, ws in sorted(LANG_MARKERS.items())]
+    d = d.select("doc_id", *scores)
+    best = F.greatest(*[F.col(f"s_{la}") for la in sorted(LANG_MARKERS)])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in sorted(LANG_MARKERS):
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return (
+        d.select("doc_id", pred.alias("pred_lang"), best.alias("n_markers"))
+        .orderBy("doc_id")
+        .limit(top)
+    )
+
+
+def lang_marker_id_sql(top: int = 100) -> str:
+    raw = (
+        f"list_filter(string_split_regex(lower(coalesce(text, '')), "
+        f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )
+    score_cols = ", ".join(
+        "len(list_filter(raw, t -> t IN ("
+        + ", ".join(f"'{w}'" for w in ws)
+        + f")))::INT AS s_{lang}"
+        for lang, ws in sorted(LANG_MARKERS.items())
+    )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    pred = "CASE WHEN " + best + " = 0 THEN 'und' "
+    pred += " ".join(f"WHEN s_{la} = {best} THEN '{la}'" for la in langs)
+    pred += " END"
+    return f"""
+WITH d AS (SELECT doc_id, {raw} AS raw FROM documents),
+s AS (SELECT doc_id, {score_cols} FROM d)
+SELECT doc_id, {pred} AS pred_lang, {best} AS n_markers
+FROM s ORDER BY doc_id LIMIT {top}"""
+
+
+# ------------------------------------------------- winnowing fingerprint
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4, top: int = 100
+) -> DataFrame:
+    """Winnowing (Schleimer et al. 2003): hash all k-char grams of the
+    lowered text, keep the min hash of each w-window, dedupe. Returns
+    per-doc fingerprint-set summary (count, min, max)."""
+    # dynamic-start substring needs expr(); sequence(1, x<=0) would be
+    # descending in Spark (empty in DuckDB), so guard with CASE WHEN
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN length(lower(coalesce(text,''))) >= {k} THEN "
+            f"transform(sequence(1, length(lower(coalesce(text,''))) - {k - 1}), "
+            f"i -> conv(substring(md5(cast(substring(lower(coalesce(text,'')), i, {k}) as binary)), 1, 15), 16, 10)"
+            f") ELSE array() END"
+        ).cast("array<long>").alias("h"),
+    )
+    fps = F.when(
+        F.size("h") >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("h") - (w - 1)),
+                lambda j: F.array_min(F.slice("h", j, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        d.select(
+            "doc_id",
+            F.size(fps).alias("n_fp"),
+            F.array_min(fps).alias("min_fp"),
+            F.array_max(fps).alias("max_fp"),
+        )
+        .filter(F.col("n_fp") > 0)
+        .orderBy("doc_id")
+        .limit(top)
+    )
+
+
+def winnow_fingerprints_sql(k: int = 8, w: int = 4, top: int = 100) -> str:
+    gram_h = (
+        f"('0x' || substr(md5(substr(lt, i, {k})), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS lt FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(lt) - {k - 1}, 0) + 1),
+                        i -> {gram_h}) AS h
+  FROM d
+),
+fp AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(h) - {w - 1}, 0) + 1),
+                                      j -> list_min(h[j : j + {w - 1}]))) AS fps
+  FROM h
+)
+SELECT doc_id, len(fps)::INT AS n_fp, list_min(fps) AS min_fp, list_max(fps) AS max_fp
+FROM fp WHERE len(fps) > 0 ORDER BY doc_id LIMIT {top}"""

@@ -1,0 +1,155 @@
+"""DuckDB oracle-SQL generation from the frozen analysis + BM25 spec.
+
+The tokenizer spec (iresearch_spark.analysis.tokenizer: NFKC + lower +
+[a-z0-9]+ runs − frozen stopword list, no stemming) and the BM25 formula
+(iresearch_spark/__init__.py: k1=1.2, b=0.75, idf = ln(1+(N−df+0.5)/(df+0.5)),
+[up] core/search/bm25.cpp) are re-expressed here as ANSI-ish SQL that DuckDB
+executes over the same parquet `documents` table. The driver contract
+(__spark_entry__.py) runs the Spark engine and these strings side-by-side;
+rank order is computed on round(score, 6) with doc_id ascending tie-break in
+BOTH systems so last-ulp float noise between numpy/JVM/DuckDB cannot flip a
+rank (see BM25 rank-identity notes in SURVEY.md §7 hard-part (a)).
+
+NFKC caveat: DuckDB has no NFKC function; the synthetic driver corpora are
+pure ASCII, where NFKC+lower == lower. The pytest contract suite asserts the
+corpora stay ASCII so this equivalence is checked, not assumed.
+"""
+
+from __future__ import annotations
+
+from iresearch_spark import BM25_B, BM25_K1
+from iresearch_spark.analysis.tokenizer import STOPWORDS
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+
+def tokens_expr(text_col: str = "text") -> str:
+    """SQL expression: frozen-spec token list (order-preserving)."""
+    return (
+        f"list_filter(string_split_regex(lower(coalesce({text_col}, '')), "
+        f"'{TOKEN_SPLIT_RE}'), t -> t <> '' AND t NOT IN ({_STOP_SQL}))"
+    )
+
+
+def base_ctes(doc_table: str = "documents") -> str:
+    """Shared CTE prefix: tokenized docs, doc lengths, tf, df, stats."""
+    return f"""
+WITH tokdocs AS (
+  SELECT doc_id, {tokens_expr()} AS toks FROM {doc_table}
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tokdocs),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tokdocs),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)"""
+
+
+def _score_expr(k1: float, b: float) -> str:
+    return (
+        f"ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))"
+        f" * (tf.tf * ({k1} + 1.0))"
+        f" / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl))"
+    )
+
+
+def _topk_tail(k: int) -> str:
+    return f"""
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def _lit_list(terms: list[str]) -> str:
+    return ", ".join(f"('{t}')" for t in terms)
+
+
+def bm25_topk_sql(
+    terms: list[str],
+    *,
+    min_match: int = 1,
+    require_all: bool = False,
+    exclude: list[str] | None = None,
+    expand_cond: str | None = None,
+    expand_limit: int = 64,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    doc_table: str = "documents",
+) -> str:
+    """Oracle for Term/Terms/And/Or(min_match)/Not and expanded multiterm
+    filters (prefix/range/wildcard/fuzzy pass their dictionary condition as
+    `expand_cond`, capped at `expand_limit` by (df DESC, term ASC) exactly
+    like the engine's scored_terms_limit, [up] core/search/multiterm_query).
+    """
+    if expand_cond is not None:
+        qterms = (
+            f"qterms AS (SELECT term FROM df WHERE {expand_cond} "
+            f"ORDER BY df DESC, term ASC LIMIT {expand_limit})"
+        )
+        mm = 1
+    else:
+        qterms = f"qterms(term) AS (VALUES {_lit_list(terms)})"
+        mm = len(set(terms)) if require_all else min_match
+    not_clause = ""
+    if exclude:
+        not_clause = (
+            " AND tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ("
+            + ", ".join(f"'{t}'" for t in exclude)
+            + "))"
+        )
+    return f"""{base_ctes(doc_table)},
+{qterms},
+scored AS (
+  SELECT tf.doc_id, sum({_score_expr(k1, b)}) AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE 1=1 {not_clause}
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT tf.term) >= {mm}
+)
+{_topk_tail(k)}"""
+
+
+def bm25_phrase_sql(
+    phrase: list[str],
+    *,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    doc_table: str = "documents",
+) -> str:
+    """Oracle for the positional phrase filter: phrase tf = count of
+    positions where all terms appear consecutively in the kept-token
+    sequence; score = (Σ idf_term) · tfn(phrase_tf, dl) — matching the
+    engine kernel's eval_phrase ([up] core/search/phrase_filter.cpp)."""
+    n = len(phrase)
+    adj = " AND ".join(f"toks[i + {j}] = '{t}'" for j, t in enumerate(phrase))
+    idf_sum = " + ".join(
+        f"(SELECT ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) "
+        f"FROM df CROSS JOIN stats s WHERE df.term = '{t}')"
+        for t in phrase
+    )
+    return f"""{base_ctes(doc_table)},
+hits AS (
+  SELECT t.doc_id,
+         len(list_filter(range(1, len(toks) - {n - 2}), i -> {adj})) AS htf
+  FROM tokdocs t
+),
+scored AS (
+  SELECT h.doc_id,
+         ({idf_sum})
+         * (h.htf * ({k1} + 1.0))
+         / (h.htf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)) AS score
+  FROM hits h JOIN dl ON dl.doc_id = h.doc_id CROSS JOIN stats s
+  WHERE h.htf > 0
+)
+{_topk_tail(k)}"""

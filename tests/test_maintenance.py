@@ -1,0 +1,190 @@
+"""Index maintenance: append builds, delete-by-query tombstones, segment
+merge with docID rebase, tier consolidation (SURVEY.md S4/M2/M4, mirrored
+from [up] tests/index/consolidation_tests.cpp + merge_writer_tests.cpp).
+
+Invariant used throughout: BM25 results under tie="url" depend only on
+(tf, dl, N, avgdl, df), never on segment layout — so any append/merge
+sequence over the same corpus must return byte-identical (url, score)
+lists, and the session unit_index (single 4-segment build) is the golden.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from iresearch_spark.build import build_index
+from iresearch_spark.build.merge import delete_by_query, merge_segments
+from iresearch_spark.build.policy import (
+    consolidate,
+    consolidate_bytes_accum,
+    consolidate_count,
+    consolidate_tier,
+)
+from iresearch_spark.query import filters as qf
+from iresearch_spark.query.executor import IndexSearcher
+from iresearch_spark.store import SnapshotStore
+
+QUERIES = {
+    0: qf.Term("w3"),
+    1: qf.And(qf.Term("w1"), qf.Term("w7")),
+    2: qf.Or(qf.Term("w2"), qf.Term("w40")),
+    3: qf.Prefix("w1", scored_terms_limit=16),
+}
+
+
+def _results(spark, store, k=10):
+    s = IndexSearcher(spark, store)
+    rows = s.search_batch(QUERIES, k=k, with_urls=True, tie="url").collect()
+    return [
+        (r["qid"], r["rank"], r["url"], round(r["score"], 9)) for r in rows
+    ]
+
+
+@pytest.fixture(scope="module")
+def split_store(spark, unit_corpus, tmp_path_factory):
+    """Same 1k corpus as unit_index, built as 600-doc base + 400-doc
+    append (4 segments each -> 8 live segments)."""
+    root = str(tmp_path_factory.mktemp("index_split"))
+    store = SnapshotStore(root)
+    first = spark.createDataFrame(unit_corpus.iloc[:600])
+    second = spark.createDataFrame(unit_corpus.iloc[600:])
+    build_index(spark, first, store, n_segments=4, source="base")
+    build_index(spark, second, store, n_segments=4, source="delta", mode="append")
+    return store
+
+
+def _copy_store(store: SnapshotStore, tmp_path) -> SnapshotStore:
+    dst = str(tmp_path / "store_copy")
+    shutil.copytree(store.root, dst)
+    return SnapshotStore(dst)
+
+
+def test_append_matches_single_build(spark, unit_index, split_store):
+    base_store, _sid, _oracle = unit_index
+    assert len(split_store.snapshot()["segments"]) == 8
+    assert split_store.snapshot()["operation"] == "append"
+    assert _results(spark, base_store) == _results(spark, split_store)
+
+
+def test_merge_preserves_results(spark, unit_index, split_store, tmp_path):
+    store = _copy_store(split_store, tmp_path)
+    seg_ids = [int(s["seg_id"]) for s in store.snapshot()["segments"]][:4]
+    merge_segments(spark, store, seg_ids)
+    snap = store.snapshot()
+    assert len(snap["segments"]) == 5
+    assert snap["operation"] == "consolidate"
+    base_store, _sid, _oracle = unit_index
+    assert _results(spark, base_store) == _results(spark, store)
+
+
+def test_delete_by_query(spark, split_store, tmp_path):
+    store = _copy_store(split_store, tmp_path)
+    before_all = _results(spark, store, k=1 << 20)  # full rankings
+    victims = {
+        r["url"]
+        for r in IndexSearcher(spark, store)
+        .search_batch({0: qf.Term("w3")}, k=1 << 30, with_urls=True)
+        .collect()
+    }
+    assert victims
+    delete_by_query(spark, store, qf.Term("w3"))
+    assert store.snapshot()["operation"] == "delete"
+    after = _results(spark, store, k=10)
+    # q0 (Term w3) now empty
+    assert not [t for t in after if t[0] == 0]
+    # every other query: exactly the pre-delete ranking minus the masked
+    # docs, truncated to k — scores of survivors unchanged (stats stay
+    # segment-static until merge)
+    for q in (1, 2, 3):
+        expect = [
+            (u, s) for (qq, _r, u, s) in before_all if qq == q and u not in victims
+        ][:10]
+        got = [(u, s) for (qq, _r, u, s) in after if qq == q]
+        assert got == expect, f"query {q}"
+
+
+def test_merge_compacts_masked_docs(spark, unit_corpus, split_store, tmp_path):
+    store = _copy_store(split_store, tmp_path)
+    n_before = store.snapshot()["stats"]["n_docs"]
+    victims = {
+        r["url"]
+        for r in IndexSearcher(spark, store)
+        .search_batch({0: qf.Term("w3")}, k=1 << 30, with_urls=True)
+        .collect()
+    }
+    delete_by_query(spark, store, qf.Term("w3"))
+    seg_ids = [int(s["seg_id"]) for s in store.snapshot()["segments"]]
+    merge_segments(spark, store, seg_ids)
+    snap = store.snapshot()
+    assert len(snap["segments"]) == 1
+    assert snap["stats"]["n_docs"] == n_before - len(victims)
+    assert not any(s.get("mask_path") for s in snap["segments"])
+    # a merged index must be indistinguishable from a FRESH build over the
+    # surviving docs: same live docs -> same stats -> identical (url, score)
+    # (post-merge stats exclude compacted docs, unlike the masked snapshot)
+    fresh_root = str(tmp_path / "fresh")
+    fresh = SnapshotStore(fresh_root)
+    survivors = unit_corpus[~unit_corpus["url"].isin(victims)]
+    build_index(
+        spark, spark.createDataFrame(survivors), fresh, n_segments=4, source="fresh"
+    )
+    assert _results(spark, store) == _results(spark, fresh)
+
+
+def test_tier_policy_pure():
+    def seg(i, n_docs=100):
+        return {"seg_id": i, "n_docs": n_docs, "sum_dl": n_docs * 10}
+
+    # ten equal small segments -> merge the max window
+    segs = [seg(i) for i in range(10)]
+    sizes = {i: 1 << 20 for i in range(10)}
+    cand = consolidate_tier(segs, sizes, min_segments=2, max_segments=8)
+    assert len(cand) == 8
+    # one huge + one small: poor balance, below min_score -> no merge
+    sizes2 = {0: 10 << 30, 1: 1 << 20}
+    assert (
+        consolidate_tier(
+            [seg(0), seg(1)],
+            sizes2,
+            min_segments=2,
+            max_segments=10,
+            max_segments_bytes=100 << 30,
+            min_score=0.3,
+        )
+        == []
+    )
+    # byte cap respected
+    sizes3 = {i: 1 << 30 for i in range(6)}
+    cand3 = consolidate_tier(
+        [seg(i) for i in range(6)],
+        sizes3,
+        min_segments=2,
+        max_segments=6,
+        max_segments_bytes=3 << 30,
+    )
+    assert 2 <= len(cand3) <= 3
+    # count / bytes_accum variants
+    assert consolidate_count([seg(i) for i in range(9)], {}, max_segments=8) == list(
+        range(9)
+    )
+    assert consolidate_count([seg(i) for i in range(3)], {}, max_segments=8) == []
+    acc = consolidate_bytes_accum(
+        [seg(i) for i in range(4)], {i: 100 for i in range(4)}, byte_budget=250
+    )
+    assert acc == [0, 1]
+
+
+def test_consolidate_loop(spark, unit_index, split_store, tmp_path):
+    store = _copy_store(split_store, tmp_path)
+    sids = consolidate(
+        spark, store, consolidate_count, max_segments=1
+    )
+    assert sids, "expected at least one merge round"
+    assert len(store.snapshot()["segments"]) == 1
+    base_store, _sid, _oracle = unit_index
+    assert _results(spark, base_store) == _results(spark, store)
+    # lineage records the merge provenance
+    assert "merge(" in store.snapshot()["lineage"][0]["source"]

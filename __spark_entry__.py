@@ -84,9 +84,13 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
-def _bm25_query(flt: qf.Filter) -> Callable[[SparkSession, str], DataFrame]:
+def _bm25_query(
+    flt: qf.Filter, scorer: str = "bm25"
+) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = _searcher(spark, sf_dir)
+        if scorer != "bm25":
+            s = IndexSearcher(spark, s.store, scorer=scorer)
         res = s.search_batch({0: flt}, k=10, with_urls=True, tie="url", score_round=6)
         return res.select(
             F.col("rank").cast("int").alias("rank"),
@@ -119,6 +123,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, flt in _FILTERS.items():
         q[name] = _bm25_query(flt)
+    # SC2: TF-IDF scorer over the same index (idf = 1+ln(N/(df+1)),
+    # contribution = idf*sqrt(tf)/sqrt(dl))
+    q["tfidf_or2"] = _bm25_query(
+        qf.Or(qf.Term("data"), qf.Term("dup")), scorer="tfidf"
+    )
 
     def term_dict_stats(spark, sf_dir):
         s = _searcher(spark, sf_dir)
@@ -202,6 +211,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     o = dict(_BM25_ORACLES)
+    o["tfidf_or2"] = f"""{base_ctes()},
+qterms(term) AS (VALUES ('data'), ('dup')),
+scored AS (
+  SELECT tf.doc_id,
+         sum((1.0 + ln(s.n_docs / (df.df + 1.0))) * sqrt(tf.tf) / sqrt(dl.dl)) AS score
+  FROM tf JOIN qterms USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY rank"""
     o["term_dict_stats"] = f"""{base_ctes()},
 cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1)
 SELECT term, df.df, cf.cf FROM df JOIN cf USING (term)

@@ -70,17 +70,24 @@ def run_bench(
 
     spark = _mk_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    n_segments = n_segments or max(8, cpus)
+    # segment count is a DATA layout choice, held CONSTANT across cluster
+    # sizes (the N-vs-4N runs must build the identical index); 64 segments
+    # keep every phase — assign/sort/write and the per-segment query
+    # kernel — wide enough for 32 cores
+    n_segments = n_segments or int(os.environ.get("SPARK_GRAFT_SEGMENTS", "64"))
     try:
-        if synthetic_docs:
-            corpus = gen_corpus_spark(spark, synthetic_docs)
-            sf_label = f"synthetic-{synthetic_docs}"
-        else:
-            corpus = documents_as_corpus(spark, sf_dir)
-            sf_label = os.path.basename(sf_dir.rstrip("/"))
-
         with tempfile.TemporaryDirectory(prefix="iresearch_bench_") as root:
-            store = SnapshotStore(root)
+            if synthetic_docs:
+                # materialize the corpus first: input generation must not
+                # pollute the measured build phase
+                corpus_dir = os.path.join(root, "corpus")
+                gen_corpus_spark(spark, synthetic_docs).write.parquet(corpus_dir)
+                corpus = spark.read.parquet(corpus_dir)
+                sf_label = f"synthetic-{synthetic_docs}"
+            else:
+                corpus = documents_as_corpus(spark, sf_dir)
+                sf_label = os.path.basename(sf_dir.rstrip("/"))
+            store = SnapshotStore(os.path.join(root, "index"))
             t0 = time.time()
             sid = build_index(
                 spark, corpus, store, n_segments=n_segments, source=sf_label

@@ -9,6 +9,22 @@ inside mapInArrow/applyInPandas; all policy logic is driver-side Python.
 
 __version__ = "0.1.0"
 
+# --- allocation hardening (import-time, so every Spark Python worker that
+# loads any engine module gets it): numpy madvise()s THP for large arrays;
+# with kernel thp defrag=madvise each first-touch fault does SYNCHRONOUS
+# compaction, which measured as multi-second stalls per fresh worker on
+# this host (16 s for a 10 MB allocation) and destroys N->4N scaling —
+# 4N workers pay 4N× the stall. Disable both knobs; harmless elsewhere.
+import os as _os
+
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+try:  # PR_SET_THP_DISABLE=41 — covers numpy already imported by pyspark
+    import ctypes as _ctypes
+
+    _ctypes.CDLL(None).prctl(41, 1, 0, 0, 0)
+except Exception:  # pragma: no cover - non-Linux
+    pass
+
 # BM25 defaults pinned by BASELINE.json:6 ("BM25 (k1=1.2, b=0.75)"),
 # mirroring the reference's bm25_sort defaults
 # ([up] core/search/bm25.cpp :: bm25_sort).

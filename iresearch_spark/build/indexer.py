@@ -31,7 +31,6 @@ import os
 import time
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from iresearch_spark.build import kernels
 from iresearch_spark.store import SnapshotStore
@@ -53,7 +52,7 @@ def build_index(
     store: SnapshotStore,
     n_segments: int = 8,
     *,
-    band_bits: int = 16,
+    band_bits: int | None = None,
     parts: int | None = None,
     source: str = "",
     mode: str = "replace",
@@ -100,14 +99,19 @@ def build_index(
     docs_dir = os.path.join(commit_dir, "docs")
     post_dir = os.path.join(commit_dir, "postings")
     norms_dir = os.path.join(commit_dir, "norms")
+    tok_dir = os.path.join(commit_dir, "assigned")
     timings: dict[str, float] = {}
 
+    tok_done = os.path.exists(os.path.join(tok_dir, "_SUCCESS"))
     docs_done = os.path.exists(os.path.join(docs_dir, "_SUCCESS"))
     post_done = os.path.exists(os.path.join(post_dir, "_SUCCESS"))
     norms_done = os.path.exists(os.path.join(norms_dir, "_SUCCESS"))
 
-    assigned = None
-    if not (docs_done and post_done):
+    # ---- stage 1: tokenize + docID assignment, checkpointed as parquet
+    # (the finest-grained resume point: an interrupted build restarts from
+    # the tokenized table, skipping html-extract + tokenize entirely)
+    t0 = time.time()
+    if not (docs_done and post_done) and not tok_done:
         cols = ["seg_id", "url", "warc_ts", "lang", "html", "text"]
         corpus_cols = set(corpus.columns)
         src = _with_seg_id(corpus, n_segments, seg_base)
@@ -119,17 +123,29 @@ def build_index(
             src = src.withColumn("warc_ts", F.lit(None).cast("timestamp"))
         if "lang" not in corpus_cols:
             src = src.withColumn("lang", F.lit(None).cast("string"))
-        tokenized = src.select(*cols).mapInArrow(
-            kernels.tokenize_kernel, kernels.TOKENIZED_SCHEMA
+        # round-robin repartition BEFORE tokenize: the corpus may arrive in
+        # few splits, and tokenization is the CPU-heavy narrow stage — it
+        # must run at full cluster width, not at source-file width
+        tokenized = (
+            src.select(*cols)
+            .repartition(parts)
+            .mapInArrow(kernels.tokenize_kernel, kernels.TOKENIZED_SCHEMA)
         )
-        assigned = (
+        (
             tokenized.repartition(n_segments, "seg_id")
             .sortWithinPartitions("seg_id", "url")
             .mapInArrow(kernels.assign_kernel, kernels.ASSIGNED_SCHEMA)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .withColumn("seg_part", F.col("seg_id"))
+            .write.partitionBy("seg_part")
+            .parquet(tok_dir, mode="overwrite")
         )
+    timings["tokenize_assign_s"] = time.time() - t0
+    assigned = (
+        spark.read.parquet(tok_dir) if not (docs_done and post_done) else None
+    )
 
-    # ---- docs table (per-segment columnstore)
+    # ---- docs table (per-segment columnstore; column-pruned projection of
+    # the assigned checkpoint — no shuffle, no token columns)
     t0 = time.time()
     if not docs_done:
         # partition dirs are named seg_part=N while seg_id stays a data
@@ -147,14 +163,28 @@ def build_index(
     if not post_done:
         partials = assigned.select(
             "seg_id", "doc_id", "dl", "terms", "tfs", "positions"
-        ).mapInArrow(kernels.make_partials_kernel(band_bits), kernels.PARTIAL_SCHEMA)
-        lvl1 = (
-            partials.repartition(parts, "seg_id", "term", "band")
-            .sortWithinPartitions("seg_id", "term", "band", "min_doc")
-            .mapInArrow(kernels.merge_kernel, kernels.PARTIAL_SCHEMA)
-        )
+        ).mapInArrow(kernels.make_partials_kernel(band_bits or 16), kernels.PARTIAL_SCHEMA)
+        if band_bits is not None:
+            # two-level salted path: hot terms' partials are pre-merged per
+            # doc-range band so no single reducer concatenates a whole
+            # pathological term. Segments already bound per-term skew to
+            # n_docs/n_segments; enable this level when segments are huge.
+            partials = (
+                partials.repartition(parts, "seg_id", "term", "band")
+                .sortWithinPartitions("seg_id", "term", "band", "min_doc")
+                .mapInArrow(kernels.merge_kernel, kernels.PARTIAL_SCHEMA)
+            )
+        # one partition per segment (hash on seg_id), term-sorted within:
+        # mirrors the reference's per-segment segment_writer flush exactly,
+        # yields ONE term-sorted parquet file per segment (its sorted
+        # dictionary — row-group min/max stats give burst-trie-style block
+        # skipping on term lookups), and has no skew by construction
+        # (segments are uniform url-hash shards; a term inside a segment is
+        # bounded by the segment's doc count). Parallelism = segment count,
+        # which is the scale knob — NOT repartitionByRange, whose sampling
+        # job would recompute the whole upstream pipeline twice.
         final = (
-            lvl1.repartitionByRange(parts, "seg_id", "term")
+            partials.repartition(n_segments, "seg_id")
             .sortWithinPartitions("seg_id", "term", "min_doc")
             .mapInArrow(kernels.encode_kernel, kernels.POSTING_SCHEMA)
         )
@@ -162,8 +192,6 @@ def build_index(
             "seg_part"
         ).parquet(post_dir, mode="overwrite")
     timings["postings_write_s"] = time.time() - t0
-    if assigned is not None:
-        assigned.unpersist()
 
     # ---- norms table (per-segment dense doc-length array)
     t0 = time.time()
@@ -179,13 +207,13 @@ def build_index(
         )
     timings["norms_write_s"] = time.time() - t0
 
-    # ---- per-segment stats + lineage (read back the written tables)
+    # ---- per-segment stats + lineage (norms rows already carry doc
+    # stats — no second docs scan)
     t0 = time.time()
-    docs_df = spark.read.parquet(docs_dir)
     doc_stats = {
-        int(r["seg_id"]): (int(r["n"]), int(r["sum_dl"]))
-        for r in docs_df.groupBy("seg_id")
-        .agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
+        int(r["seg_id"]): (int(r["n_docs"]), int(r["sum_dl"]))
+        for r in spark.read.parquet(norms_dir)
+        .select("seg_id", "n_docs", "sum_dl")
         .collect()
     }
     post_df = spark.read.parquet(post_dir)
@@ -260,4 +288,9 @@ def build_index(
     )
     if os.path.exists(staging_path):
         os.remove(staging_path)
+    # the tokenized checkpoint is only needed for intra-build resume;
+    # drop it once the snapshot is durable
+    import shutil
+
+    shutil.rmtree(tok_dir, ignore_errors=True)
     return sid

@@ -24,14 +24,18 @@ requirement (BASELINE.md scaling protocol).
 
 from __future__ import annotations
 
-from itertools import chain
-
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from iresearch_spark.analysis.extract import extract_series
 from iresearch_spark.analysis.tokenizer import STOPWORDS, _TOKEN_RE
-from iresearch_spark.codec.postings import encode_positions, encode_postings
+from iresearch_spark.codec.postings import (
+    encode_positions,
+    encode_positions_batch,
+    encode_postings,
+    encode_postings_batch,
+)
 
 TOKENIZED_SCHEMA = (
     "seg_id int, url string, warc_ts timestamp, lang string, dl int, "
@@ -49,11 +53,13 @@ POSTING_SCHEMA = (
     "seg_id int, term string, df bigint, cf bigint, max_tf int, "
     "blob binary, skip binary, bmax binary, pos_off binary, pos_pay binary"
 )
-NORMS_SCHEMA = "seg_id int, n_docs bigint, dls_bin binary"
+NORMS_SCHEMA = "seg_id int, n_docs bigint, sum_dl bigint, dls_bin binary"
 
 
 def norms_builder(key, pdf):
-    """Per-segment dense norms column: dls_bin[doc_id-1] = doc length (u32).
+    """Per-segment dense norms column: dls_bin[doc_id-1] = doc length (u32),
+    plus the segment doc stats (n_docs, sum_dl) so snapshot stats come from
+    this tiny table instead of a second full docs scan.
     The reference stores norms in its columnstore per doc
     ([up] core/index/norm.cpp); dense docIDs make a flat array exact."""
     import pandas as pd
@@ -64,7 +70,12 @@ def norms_builder(key, pdf):
     assert doc[0] == 1 and doc[-1] == n, "docIDs must be dense 1..n"
     dls = pdf["dl"].to_numpy().astype("<u4")
     return pd.DataFrame(
-        {"seg_id": [key[0]], "n_docs": [n], "dls_bin": [dls.tobytes()]}
+        {
+            "seg_id": [key[0]],
+            "n_docs": [n],
+            "sum_dl": [int(dls.astype(np.int64).sum())],
+            "dls_bin": [dls.tobytes()],
+        }
     )
 
 
@@ -86,6 +97,21 @@ def _binary_array(values: bytes | np.ndarray, byte_offsets: np.ndarray) -> pa.Ar
     )
 
 
+def _bin_view(batch: pa.RecordBatch, name: str) -> tuple[np.ndarray, np.ndarray]:
+    """Binary column -> (contiguous row bytes, 0-based row offsets n+1).
+
+    The returned buffer starts at the first row's first byte, so group
+    concatenation downstream is pure offset arithmetic (zero copies)."""
+    a = batch.column(name)
+    if isinstance(a, pa.ChunkedArray):  # pragma: no cover
+        a = a.combine_chunks()
+    offs = np.frombuffer(a.buffers()[1], dtype=np.int32)[
+        a.offset : a.offset + len(a) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(a.buffers()[2] or b"", dtype=np.uint8)
+    return data[offs[0] : offs[-1]], offs - offs[0]
+
+
 # ------------------------------------------------------------ tokenization
 
 
@@ -96,7 +122,9 @@ def tokenize_kernel(batches):
     entry (sorted unique terms, tfs, positions flat in term order). Falls
     back to the `text` column for rows with null html.
     """
-    stop_arr = np.asarray(sorted(STOPWORDS), dtype=np.str_)
+    import pandas as pd
+
+    stop_set = STOPWORDS
     for batch in batches:
         tbl = batch.to_pandas()
         n = len(tbl)
@@ -111,32 +139,41 @@ def tokenize_kernel(batches):
         counts = tok_lists.str.len().to_numpy(np.int64)
         total = int(counts.sum())
         if total:
-            flat = np.asarray(
-                list(chain.from_iterable(tok_lists)), dtype=np.str_
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tok_lists if t]
             )
         else:
-            flat = np.empty(0, dtype="<U1")
-        keep = ~np.isin(flat, stop_arr)
+            flat = np.empty(0, dtype=object)
+        # hash-factorize once, then every per-token op is integer-based:
+        # stopword test + lexicographic rank come from the (small) vocab
+        codes, uniq = pd.factorize(flat, sort=False)
+        uniq_obj = np.asarray(uniq, dtype=object)
+        is_stop_u = np.fromiter(
+            (u in stop_set for u in uniq_obj), count=len(uniq_obj), dtype=bool
+        )
+        rank = np.empty(len(uniq_obj), dtype=np.int64)
+        rank[np.argsort(uniq_obj, kind="stable")] = np.arange(len(uniq_obj))
+        keep = ~is_stop_u[codes] if len(codes) else np.empty(0, bool)
         owner = np.repeat(np.arange(n, dtype=np.int64), counts)[keep]
-        kept = flat[keep]
+        kept_codes = codes[keep]
         kcounts = np.bincount(owner, minlength=n).astype(np.int64)
         kstarts = np.cumsum(kcounts) - kcounts
-        pos = np.arange(len(kept), dtype=np.int64) - np.repeat(kstarts, kcounts)
-        # per-doc (term asc, position asc) order
-        order = np.lexsort((pos, kept, owner))
-        o_owner, o_term, o_pos = owner[order], kept[order], pos[order]
+        pos = np.arange(len(kept_codes), dtype=np.int64) - np.repeat(kstarts, kcounts)
+        # per-doc (term asc, position asc) order — int sort on vocab ranks
+        order = np.lexsort((pos, rank[kept_codes], owner))
+        o_owner, o_term, o_pos = owner[order], kept_codes[order], pos[order]
         if len(order):
             newgrp = np.empty(len(order), dtype=bool)
             newgrp[0] = True
             newgrp[1:] = (o_owner[1:] != o_owner[:-1]) | (o_term[1:] != o_term[:-1])
             gstart = np.flatnonzero(newgrp)
             tf = np.diff(np.append(gstart, len(order)))
-            gterm = o_term[gstart]
+            gterm = uniq_obj[o_term[gstart]]
             gowner = o_owner[gstart]
         else:
             gstart = np.empty(0, np.int64)
             tf = np.empty(0, np.int64)
-            gterm = np.empty(0, "<U1")
+            gterm = np.empty(0, object)
             gowner = np.empty(0, np.int64)
         terms_per_doc = np.bincount(gowner, minlength=n).astype(np.int64)
         term_off = np.concatenate(([0], np.cumsum(terms_per_doc)))
@@ -224,7 +261,13 @@ def make_partials_kernel(band_bits: int = 16):
             dl = batch.column("dl").to_numpy().astype(np.int64)
             terms_la = batch.column("terms")
             t_off = _list_offsets(terms_la)
-            t_vals = np.asarray(terms_la.values.to_pylist(), dtype=np.str_)
+            # dictionary-encode term strings once (C++); every later op is
+            # on int codes — the code ORDER is arbitrary, which is fine:
+            # rows only need grouping here, Spark sorts by the real string
+            # before the next kernel
+            t_dict = terms_la.values.dictionary_encode()
+            t_codes = t_dict.indices.to_numpy().astype(np.int64)
+            t_dict_vals = t_dict.dictionary
             tf_vals = batch.column("tfs").values.to_numpy().astype(np.int64)
             pos_vals = batch.column("positions").values.to_numpy().astype(np.int64)
             ntpd = np.diff(t_off)
@@ -238,8 +281,8 @@ def make_partials_kernel(band_bits: int = 16):
             # entry -> slice of pos_vals: entries are laid out in order, so
             # the exclusive prefix sum of e_tf is each entry's start
             ctf = np.concatenate(([0], np.cumsum(e_tf)))[:-1]
-            order = np.lexsort((e_doc, e_band, t_vals, e_seg))
-            s_seg, s_term = e_seg[order], t_vals[order]
+            order = np.lexsort((e_doc, e_band, t_codes, e_seg))
+            s_seg, s_term = e_seg[order], t_codes[order]
             s_band, s_doc = e_band[order], e_doc[order]
             s_tf, s_dl = e_tf[order], e_dl[order]
             # gather positions into sorted-entry order
@@ -268,7 +311,7 @@ def make_partials_kernel(band_bits: int = 16):
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(s_seg[rstart].astype(np.int32)),
-                    pa.array(s_term[rstart], pa.string()),
+                    pc.take(t_dict_vals, pa.array(s_term[rstart])),
                     pa.array(s_band[rstart].astype(np.int32)),
                     pa.array(s_doc[rstart]),
                     pa.array(rlen.astype(np.int64)),
@@ -293,154 +336,175 @@ def make_partials_kernel(band_bits: int = 16):
     return kernel
 
 
-# ------------------------------------------------------- merge with carry
+_BIN_COLS = ("docs_bin", "tfs_bin", "dls_bin", "pos_bin")
 
 
-def _iter_groups(batches, key_cols: list[str]):
-    """Yield (pandas sub-frame) per complete key group across batch
-    boundaries; input batches must arrive sorted by key_cols. The trailing
-    (possibly incomplete) group is carried into the next batch."""
-    import pandas as pd
+class _SortedRuns:
+    """Vectorized consumer of key-sorted partial batches.
 
-    carry = None
-    for batch in batches:
-        pdf = batch.to_pandas()
-        if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry = None
-        if len(pdf) == 0:
-            continue
-        last = tuple(pdf.iloc[-1][k] for k in key_cols)
-        tail_mask = np.ones(len(pdf), dtype=bool)
-        for k, v in zip(key_cols, last):
-            tail_mask &= (pdf[k] == v).to_numpy()
-        # keys are sorted, so equality with the last key is a suffix run
-        idx = np.flatnonzero(~tail_mask)
-        cut = (idx[-1] + 1) if len(idx) else 0
-        carry = pdf.iloc[cut:]
-        work = pdf.iloc[:cut]
-        if len(work):
-            for _, grp in work.groupby(key_cols, sort=False):
-                yield grp
-    if carry is not None and len(carry):
-        for _, grp in carry.groupby(key_cols, sort=False):
-            yield grp
+    Holds the working set as flat numpy arrays + contiguous binary
+    buffers; group concatenation is offset arithmetic only. The trailing
+    (possibly incomplete) group of each batch is carried into the next.
+    """
+
+    def __init__(self, with_band: bool):
+        self.with_band = with_band
+        self.carry: dict | None = None
+
+    def _extract(self, batch: pa.RecordBatch) -> dict:
+        w = {
+            "seg_id": batch.column("seg_id").to_numpy().astype(np.int64),
+            "term": batch.column("term").to_numpy(zero_copy_only=False),
+            "min_doc": batch.column("min_doc").to_numpy().astype(np.int64),
+            "n": batch.column("n").to_numpy().astype(np.int64),
+        }
+        if self.with_band:
+            w["band"] = batch.column("band").to_numpy().astype(np.int64)
+        for c in _BIN_COLS:
+            w[c] = _bin_view(batch, c)
+        return w
+
+    def _concat(self, a: dict, b: dict) -> dict:
+        out = {}
+        for k in a:
+            if k in _BIN_COLS:
+                da, oa = a[k]
+                db, ob = b[k]
+                out[k] = (
+                    np.concatenate((da, db)),
+                    np.concatenate((oa[:-1], ob + oa[-1])),
+                )
+            else:
+                out[k] = np.concatenate((a[k], b[k]))
+        return out
+
+    def _slice(self, w: dict, lo: int, hi: int) -> dict:
+        out = {}
+        for k, v in w.items():
+            if k in _BIN_COLS:
+                data, offs = v
+                out[k] = (
+                    data[offs[lo] : offs[hi]].copy(),
+                    (offs[lo : hi + 1] - offs[lo]).copy(),
+                )
+            else:
+                out[k] = v[lo:hi].copy()
+        return out
+
+    def groups(self, batches):
+        """Yield (working set, group starts, cut) per batch; groups cover
+        rows [0, cut) and are complete."""
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            w = self._extract(batch)
+            if self.carry is not None:
+                w = self._concat(self.carry, w)
+                self.carry = None
+            m = len(w["seg_id"])
+            new = np.empty(m, dtype=bool)
+            new[0] = True
+            new[1:] = (w["seg_id"][1:] != w["seg_id"][:-1]) | (
+                w["term"][1:] != w["term"][:-1]
+            )
+            if self.with_band:
+                new[1:] |= w["band"][1:] != w["band"][:-1]
+            gstart = np.flatnonzero(new)
+            cut = gstart[-1]  # last group may continue into the next batch
+            self.carry = self._slice(w, cut, m)
+            if cut > 0:
+                yield w, gstart[:-1], cut
+        if self.carry is not None and len(self.carry["seg_id"]):
+            w = self.carry
+            self.carry = None
+            yield w, np.array([0], dtype=np.int64), len(w["seg_id"])
 
 
 def merge_kernel(batches):
     """Level-1 band merge: concatenate partials of one (seg, term, band)
-    in min_doc order (pure concat — ranges never interleave)."""
-    rows: list[dict] = []
-
-    def flush():
-        nonlocal rows
-        if not rows:
-            return None
-        import pandas as pd
-
-        out = pa.RecordBatch.from_pandas(
-            pd.DataFrame(rows),
-            schema=pa.schema(
-                [
-                    ("seg_id", pa.int32()),
-                    ("term", pa.string()),
-                    ("band", pa.int32()),
-                    ("min_doc", pa.int64()),
-                    ("n", pa.int64()),
-                    ("docs_bin", pa.binary()),
-                    ("tfs_bin", pa.binary()),
-                    ("dls_bin", pa.binary()),
-                    ("pos_bin", pa.binary()),
-                ]
-            ),
-            preserve_index=False,
+    in min_doc order (pure concat — ranges never interleave; the whole
+    merge is offset arithmetic over the batch's contiguous buffers)."""
+    runs = _SortedRuns(with_band=True)
+    for w, gstart, cut in runs.groups(batches):
+        bounds = np.append(gstart, cut)
+        arrays = [
+            pa.array(w["seg_id"][gstart].astype(np.int32)),
+            pa.array(w["term"][gstart], pa.string()),
+            pa.array(w["band"][gstart].astype(np.int32)),
+            pa.array(w["min_doc"][gstart]),
+            pa.array(np.add.reduceat(w["n"][:cut], gstart)),
+        ]
+        for c in _BIN_COLS:
+            data, offs = w[c]
+            arrays.append(_binary_array(data[: offs[cut]], offs[bounds]))
+        yield pa.RecordBatch.from_arrays(
+            arrays,
+            names=[
+                "seg_id",
+                "term",
+                "band",
+                "min_doc",
+                "n",
+                "docs_bin",
+                "tfs_bin",
+                "dls_bin",
+                "pos_bin",
+            ],
         )
-        rows = []
-        return out
-
-    for grp in _iter_groups(batches, ["seg_id", "term", "band"]):
-        rows.append(
-            {
-                "seg_id": grp["seg_id"].iloc[0],
-                "term": grp["term"].iloc[0],
-                "band": grp["band"].iloc[0],
-                "min_doc": grp["min_doc"].iloc[0],
-                "n": int(grp["n"].sum()),
-                "docs_bin": b"".join(grp["docs_bin"]),
-                "tfs_bin": b"".join(grp["tfs_bin"]),
-                "dls_bin": b"".join(grp["dls_bin"]),
-                "pos_bin": b"".join(grp["pos_bin"]),
-            }
-        )
-        if len(rows) >= 2048:
-            out = flush()
-            if out is not None:
-                yield out
-    out = flush()
-    if out is not None:
-        yield out
 
 
 def encode_kernel(batches):
     """Final merge + encode: one output row per (seg, term) with the block
     blob, skip list, blockmax metadata and position blobs (SURVEY.md S6/SC4).
-    Input sorted by (seg_id, term, min_doc)."""
-    rows: list[dict] = []
-
-    def flush():
-        nonlocal rows
-        if not rows:
-            return None
-        import pandas as pd
-
-        out = pa.RecordBatch.from_pandas(
-            pd.DataFrame(rows),
-            schema=pa.schema(
-                [
-                    ("seg_id", pa.int32()),
-                    ("term", pa.string()),
-                    ("df", pa.int64()),
-                    ("cf", pa.int64()),
-                    ("max_tf", pa.int32()),
-                    ("blob", pa.binary()),
-                    ("skip", pa.binary()),
-                    ("bmax", pa.binary()),
-                    ("pos_off", pa.binary()),
-                    ("pos_pay", pa.binary()),
-                ]
-            ),
-            preserve_index=False,
+    Input sorted by (seg_id, term, min_doc). Group assembly is offset
+    arithmetic and the encoders are batch-vectorized across groups
+    (per-group Python survives only for the rare >128-doc hot terms)."""
+    runs = _SortedRuns(with_band=False)
+    for w, gstart, cut in runs.groups(batches):
+        bounds = np.append(gstart, cut)
+        d_data, d_off = w["docs_bin"]
+        t_data, t_off = w["tfs_bin"]
+        l_data, l_off = w["dls_bin"]
+        p_data, p_off = w["pos_bin"]
+        docs_all = d_data[: d_off[cut]].view("<u4")
+        tfs_all = t_data[: t_off[cut]].view("<u4")
+        dls_all = l_data[: l_off[cut]].view("<u4")
+        pos_all = p_data[: p_off[cut]].view("<u4")
+        db = (d_off[bounds] // 4).astype(np.int64)
+        pb = (p_off[bounds] // 4).astype(np.int64)
+        dfs = np.diff(db)
+        cfs = np.add.reduceat(tfs_all.astype(np.int64), db[:-1])
+        max_tfs = np.maximum.reduceat(tfs_all.astype(np.int64), db[:-1])
+        blob_buf, blob_off, skip_buf, skip_off, bmax_buf, bmax_off = (
+            encode_postings_batch(docs_all, tfs_all, dls_all, db)
         )
-        rows = []
-        return out
-
-    for grp in _iter_groups(batches, ["seg_id", "term"]):
-        docs = np.frombuffer(b"".join(grp["docs_bin"]), dtype="<u4")
-        tfs = np.frombuffer(b"".join(grp["tfs_bin"]), dtype="<u4")
-        dls = np.frombuffer(b"".join(grp["dls_bin"]), dtype="<u4")
-        pos = np.frombuffer(b"".join(grp["pos_bin"]), dtype="<u4")
-        blob, skip, bmax = encode_postings(docs, tfs, dls)
-        pos_off, pos_pay = encode_positions(
-            pos.astype(np.int64), tfs.astype(np.int64)
+        po_buf, po_off, pay_buf, pay_off = encode_positions_batch(
+            pos_all.astype(np.int64), tfs_all.astype(np.int64), db
         )
-        rows.append(
-            {
-                "seg_id": grp["seg_id"].iloc[0],
-                "term": grp["term"].iloc[0],
-                "df": int(len(docs)),
-                "cf": int(tfs.sum()),
-                "max_tf": int(tfs.max()),
-                "blob": blob,
-                "skip": skip,
-                "bmax": bmax,
-                "pos_off": pos_off,
-                "pos_pay": pos_pay,
-            }
+        del pb
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(w["seg_id"][gstart].astype(np.int32)),
+                pa.array(w["term"][gstart], pa.string()),
+                pa.array(dfs),
+                pa.array(cfs),
+                pa.array(max_tfs.astype(np.int32)),
+                _binary_array(blob_buf, blob_off),
+                _binary_array(skip_buf, skip_off),
+                _binary_array(bmax_buf, bmax_off),
+                _binary_array(po_buf, po_off),
+                _binary_array(pay_buf, pay_off),
+            ],
+            names=[
+                "seg_id",
+                "term",
+                "df",
+                "cf",
+                "max_tf",
+                "blob",
+                "skip",
+                "bmax",
+                "pos_off",
+                "pos_pay",
+            ],
         )
-        if len(rows) >= 1024:
-            out = flush()
-            if out is not None:
-                yield out
-    out = flush()
-    if out is not None:
-        yield out

@@ -169,6 +169,193 @@ def decode_blockmax(bmax: bytes) -> np.ndarray:
     return np.frombuffer(bmax, dtype="<u4").reshape(-1, 2).astype(np.int64)
 
 
+# ------------------------------------------------------------ batch encode
+
+
+def encode_postings_batch(
+    docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray, go: np.ndarray
+) -> tuple[np.ndarray, ...]:
+    """Encode MANY posting lists in one vectorized pass.
+
+    `go` holds int64 row offsets (n_groups+1) delimiting each list inside
+    docs/tfs/dls. Returns (blob_buf, blob_off, skip_buf, skip_off,
+    bmax_buf, bmax_off): contiguous uint8 buffers + per-group byte offsets,
+    ready for zero-copy arrow binary assembly.
+
+    Groups of ≤ BLOCK_SIZE docs (the Zipf tail — the overwhelming
+    majority) take a fully vectorized single-VByte-block path with
+    scatter-assembled headers; larger groups fall back to the per-group
+    block encoder. Byte output is identical to encode_postings either way
+    (enforced by tests/test_codec.py round-trips and the cross-path build
+    determinism test).
+    """
+    go = np.asarray(go, dtype=np.int64)
+    n_g = np.diff(go)
+    G = len(n_g)
+    # strictly below BLOCK_SIZE: an exactly-full block is bitpacked, not
+    # VByte, so it must take the per-group block encoder
+    small = n_g < BLOCK_SIZE
+    big_idx = np.flatnonzero(~small)
+    big_res = {
+        int(g): encode_postings(
+            docs[go[g] : go[g + 1]], tfs[go[g] : go[g + 1]], dls[go[g] : go[g + 1]]
+        )
+        for g in big_idx
+    }
+
+    srow = np.repeat(small, n_g)
+    sdocs = docs[srow].astype(np.uint64)
+    stfs = tfs[srow].astype(np.uint64)
+    sdls = dls[srow].astype(np.uint64)
+    sn = n_g[small]
+    ns = len(sn)
+    s_go = np.concatenate(([0], np.cumsum(sn)))
+    first_idx = s_go[:-1]
+
+    prev = np.empty_like(sdocs)
+    if len(sdocs):
+        prev[0] = 0
+        prev[1:] = sdocs[:-1]
+    isfirst = np.zeros(len(sdocs), dtype=bool)
+    isfirst[first_idx] = True
+    d_vals = (sdocs - prev - 1)[~isfirst].astype(np.uint32)
+    t_vals = (stfs - 1).astype(np.uint32)
+    from iresearch_spark.codec.vbyte import _byte_lengths
+
+    bl_d_row = np.zeros(len(sdocs), dtype=np.int64)
+    bl_d_row[~isfirst] = _byte_lengths(d_vals.astype(np.uint64))
+    bl_t_row = _byte_lengths(t_vals.astype(np.uint64))
+    len_pd = (
+        np.add.reduceat(bl_d_row, first_idx) if ns else np.empty(0, np.int64)
+    )
+    len_pt = (
+        np.add.reduceat(bl_t_row, first_idx) if ns else np.empty(0, np.int64)
+    )
+
+    blob_len = np.empty(G, dtype=np.int64)
+    blob_len[small] = 4 + _HDR + len_pd + len_pt
+    skip_len = np.empty(G, dtype=np.int64)
+    skip_len[small] = 8
+    bmax_len = np.empty(G, dtype=np.int64)
+    bmax_len[small] = 8
+    for g, (b, s, m) in big_res.items():
+        blob_len[g], skip_len[g], bmax_len[g] = len(b), len(s), len(m)
+    blob_off = np.concatenate(([0], np.cumsum(blob_len)))
+    skip_off = np.concatenate(([0], np.cumsum(skip_len)))
+    bmax_off = np.concatenate(([0], np.cumsum(bmax_len)))
+
+    out = np.zeros(int(blob_off[-1]), dtype=np.uint8)
+    skip_buf = np.zeros(int(skip_off[-1]), dtype=np.uint8)
+    bmax_buf = np.zeros(int(bmax_off[-1]), dtype=np.uint8)
+
+    if ns:
+        st = blob_off[:-1][small]
+        hdr = np.empty((ns, 20), dtype=np.uint8)
+        hdr[:, 0:4] = sn.astype("<u4").view(np.uint8).reshape(ns, 4)
+        hdr[:, 4:6] = sn.astype("<u2").view(np.uint8).reshape(ns, 2)
+        hdr[:, 6] = 0  # doc_mode = VByte
+        hdr[:, 7] = 0  # tf_mode = VByte
+        hdr[:, 8:12] = (
+            sdocs[first_idx].astype("<u4").view(np.uint8).reshape(ns, 4)
+        )
+        hdr[:, 12:16] = len_pd.astype("<u4").view(np.uint8).reshape(ns, 4)
+        hdr[:, 16:20] = len_pt.astype("<u4").view(np.uint8).reshape(ns, 4)
+        dest = (st[:, None] + np.arange(20, dtype=np.int64)[None, :]).ravel()
+        out[dest] = hdr.ravel()
+        pd_payload = np.frombuffer(vbyte_encode(d_vals), dtype=np.uint8)
+        if len(pd_payload):
+            pd_gstart = np.concatenate(([0], np.cumsum(len_pd)))[:-1]
+            dest_pd = np.arange(len(pd_payload), dtype=np.int64) + np.repeat(
+                st + 20 - pd_gstart, len_pd
+            )
+            out[dest_pd] = pd_payload
+        pt_payload = np.frombuffer(vbyte_encode(t_vals), dtype=np.uint8)
+        if len(pt_payload):
+            pt_gstart = np.concatenate(([0], np.cumsum(len_pt)))[:-1]
+            dest_pt = np.arange(len(pt_payload), dtype=np.int64) + np.repeat(
+                st + 20 + len_pd - pt_gstart, len_pt
+            )
+            out[dest_pt] = pt_payload
+        # skip entries: (last_doc, offset=4); bmax: (max_tf, min_dl)
+        sk = np.empty((ns, 8), dtype=np.uint8)
+        sk[:, 0:4] = (
+            sdocs[s_go[1:] - 1].astype("<u4").view(np.uint8).reshape(ns, 4)
+        )
+        sk[:, 4:8] = (
+            np.full(ns, 4, dtype="<u4").view(np.uint8).reshape(ns, 4)
+        )
+        dsk = (
+            skip_off[:-1][small][:, None] + np.arange(8, dtype=np.int64)[None, :]
+        ).ravel()
+        skip_buf[dsk] = sk.ravel()
+        bm = np.empty((ns, 8), dtype=np.uint8)
+        bm[:, 0:4] = (
+            np.maximum.reduceat(stfs, first_idx)
+            .astype("<u4")
+            .view(np.uint8)
+            .reshape(ns, 4)
+        )
+        bm[:, 4:8] = (
+            np.minimum.reduceat(sdls, first_idx)
+            .astype("<u4")
+            .view(np.uint8)
+            .reshape(ns, 4)
+        )
+        dbm = (
+            bmax_off[:-1][small][:, None] + np.arange(8, dtype=np.int64)[None, :]
+        ).ravel()
+        bmax_buf[dbm] = bm.ravel()
+
+    for g, (b, s, m) in big_res.items():
+        out[blob_off[g] : blob_off[g] + len(b)] = np.frombuffer(b, np.uint8)
+        skip_buf[skip_off[g] : skip_off[g] + len(s)] = np.frombuffer(s, np.uint8)
+        bmax_buf[bmax_off[g] : bmax_off[g] + len(m)] = np.frombuffer(m, np.uint8)
+    return out, blob_off, skip_buf, skip_off, bmax_buf, bmax_off
+
+
+def encode_positions_batch(
+    pos_flat: np.ndarray, counts: np.ndarray, go: np.ndarray
+) -> tuple[np.ndarray, ...]:
+    """Vectorized multi-group variant of encode_positions.
+
+    `counts` = tf per posting row; `go` = row offsets per group. Returns
+    (off_buf, off_off, pay_buf, pay_off): the per-group pos_off/pos_pay
+    blobs as contiguous buffers + byte offsets. Byte-identical to calling
+    encode_positions per group (delta coding is per-doc, VByte is
+    per-value, so group slicing is pure offset arithmetic)."""
+    go = np.asarray(go, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    pos_flat = np.ascontiguousarray(pos_flat, dtype=np.uint64)
+    n_g = np.diff(go)
+    if len(counts) == 0:
+        z = np.zeros(0, np.uint8)
+        zo = np.zeros(len(go), np.int64)
+        return z, zo, z, zo
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    enc = pos_flat.copy()
+    prev = np.empty_like(pos_flat)
+    if len(pos_flat):
+        prev[0] = 0
+        prev[1:] = pos_flat[:-1]
+    is_first = np.zeros(len(pos_flat), dtype=bool)
+    is_first[starts[counts > 0]] = True
+    nonfirst = ~is_first
+    enc[nonfirst] = pos_flat[nonfirst] - prev[nonfirst] - 1
+    enc32 = enc.astype(np.uint32)
+    payload = np.frombuffer(vbyte_encode(enc32), dtype=np.uint8)
+    from iresearch_spark.codec.vbyte import _byte_lengths
+
+    lens = _byte_lengths(enc32.astype(np.uint64))
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    byte_ends_rows = cum[ends]  # byte end per posting row (global)
+    pay_off = np.concatenate(([0], byte_ends_rows[go[1:] - 1]))
+    rebased = (byte_ends_rows - np.repeat(pay_off[:-1], n_g)).astype("<u4")
+    off_buf = np.frombuffer(rebased.tobytes(), dtype=np.uint8)
+    off_off = go * 4
+    return off_buf, off_off, payload, pay_off
+
+
 # ---------------------------------------------------------------- positions
 
 

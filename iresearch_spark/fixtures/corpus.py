@@ -20,7 +20,7 @@ import zlib
 import numpy as np
 import pandas as pd
 
-CHUNK_DOCS = 10_000
+CHUNK_DOCS = 2_000
 VOCAB_SIZE = 50_000
 ZIPF_TERMS = 1.07
 ZIPF_SITES = 1.2
@@ -57,7 +57,7 @@ def gen_chunk(chunk_id: int, n_docs_total: int, seed: int = 42) -> pd.DataFrame:
         [f"https://site{s:04d}.example/{i:08x}" for s, i in zip(sites, ids)],
         dtype=object,
     )
-    warc_ts = EPOCH + (ids * 13).astype("timedelta64[s]")
+    warc_ts = (EPOCH + (ids * 13).astype("timedelta64[s]")).astype("datetime64[us]")
 
     dls = np.clip(rng.lognormal(5.0, 0.6, n).astype(np.int64), MIN_DL, MAX_DL)
     total = int(dls.sum())

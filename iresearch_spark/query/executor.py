@@ -39,11 +39,46 @@ from iresearch_spark.codec.postings import (
 from iresearch_spark.oracle.model import wildcard_to_regex
 from iresearch_spark.query import filters as qf
 from iresearch_spark.query.fuzzy import levenshtein_leq_mask
+from iresearch_spark.query.wand import TermPostings, and_terms, or_terms_topk
 from iresearch_spark.store import SnapshotStore
 
 RESULT_SCHEMA = "qid bigint, seg_id int, doc_id bigint, score double"
 
 _EXPANDABLE = (qf.Prefix, qf.TermRange, qf.Wildcard, qf.Fuzzy)
+
+
+def _flatten_or_terms(tree: qf.Filter) -> list[tuple[str, float]] | None:
+    """[(term, weight multiplier)] if `tree` is a pure min_match=1
+    disjunction over unique terms — the shape block-max WAND handles."""
+    out: list[tuple[str, float]] = []
+
+    def rec(node: qf.Filter, mult: float) -> bool:
+        if isinstance(node, qf.Term):
+            out.append((node.term, mult * node.boost))
+            return True
+        if isinstance(node, qf.Terms):
+            for t in sorted(set(node.terms)):
+                out.append((t, mult * node.boost))
+            return True
+        if isinstance(node, qf.Or) and node.min_match == 1:
+            return all(rec(c, mult * node.boost) for c in node.children)
+        return False
+
+    if not rec(tree, 1.0):
+        return None
+    terms = [t for t, _ in out]
+    if len(set(terms)) != len(terms):
+        return None
+    return out
+
+
+def _flatten_and_terms(tree: qf.Filter) -> list[tuple[str, float]] | None:
+    """[(term, weight multiplier)] if `tree` is a flat Term conjunction."""
+    if isinstance(tree, qf.And) and all(
+        isinstance(c, qf.Term) for c in tree.children
+    ):
+        return [(c.term, tree.boost * c.boost) for c in tree.children]
+    return None
 
 
 def _walk_terms(node: qf.Filter, terms: set[str], phrases: list) -> None:
@@ -105,7 +140,11 @@ class IndexSearcher:
         snapshot_id: int | None = None,
         k1: float = BM25_K1,
         b: float = BM25_B,
+        scorer: str = "bm25",
     ):
+        """scorer: "bm25" ([up] core/search/bm25.cpp, k1/b as given; b=0 is
+        BM15, b=1 BM11) or "tfidf" ([up] core/search/tfidf.cpp with norms:
+        idf = 1 + ln(N/(df+1)), contribution = idf·sqrt(tf)/sqrt(dl))."""
         self.spark = spark
         self.store = store
         self.sid = snapshot_id if snapshot_id is not None else store.current_snapshot_id()
@@ -113,12 +152,17 @@ class IndexSearcher:
         self.n_docs = stats["n_docs"]
         self.avgdl = stats["avgdl"]
         self.k1, self.b = k1, b
+        if scorer not in ("bm25", "tfidf"):
+            raise ValueError(scorer)
+        self.scorer = scorer
         self._postings = store.read_postings(spark, self.sid)
         self._norms = store.read_norms(spark, self.sid)
 
     # ------------------------------------------------------------ prepare
 
     def idf(self, df: int) -> float:
+        if self.scorer == "tfidf":
+            return 1.0 + math.log(self.n_docs / (df + 1.0))
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     def _expand(self, nodes: list[qf.Filter]) -> dict[qf.Filter, tuple[str, ...]]:
@@ -248,6 +292,7 @@ class IndexSearcher:
         numpy-vs-libm noise; see SURVEY.md §7 hard-part (a))."""
         trees, terms, idf, need_pos = self.prepare(queries)
         avgdl, k1, b = self.avgdl, self.k1, self.b
+        scorer = self.scorer
         if not terms:
             schema = "qid bigint, rank int, seg_id int, doc_id bigint, score double"
             if with_urls:
@@ -257,12 +302,12 @@ class IndexSearcher:
                 )
             return self.spark.createDataFrame([], schema)
 
-        cols = ["seg_id", "term", "blob", "skip", "bmax"]
+        cols = ["seg_id", "term", "df", "blob", "skip", "bmax"]
         if need_pos:
             cols += ["pos_off", "pos_pay"]
         rows = self._postings.filter(F.col("term").isin(list(terms))).select(*cols)
         kernel = _make_segment_kernel(
-            trees, idf, avgdl, k1, b, k, need_pos, score_round
+            trees, idf, avgdl, k1, b, k, need_pos, score_round, scorer
         )
         per_seg = (
             rows.groupBy("seg_id")
@@ -310,7 +355,9 @@ class IndexSearcher:
 # ------------------------------------------------------------------ kernel
 
 
-def _make_segment_kernel(trees, idf, avgdl, k1, b, k, need_pos, score_round=None):
+def _make_segment_kernel(
+    trees, idf, avgdl, k1, b, k, need_pos, score_round=None, scorer="bm25"
+):
     """Per-segment scoring kernel (runs in applyInPandas cogroup).
 
     Decodes each needed (term, seg) posting list once, evaluates every
@@ -334,22 +381,39 @@ def _make_segment_kernel(trees, idf, avgdl, k1, b, k, need_pos, score_round=None
             if mb is not None and len(mb):
                 mask = np.frombuffer(bytes(mb), dtype="<u4").astype(np.int64)
         term_rows = {r.term: r for r in postings_pdf.itertuples()}
-        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        readers: dict[str, TermPostings | None] = {}
+
+        def get_reader(term) -> TermPostings | None:
+            r = readers.get(term, False)
+            if r is False:
+                row = term_rows.get(term)
+                r = (
+                    TermPostings(
+                        bytes(row.blob), bytes(row.skip), bytes(row.bmax), row.df
+                    )
+                    if row is not None
+                    else None
+                )
+                readers[term] = r
+            return r
 
         def get_postings(term):
-            got = decoded.get(term)
-            if got is None:
-                row = term_rows.get(term)
-                if row is None:
-                    got = (np.empty(0, np.int64), np.empty(0, np.float64))
-                else:
-                    pl = decode_postings(bytes(row.blob))
-                    got = (pl.doc_ids.astype(np.int64), pl.tfs.astype(np.float64))
-                decoded[term] = got
-            return got
+            r = get_reader(term)
+            if r is None:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            return r.full()
 
-        def tfn(tf, dl_arr):
-            return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl_arr / avgdl))
+        if scorer == "tfidf":
+
+            def tfn(tf, dl_arr):
+                return np.sqrt(tf) / np.sqrt(dl_arr)
+
+        else:
+
+            def tfn(tf, dl_arr):
+                return (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * dl_arr / avgdl)
+                )
 
         def eval_node(node):
             if isinstance(node, qf.Empty):
@@ -452,10 +516,31 @@ def _make_segment_kernel(trees, idf, avgdl, k1, b, k, need_pos, score_round=None
 
         out_frames = []
         for qid, tree in trees.items():
-            docs, scores = eval_node(tree)
-            if mask is not None and len(docs):
-                keep = ~np.isin(docs, mask, assume_unique=True)
-                docs, scores = docs[keep], scores[keep]
+            docs = scores = None
+            ft = _flatten_or_terms(tree)
+            if ft is not None and len(ft) >= 2:
+                pairs = [
+                    (m * idf.get(t, 0.0), get_reader(t))
+                    for t, m in ft
+                    if get_reader(t) is not None
+                ]
+                docs, scores = or_terms_topk(
+                    pairs, dls, k, tfn, mask=mask, score_round=score_round
+                )
+            else:
+                fa = _flatten_and_terms(tree)
+                if fa is not None and len(fa) >= 2:
+                    if any(get_reader(t) is None for t, _m in fa):
+                        continue  # a missing term empties the conjunction
+                    pairs = [
+                        (m * idf.get(t, 0.0), get_reader(t)) for t, m in fa
+                    ]
+                    docs, scores = and_terms(pairs, dls, tfn, mask=mask)
+                else:
+                    docs, scores = eval_node(tree)
+                    if mask is not None and len(docs):
+                        keep = ~np.isin(docs, mask, assume_unique=True)
+                        docs, scores = docs[keep], scores[keep]
             if len(docs) == 0:
                 continue
             if score_round is not None:

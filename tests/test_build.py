@@ -117,7 +117,7 @@ def test_resume_from_checkpoint(spark, unit_corpus, tmp_path):
     # simulate an interrupted second build: stage dir with docs completed
     commit_dir = store.new_commit_dir()
     with open(os.path.join(root, "_staging.json"), "w") as f:
-        json.dump({"key": "r2|2|16", "dir": commit_dir}, f)
+        json.dump({"key": "r2|2|None|replace|0", "dir": commit_dir}, f)
     docs_dir = os.path.join(commit_dir, "docs")
     # "complete" the docs stage by building it once via a throwaway store
     tmp_store = SnapshotStore(str(tmp_path / "throwaway"))
@@ -133,3 +133,49 @@ def test_resume_from_checkpoint(spark, unit_corpus, tmp_path):
     snap2 = store.snapshot(sid2)
     assert snap2["metrics"]["resumed_stages"]["docs"] is True
     assert snap2["stats"] == snap1["stats"]
+
+
+def test_blob_determinism_across_paths(spark, unit_corpus, tmp_path):
+    """Final blob bytes are independent of shuffle path and parallelism:
+    one-level vs banded-salted builds at different partition counts must
+    produce byte-identical postings (the N-vs-4N determinism requirement,
+    SURVEY.md §7 hard-part (c))."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from iresearch_spark.build import build_index
+    from iresearch_spark.store import SnapshotStore
+
+    sdf = spark.createDataFrame(unit_corpus)
+
+    def blob_sig(store, sid):
+        rows = []
+        for seg in store.snapshot(sid)["segments"]:
+            t = pq.read_table(
+                store.abs_path(seg["postings_path"]),
+                columns=["seg_id", "term", "blob", "skip", "bmax"],
+            )
+            rows += sorted(
+                zip(
+                    t.column("seg_id").to_pylist(),
+                    t.column("term").to_pylist(),
+                    [
+                        hashlib.md5(bytes(b)).hexdigest()
+                        for b in t.column("blob").to_pylist()
+                    ],
+                    [
+                        hashlib.md5(bytes(b)).hexdigest()
+                        for b in t.column("skip").to_pylist()
+                    ],
+                )
+            )
+        return hashlib.md5(repr(rows).encode()).hexdigest()
+
+    a = SnapshotStore(str(tmp_path / "one_level"))
+    sa = build_index(spark, sdf, a, n_segments=4, source="a", parts=16)
+    b = SnapshotStore(str(tmp_path / "banded"))
+    sb = build_index(
+        spark, sdf, b, n_segments=4, source="b", band_bits=6, parts=5
+    )
+    assert blob_sig(a, sa) == blob_sig(b, sb)

@@ -1,0 +1,110 @@
+"""Block-max WAND / seek-conjunction kernels vs brute force — randomized,
+pure numpy (mirrors [up] tests/search/ exact-ordering style, plus the
+formats seek tests of [up] tests/formats/formats_test_case_base.hpp)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from iresearch_spark import BM25_B, BM25_K1
+from iresearch_spark.codec.postings import encode_postings
+from iresearch_spark.query.wand import TermPostings, and_terms, or_terms_topk
+
+
+def _mk_reader(rng, n_docs, df) -> tuple[TermPostings, np.ndarray, np.ndarray]:
+    docs = np.sort(rng.choice(np.arange(1, n_docs + 1), size=df, replace=False))
+    tfs = rng.integers(1, 8, size=df)
+    return docs, tfs
+
+
+def _build(docs, tfs, dls):
+    blob, skip, bmax = encode_postings(
+        docs.astype("<u4"), tfs.astype("<u4"), dls[docs - 1].astype("<u4")
+    )
+    return TermPostings(blob, skip, bmax, len(docs))
+
+
+def _tfn(avgdl):
+    def tfn(tf, dl):
+        return (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        )
+
+    return tfn
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_or_topk_matches_bruteforce(seed):
+    rng = np.random.default_rng(seed)
+    n_docs = int(rng.integers(200, 2000))
+    dls = rng.integers(5, 400, size=n_docs).astype(np.float64)
+    avgdl = float(dls.mean())
+    tfn = _tfn(avgdl)
+    n_terms = int(rng.integers(2, 6))
+    k = int(rng.integers(1, 25))
+    mask = (
+        np.sort(rng.choice(np.arange(1, n_docs + 1), size=n_docs // 10, replace=False))
+        if seed % 2
+        else None
+    )
+    pairs, brute = [], {}
+    for _ in range(n_terms):
+        df = int(rng.integers(1, n_docs))
+        docs, tfs = _mk_reader(rng, n_docs, df)
+        w = float(rng.uniform(0.1, 3.0))
+        pairs.append((w, _build(docs, tfs, dls)))
+        for d, tf in zip(docs, tfs):
+            if mask is not None and d in mask:
+                continue
+            brute[d] = brute.get(d, 0.0) + w * tfn(float(tf), dls[d - 1])
+
+    got_docs, got_scores = or_terms_topk(pairs, dls, k, tfn, mask=mask, score_round=6)
+    expect = sorted(brute.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:k]
+    got = sorted(zip(got_docs, got_scores), key=lambda kv: (-kv[1], kv[0]))
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (gd, gs), (ed, es) in zip(got, expect):
+        assert abs(gs - round(es, 6)) < 1e-9, (gd, ed)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_and_matches_bruteforce(seed):
+    rng = np.random.default_rng([seed, 99])
+    n_docs = int(rng.integers(200, 1500))
+    dls = rng.integers(5, 400, size=n_docs).astype(np.float64)
+    tfn = _tfn(float(dls.mean()))
+    readers, sets, weights, tfmaps = [], [], [], []
+    for _ in range(int(rng.integers(2, 5))):
+        df = int(rng.integers(n_docs // 3, n_docs))
+        docs, tfs = _mk_reader(rng, n_docs, df)
+        w = float(rng.uniform(0.1, 3.0))
+        readers.append((w, _build(docs, tfs, dls)))
+        sets.append(set(docs.tolist()))
+        weights.append(w)
+        tfmaps.append(dict(zip(docs.tolist(), tfs.tolist())))
+    common = sorted(set.intersection(*sets))
+    got_docs, got_scores = and_terms(readers, dls, tfn)
+    order = np.argsort(got_docs)
+    assert got_docs[order].tolist() == common
+    for d, s in zip(got_docs[order], got_scores[order]):
+        expect = sum(
+            w * tfn(float(tm[int(d)]), dls[int(d) - 1])
+            for w, tm in zip(weights, tfmaps)
+        )
+        assert abs(s - expect) < 1e-9
+
+
+def test_seek_decodes_only_needed_blocks():
+    """lookup_tfs must not decode the whole list (the P1 seek invariant)."""
+    rng = np.random.default_rng(7)
+    n_docs = 100_000
+    dls = np.full(n_docs, 50.0)
+    docs = np.arange(1, n_docs + 1, 2, dtype=np.int64)  # df = 50k, many blocks
+    tfs = rng.integers(1, 5, size=len(docs))
+    r = _build(docs, tfs, dls)
+    cand = np.array([1, 3, 99_999], dtype=np.int64)
+    tf = r.lookup_tfs(cand)
+    assert tf[0] == tfs[0] and tf[1] == tfs[1] and tf[2] == tfs[-1]
+    assert r._full is None, "seek path must not fully decode"
+    # absent docs -> 0
+    assert r.lookup_tfs(np.array([2, 4]))[0] == 0.0

@@ -21,7 +21,15 @@ _os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 try:  # PR_SET_THP_DISABLE=41 — covers numpy already imported by pyspark
     import ctypes as _ctypes
 
-    _ctypes.CDLL(None).prctl(41, 1, 0, 0, 0)
+    _libc = _ctypes.CDLL(None)
+    _libc.prctl(41, 1, 0, 0, 0)
+    # glibc: stop returning freed pages to the OS between Arrow batches.
+    # Each worker's alloc/free cycle otherwise munmaps+refaults GBs of 4 KB
+    # pages per batch; at 4N concurrent workers the zone-lock contention
+    # showed up as 75-85% SYSTEM time and 3-8x build slowdowns.
+    # M_TRIM_THRESHOLD=-1, M_MMAP_THRESHOLD=-3 (see mallopt(3)).
+    _libc.mallopt(-1, 256 * 1024 * 1024)
+    _libc.mallopt(-3, 256 * 1024 * 1024)
 except Exception:  # pragma: no cover - non-Linux
     pass
 

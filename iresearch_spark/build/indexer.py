@@ -1,28 +1,34 @@
 """Segment build job: corpus table -> doc table + encoded postings +
 snapshot commit (SURVEY.md §3.1 Spark re-architecture).
 
-Dataflow (one wide shuffle of documents, two compact shuffles of partials):
+Dataflow (one wide shuffle of documents, one compact shuffle of partials):
 
   corpus (url, warc_ts, html, text, lang)
     | seg_id = pmod(crc32(url), n_segments)          [JVM, matches oracle]
+    | repartition(parts)                             [full-width tokenize]
     | mapInArrow tokenize_kernel                     [narrow: extract+tokenize]
     | repartition(seg_id) + sortWithinPartitions(seg_id, url)
     | mapInArrow assign_kernel                       [per-segment docIDs]
+    |--- assigned checkpoint (parquet; intra-build resume point)
     |--- docs table write (columnstore role, [up] core/formats/columnstore2)
     | mapInArrow partials_kernel                     [map-side combine -> raw
     |                                                 (seg,term,band) partials]
-    | repartition(seg_id, term, band) + sort + merge_kernel   [salted level-1]
-    | repartitionByRange(seg_id, term) + sort + encode_kernel [final encode,
-    |                                                term-sorted for pruning]
+    | [optional, band_bits set: repartition(seg,term,band) + sort +
+    |  merge_kernel — salted level-1 for pathologically large segments]
+    | repartition(seg_id) + sort(seg, term, min_doc) + encode_kernel
     '--- postings table write + snapshot commit (two-phase, [up]
          core/index/index_writer.cpp :: begin/commit)
 
-The (seg, term, band) level-1 shuffle is the salted groupBy mandated by
-BASELINE.json:6: a hot term's postings are split across doc-range bands so
-no single reducer owns the whole term; level-2 concatenates the few band
-rows per (seg, term). Final postings files are range-partitioned and sorted
-by term, so parquet min/max row-group stats give dictionary-style block
-skipping on term lookups ([up] formats_burst_trie's FST role).
+Skew strategy: segments are uniform url-hash shards, so the per-segment
+final encode (mirroring the reference's single-writer segment flush,
+[up] core/index/segment_writer.cpp) is balanced by construction and a
+term's postings within a segment are bounded by the segment's doc count —
+the segment count is the scale knob. For segments too large for that bound
+the optional banded level-1 shuffle splits hot terms' partials across
+doc-range bands (the salted groupBy of BASELINE.json:6); both paths emit
+byte-identical blobs (tested). Postings files are term-sorted per segment,
+so parquet min/max row-group stats give dictionary-style block skipping on
+term lookups ([up] formats_burst_trie's sorted-dictionary role).
 """
 
 from __future__ import annotations

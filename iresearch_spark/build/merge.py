@@ -20,6 +20,13 @@ blobs, the document_mask of [up] core/formats/formats.hpp) and commits a
 new snapshot; stats stay segment-static until a merge compacts the masked
 docs — the reference behaves the same way (deletes are invisible to
 scoring stats until consolidation rewrites the segment).
+
+Scale bound: one merge materializes the merged segment's norms array on
+the driver (for blockmax recompute) — 4 bytes/doc, so a merge set is
+expected to stay within the tier policy's max_segments_bytes budget
+(exactly the reference's invariant: merge_writer streams ONE bounded
+merge at a time; unbounded merges are prevented by policy, not by the
+writer).
 """
 
 from __future__ import annotations

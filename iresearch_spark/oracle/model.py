@@ -201,9 +201,11 @@ class OracleIndex:
             return {k: v for k, v in pos.items() if k not in neg}
         if isinstance(node, qf.Phrase):
             return self._phrase(node)
+        if isinstance(node, qf.SamePosition):
+            return self._phrase(node, step=0)
         raise TypeError(f"oracle cannot evaluate {type(node)}")
 
-    def _phrase(self, node: qf.Phrase) -> dict[tuple[int, int], float]:
+    def _phrase(self, node, step: int = 1) -> dict[tuple[int, int], float]:
         terms = list(node.terms)
         if not terms:
             return {}
@@ -227,7 +229,7 @@ class OracleIndex:
             hits = sum(
                 1
                 for p in maps[0][k]
-                if all(p + i + 1 in ps[k] for i, ps in enumerate(pos_sets))
+                if all(p + (i + 1) * step in ps[k] for i, ps in enumerate(pos_sets))
             )
             if hits:
                 out[k] = node.boost * idf_sum * self._tfn(hits, self.doc_len[k])

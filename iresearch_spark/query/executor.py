@@ -86,7 +86,7 @@ def _walk_terms(node: qf.Filter, terms: set[str], phrases: list) -> None:
         terms.add(node.term)
     elif isinstance(node, (qf.Terms,)):
         terms.update(node.terms)
-    elif isinstance(node, qf.Phrase):
+    elif isinstance(node, (qf.Phrase, qf.SamePosition)):
         terms.update(node.terms)
         phrases.append(node)
     elif isinstance(node, qf.And):
@@ -465,10 +465,18 @@ def _make_segment_kernel(
                 return pos_d[keep], pos_s[keep]
             if isinstance(node, qf.Phrase):
                 return eval_phrase(node)
+            if isinstance(node, qf.SamePosition):
+                return eval_same_position(node)
             raise TypeError(f"cannot evaluate {type(node)}")
 
-        def eval_phrase(node):
-            terms = list(node.terms)
+        def _positional_match(terms, offsets, boost):
+            """Shared positional kernel: docs where every terms[j] occurs at
+            (anchor position + offsets[j]); returns (docs, scores) with
+            tf = number of matching anchors. offsets = 0,1,2,... gives the
+            phrase filter (F6); all-zero offsets gives by_same_position
+            (F10). Fully vectorized: per-doc position lists are flattened
+            into one namespace (doc_index · 2^22 + position) and matched
+            with sorted np.isin — no per-doc Python."""
             per_term = []
             for t in terms:
                 row = term_rows.get(t)
@@ -481,37 +489,40 @@ def _make_segment_kernel(
                 common = common[np.isin(common, d, assume_unique=True)]
             if len(common) == 0:
                 return common, np.empty(0, np.float64)
-            pos_lists = []
+            SHIFT = np.int64(1) << 22  # > max doc length
+            flats = []
             for row, docs, tfs in per_term:
                 sel = np.searchsorted(docs, common)
                 counts = tfs[sel].astype(np.int64)
                 pls = decode_positions_for(
                     bytes(row.pos_off), bytes(row.pos_pay), sel, counts
                 )
-                pos_lists.append(pls)
-            idf_sum = 0.0
-            for t in terms:
-                idf_sum += idf.get(t, 0.0)
-            w = node.boost * idf_sum
-            out_docs, out_scores = [], []
-            for i, doc in enumerate(common):
-                first = pos_lists[0][i]
-                sets = [set(pl[i].tolist()) for pl in pos_lists[1:]]
-                hits = 0
-                for p in first.tolist():
-                    ok = True
-                    for off, s in enumerate(sets, start=1):
-                        if p + off not in s:
-                            ok = False
-                            break
-                    if ok:
-                        hits += 1
-                if hits:
-                    out_docs.append(int(doc))
-                    out_scores.append(w * tfn(float(hits), dls[doc - 1]))
-            return (
-                np.asarray(out_docs, dtype=np.int64),
-                np.asarray(out_scores, dtype=np.float64),
+                owner = np.repeat(np.arange(len(common), dtype=np.int64), counts)
+                flat = owner * SHIFT + (
+                    np.concatenate(pls) if pls else np.empty(0, np.int64)
+                )
+                flats.append((flat, owner, counts))
+            anchor, owner0, _ = flats[0]
+            ok = np.ones(len(anchor), dtype=bool)
+            for j in range(1, len(flats)):
+                ok &= np.isin(anchor + (offsets[j] - offsets[0]), flats[j][0])
+            hits = np.bincount(owner0[ok], minlength=len(common)).astype(
+                np.float64
+            )
+            matched = hits > 0
+            w = boost * sum(idf.get(t, 0.0) for t in terms)
+            docs_out = common[matched]
+            scores = w * tfn(hits[matched], dls[docs_out - 1])
+            return docs_out.astype(np.int64), scores
+
+        def eval_phrase(node):
+            return _positional_match(
+                list(node.terms), list(range(len(node.terms))), node.boost
+            )
+
+        def eval_same_position(node):
+            return _positional_match(
+                list(node.terms), [0] * len(node.terms), node.boost
             )
 
         out_frames = []

@@ -94,6 +94,22 @@ class Phrase(Filter):
 
 
 @dataclass(frozen=True)
+class SamePosition(Filter):
+    """Terms co-occurring at the identical position (F10,
+    [up] core/search/same_position_filter.cpp). In a single-valued text
+    field distinct terms never share a position, so this matches only via
+    repeated terms / multi-valued ingestion — kept for algebra parity;
+    evaluation shares the positional kernel with Phrase (offset 0)."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+    def __init__(self, terms, boost: float = 1.0):
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
 class And(Filter):
     children: tuple[Filter, ...]
     boost: float = 1.0
@@ -154,7 +170,7 @@ def _scaled(node: Filter, factor: float) -> Filter:
         return And(*kwargs.pop("children"), **kwargs)
     if isinstance(node, Or):
         return Or(*kwargs.pop("children"), **kwargs)
-    if isinstance(node, (Terms, Phrase)):
+    if isinstance(node, (Terms, Phrase, SamePosition)):
         return type(node)(kwargs.pop("terms"), **kwargs)
     return type(node)(**kwargs)
 

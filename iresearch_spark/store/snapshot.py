@@ -149,6 +149,44 @@ class SnapshotStore:
         paths = sorted({self.abs_path(s[key]) for s in snap["segments"]})
         return spark.read.parquet(*paths)
 
+    # -------------------------------------------------------- maintenance
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop snapshot manifests older than the newest `keep_last`
+        (Iceberg's expire_snapshots; the reference's retired index
+        generations). Returns the expired snapshot ids; data files are
+        reclaimed by gc()."""
+        sids = self.snapshots()
+        expired = sids[:-keep_last] if keep_last > 0 else sids
+        for sid in expired:
+            os.remove(self._snap_path(sid))
+        return expired
+
+    def gc(self) -> list[str]:
+        """Delete commit data directories referenced by NO remaining
+        snapshot (safe after expire_snapshots / consolidation retired
+        them). Returns removed directories."""
+        import shutil
+
+        live: set[str] = set()
+        for sid in self.snapshots():
+            snap = self.snapshot(sid)
+            for seg in snap["segments"]:
+                for key in ("docs_path", "postings_path", "norms_path", "mask_path"):
+                    rel = seg.get(key)
+                    if rel:
+                        # data/<commit>/<table>/seg_part=N -> data/<commit>
+                        parts = rel.split(os.sep)
+                        if len(parts) >= 2:
+                            live.add(parts[1])
+        removed = []
+        data_root = os.path.join(self.root, "data")
+        for d in sorted(os.listdir(data_root)):
+            if d not in live:
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                removed.append(d)
+        return removed
+
     def global_stats(self, snapshot_id: int | None = None) -> dict:
         snap = self.snapshot(snapshot_id)
         if snap is None:

@@ -188,3 +188,24 @@ def test_consolidate_loop(spark, unit_index, split_store, tmp_path):
     assert _results(spark, base_store) == _results(spark, store)
     # lineage records the merge provenance
     assert "merge(" in store.snapshot()["lineage"][0]["source"]
+
+
+def test_expire_and_gc(spark, split_store, tmp_path):
+    store = _copy_store(split_store, tmp_path)
+    seg_ids = [int(s["seg_id"]) for s in store.snapshot()["segments"]]
+    merge_segments(spark, store, seg_ids)
+    import os
+
+    data_root = os.path.join(store.root, "data")
+    n_dirs_before = len(os.listdir(data_root))
+    assert n_dirs_before >= 3  # base commit, delta commit, merge commit
+    # nothing reclaimable while old snapshots still reference old commits
+    assert store.gc() == []
+    expired = store.expire_snapshots(keep_last=1)
+    assert len(expired) == 2
+    removed = store.gc()
+    assert removed, "old commit dirs should be reclaimed"
+    assert len(os.listdir(data_root)) < n_dirs_before
+    # the surviving snapshot still reads fine
+    after = _results(spark, store)
+    assert after and store.snapshots() == [store.current_snapshot_id()]

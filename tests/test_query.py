@@ -73,3 +73,29 @@ def test_composite_trees_match_oracle(searcher, unit_index):
             have, want
         ):
             assert (seg, doc, url, score) == (oseg, odoc, ourl, oscore), qid
+
+
+def test_same_position_filter(spark, unit_index):
+    """F10 by_same_position: engine matches the oracle; distinct terms in a
+    single-valued field share no position (empty), identical terms reduce
+    to the term's own positions (hits == tf)."""
+    from iresearch_spark.query import filters as qf
+    from iresearch_spark.query.executor import IndexSearcher
+
+    store, sid, oracle = unit_index
+    s = IndexSearcher(spark, store, sid)
+    # distinct terms -> empty in both
+    flt = qf.SamePosition(["w1", "w2"])
+    got = s.search(flt, k=20, with_urls=False).collect()
+    assert got == [] and oracle.search(flt, k=20) == []
+    # degenerate same-term pair -> equals oracle exactly
+    flt2 = qf.SamePosition(["w3", "w3"])
+    got2 = [
+        (r["seg_id"], r["doc_id"], round(r["score"], 9))
+        for r in s.search(flt2, k=15, with_urls=False).collect()
+    ]
+    exp2 = [
+        (seg, doc, round(score, 9))
+        for seg, doc, _url, score in oracle.search(flt2, k=15)
+    ]
+    assert got2 == exp2 and got2

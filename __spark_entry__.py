@@ -24,7 +24,12 @@ from iresearch_spark.query import filters as qf
 from iresearch_spark.query.executor import IndexSearcher
 from iresearch_spark.store import SnapshotStore
 from iresearch_spark.textops import dedup, multimodal, quality, similarity
-from iresearch_spark.textops.sqlgen import base_ctes, bm25_phrase_sql, bm25_topk_sql
+from iresearch_spark.textops.sqlgen import (
+    _score_expr,
+    base_ctes,
+    bm25_phrase_sql,
+    bm25_topk_sql,
+)
 
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 _SEARCHERS: dict[str, IndexSearcher] = {}
@@ -128,6 +133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tfidf_or2"] = _bm25_query(
         qf.Or(qf.Term("data"), qf.Term("dup")), scorer="tfidf"
     )
+    # F11 column-existence composed with scoring: constant boost joins the
+    # BM25 sum for docs whose stored column is present
+    q["bm25_colexists"] = _bm25_query(
+        qf.And(qf.Term("table"), qf.ColumnExists("lang"))
+    )
 
     def term_dict_stats(spark, sf_dir):
         s = _searcher(spark, sf_dir)
@@ -218,6 +228,21 @@ scored AS (
          sum((1.0 + ln(s.n_docs / (df.df + 1.0))) * sqrt(tf.tf) / sqrt(dl.dl)) AS score
   FROM tf JOIN qterms USING (term) JOIN df USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY rank"""
+    o["bm25_colexists"] = f"""{base_ctes()},
+qterms(term) AS (VALUES ('table')),
+scored AS (
+  SELECT tf.doc_id, sum({_score_expr(1.2, 0.75)}) + 1.0 AS score
+  FROM tf JOIN qterms USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN documents doc ON doc.doc_id = tf.doc_id AND doc.lang IS NOT NULL
+  CROSS JOIN stats s
   GROUP BY tf.doc_id
 )
 SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (

@@ -89,6 +89,9 @@ def _walk_terms(node: qf.Filter, terms: set[str], phrases: list) -> None:
     elif isinstance(node, (qf.Phrase, qf.SamePosition)):
         terms.update(node.terms)
         phrases.append(node)
+    elif isinstance(node, qf.NgramSimilarity):
+        terms.update(node.grams())
+        phrases.append(node)
     elif isinstance(node, qf.And):
         for c in node.children:
             _walk_terms(c, terms, phrases)
@@ -238,9 +241,49 @@ class IndexSearcher:
             node: tuple(sorted(by_node.get(i, []))) for i, node in enumerate(nodes)
         }
 
+    def _resolve_column_exists(self, node: qf.Filter) -> qf.Filter:
+        """Rewrite ColumnExists leaves into per-segment DocSets by scanning
+        the doc table once per column ([up] column_existence_filter
+        materializes a column iterator; here the doc table IS the
+        columnstore). The doc-id set is collected to the driver — at scale
+        this filter should wrap a selective sub-tree, exactly like the
+        reference's cached bitset usage."""
+        if isinstance(node, qf.ColumnExists):
+            rows = (
+                self.store.read_docs(self.spark, self.sid)
+                .filter(F.col(node.column).isNotNull())
+                .select("seg_id", "doc_id")
+                .collect()
+            )
+            by_seg: dict[int, list[int]] = {}
+            for r in rows:
+                by_seg.setdefault(int(r["seg_id"]), []).append(int(r["doc_id"]))
+            return qf.DocSet(by_seg, boost=node.boost)
+        if isinstance(node, qf.And):
+            return qf.And(
+                *[self._resolve_column_exists(c) for c in node.children],
+                boost=node.boost,
+            )
+        if isinstance(node, qf.Or):
+            return qf.Or(
+                *[self._resolve_column_exists(c) for c in node.children],
+                min_match=node.min_match,
+                boost=node.boost,
+            )
+        if isinstance(node, qf.Not):
+            return qf.Not(
+                self._resolve_column_exists(node.child),
+                self._resolve_column_exists(node.excluded),
+                node.boost,
+            )
+        return node
+
     def prepare(self, queries: dict[int, qf.Filter]):
         """Normalize + expand all query trees; returns (trees, terms, idf)."""
-        norm = {qid: qf.normalize(f) for qid, f in queries.items()}
+        norm = {
+            qid: self._resolve_column_exists(qf.normalize(f))
+            for qid, f in queries.items()
+        }
         exp_nodes: list[qf.Filter] = []
         for t in norm.values():
             _collect_expansions(t, exp_nodes)
@@ -293,7 +336,10 @@ class IndexSearcher:
         trees, terms, idf, need_pos = self.prepare(queries)
         avgdl, k1, b = self.avgdl, self.k1, self.b
         scorer = self.scorer
-        if not terms:
+        term_free = any(
+            not isinstance(t, qf.Empty) for t in trees.values()
+        ) and not terms  # DocSet/AllDocs-only queries still need execution
+        if not terms and not term_free:
             schema = "qid bigint, rank int, seg_id int, doc_id bigint, score double"
             if with_urls:
                 schema = (
@@ -369,8 +415,8 @@ def _make_segment_kernel(
             {"qid": pd.Series([], dtype="int64"), "seg_id": pd.Series([], dtype="int32"),
              "doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")}
         )
-        if len(norms_pdf) == 0 or len(postings_pdf) == 0:
-            return empty
+        if len(norms_pdf) == 0:
+            return empty  # postings may legitimately be empty (DocSet-only)
         seg_id = int(norms_pdf["seg_id"].iloc[0])
         dls = np.frombuffer(norms_pdf["dls_bin"].iloc[0], dtype="<u4").astype(
             np.float64
@@ -467,6 +513,11 @@ def _make_segment_kernel(
                 return eval_phrase(node)
             if isinstance(node, qf.SamePosition):
                 return eval_same_position(node)
+            if isinstance(node, qf.DocSet):
+                ds = np.asarray(node.for_segment(seg_id), dtype=np.int64)
+                return ds, np.full(len(ds), float(node.boost))
+            if isinstance(node, qf.NgramSimilarity):
+                return eval_ngram_similarity(node)
             raise TypeError(f"cannot evaluate {type(node)}")
 
         def _positional_match(terms, offsets, boost):
@@ -523,6 +574,77 @@ def _make_segment_kernel(
         def eval_same_position(node):
             return _positional_match(
                 list(node.terms), [0] * len(node.terms), node.boost
+            )
+
+        def eval_ngram_similarity(node):
+            """F9: longest positionally-increasing chain of matched target
+            grams / gram count >= threshold; score = boost * similarity.
+            Candidates are the gram-union docs; the LIS runs per candidate
+            (bounded by the expansion, [up] ngram_similarity_filter.cpp)."""
+            grams = list(node.grams())
+            m = len(grams)
+            if m == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            import bisect
+
+            per_gram = []  # (docs, tfs, row) per gram present in segment
+            for g in grams:
+                row = term_rows.get(g)
+                if row is None:
+                    per_gram.append(None)
+                    continue
+                docs, tfs = get_postings(g)
+                per_gram.append((row, docs, tfs))
+            cand = np.unique(
+                np.concatenate(
+                    [d for pg in per_gram if pg for d in (pg[1],)]
+                    or [np.empty(0, np.int64)]
+                )
+            )
+            if len(cand) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            # per gram: positions for each candidate doc (empty if absent)
+            pos_per_gram = []
+            for pg in per_gram:
+                if pg is None:
+                    pos_per_gram.append(None)
+                    continue
+                row, docs, tfs = pg
+                idx = np.searchsorted(docs, cand)
+                idx_c = np.minimum(idx, max(len(docs) - 1, 0))
+                present = (len(docs) > 0) & (docs[idx_c] == cand)
+                sel = idx_c[present]
+                counts = tfs[sel].astype(np.int64)
+                pls = decode_positions_for(
+                    bytes(row.pos_off), bytes(row.pos_pay), sel, counts
+                )
+                by_ci = {}
+                for ci, pl in zip(np.flatnonzero(present), pls):
+                    by_ci[int(ci)] = pl
+                pos_per_gram.append(by_ci)
+            out_docs, out_scores = [], []
+            for ci, doc in enumerate(cand):
+                # events: (gram index order implicit) -> LIS over positions
+                tails: list[int] = []
+                for gi in range(m):
+                    bp = pos_per_gram[gi]
+                    if not bp or ci not in bp:
+                        continue
+                    # descending within a gram: one gram can extend the
+                    # chain at most once (classic grouped-LIS trick)
+                    for p in sorted(bp[ci].tolist(), reverse=True):
+                        j = bisect.bisect_left(tails, p)
+                        if j == len(tails):
+                            tails.append(p)
+                        else:
+                            tails[j] = p
+                sim = len(tails) / m
+                if sim >= node.threshold:
+                    out_docs.append(int(doc))
+                    out_scores.append(node.boost * sim)
+            return (
+                np.asarray(out_docs, dtype=np.int64),
+                np.asarray(out_scores, dtype=np.float64),
             )
 
         out_frames = []

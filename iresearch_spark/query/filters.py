@@ -94,6 +94,65 @@ class Phrase(Filter):
 
 
 @dataclass(frozen=True)
+class ColumnExists(Filter):
+    """Docs whose stored column is non-null (F11,
+    [up] core/search/column_existence_filter.cpp). Resolved at prepare
+    time against the doc table into a DocSet (the reference materializes
+    a column iterator per segment the same way). Filter-only semantics:
+    constant score = boost."""
+
+    column: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DocSet(Filter):
+    """Pre-materialized per-segment doc-id set (F18 cached bitset filter,
+    [up] core/search/bitset_doc_iterator.cpp). seg_docs is a tuple of
+    (seg_id, sorted tuple of doc_ids); score = boost for every member."""
+
+    seg_docs: tuple[tuple[int, tuple[int, ...]], ...]
+    boost: float = 1.0
+
+    def __init__(self, seg_docs, boost: float = 1.0):
+        norm = tuple(
+            sorted((int(s), tuple(sorted(int(d) for d in docs))) for s, docs in (
+                seg_docs.items() if isinstance(seg_docs, dict) else seg_docs
+            ))
+        )
+        object.__setattr__(self, "seg_docs", norm)
+        object.__setattr__(self, "boost", boost)
+
+    def for_segment(self, seg_id: int) -> tuple[int, ...]:
+        for s, docs in self.seg_docs:
+            if s == seg_id:
+                return docs
+        return ()
+
+
+@dataclass(frozen=True)
+class NgramSimilarity(Filter):
+    """Approximate-match filter (F9,
+    [up] core/search/ngram_similarity_filter.cpp): the target string is
+    split into character n-grams (the A4 analyzer); a doc matches when the
+    longest positionally-increasing chain of matched grams, relative to
+    the target's gram count, reaches `threshold`; score = boost ·
+    similarity · Σ idf(gram present). The chain criterion mirrors the
+    reference's longest-sequence search over positions."""
+
+    target: str
+    threshold: float = 0.7
+    n: int = 2
+    boost: float = 1.0
+
+    def grams(self) -> tuple[str, ...]:
+        t = self.target
+        if len(t) < self.n:
+            return (t,) if t else ()
+        return tuple(t[i : i + self.n] for i in range(len(t) - self.n + 1))
+
+
+@dataclass(frozen=True)
 class SamePosition(Filter):
     """Terms co-occurring at the identical position (F10,
     [up] core/search/same_position_filter.cpp). In a single-valued text

@@ -99,3 +99,78 @@ def test_same_position_filter(spark, unit_index):
         for seg, doc, _url, score in oracle.search(flt2, k=15)
     ]
     assert got2 == exp2 and got2
+
+
+def test_column_exists_and_docset(spark, unit_index):
+    """F11 column-existence + F18 cached doc-set filters."""
+    from iresearch_spark.query import filters as qf
+    from iresearch_spark.query.executor import IndexSearcher
+
+    store, sid, oracle = unit_index
+    s = IndexSearcher(spark, store, sid)
+    # lang is non-null for every doc: ColumnExists alone matches all docs
+    n = s.search(qf.ColumnExists("lang"), k=1 << 30, with_urls=False).count()
+    assert n == oracle.n_docs
+    # And(term, exists) = term ranking with every score shifted by +1.0
+    base = [
+        (r["seg_id"], r["doc_id"], round(r["score"], 9))
+        for r in s.search(qf.Term("w3"), k=10, with_urls=False).collect()
+    ]
+    shifted = [
+        (r["seg_id"], r["doc_id"], round(r["score"] - 1.0, 9))
+        for r in s.search(
+            qf.And(qf.Term("w3"), qf.ColumnExists("lang")), k=10, with_urls=False
+        ).collect()
+    ]
+    assert base == shifted
+    # explicit DocSet: exactly the requested ids at boost score
+    ds = qf.DocSet({0: [1, 2, 3], 1: [5]}, boost=2.5)
+    got = sorted(
+        (r["seg_id"], r["doc_id"], r["score"])
+        for r in s.search(ds, k=10, with_urls=False).collect()
+    )
+    assert got == [(0, 1, 2.5), (0, 2, 2.5), (0, 3, 2.5), (1, 5, 2.5)]
+
+
+def test_ngram_similarity(spark, tmp_path):
+    """F9: longest positional gram chain / gram count >= threshold.
+    The corpus simulates an ngram-analyzed field (A4): doc text IS the
+    char-bigram stream of the original value."""
+    import pandas as pd
+
+    from iresearch_spark.build import build_index
+    from iresearch_spark.query import filters as qf
+    from iresearch_spark.query.executor import IndexSearcher
+    from iresearch_spark.store import SnapshotStore
+
+    corpus = pd.DataFrame(
+        {
+            "url": ["a", "b", "c", "d"],
+            "warc_ts": pd.to_datetime(["2026-01-01"] * 4),
+            "html": [None] * 4,
+            # target "table" -> grams: ta ab bl le
+            "text": [
+                "ta ab bl le xx",   # full in-order chain: sim 1.0
+                "ta bl ab le",      # best chain ta,bl,le (or ta,ab,le): 0.75
+                "le bl ab ta",      # reversed: best chain length 1: 0.25
+                "zz yy",            # no grams: no match
+            ],
+            "lang": ["en"] * 4,
+        }
+    )
+    store = SnapshotStore(str(tmp_path / "ngram_idx"))
+    build_index(spark, spark.createDataFrame(corpus), store, n_segments=1, source="t")
+    s = IndexSearcher(spark, store)
+    flt = qf.NgramSimilarity("table", threshold=0.7, n=2)
+    got = {
+        r["url"]: round(r["score"], 6)
+        for r in s.search(flt, k=10, with_urls=True).collect()
+    }
+    assert got == {"a": 1.0, "b": 0.75}
+    # low threshold admits the reversed doc at 0.25
+    flt2 = qf.NgramSimilarity("table", threshold=0.2, n=2)
+    got2 = {
+        r["url"]: round(r["score"], 6)
+        for r in s.search(flt2, k=10, with_urls=True).collect()
+    }
+    assert got2 == {"a": 1.0, "b": 0.75, "c": 0.25}

@@ -21,9 +21,10 @@ new snapshot; stats stay segment-static until a merge compacts the masked
 docs — the reference behaves the same way (deletes are invisible to
 scoring stats until consolidation rewrites the segment).
 
-Scale bound: one merge materializes the merged segment's norms array on
-the driver (for blockmax recompute) — 4 bytes/doc, so a merge set is
-expected to stay within the tier policy's max_segments_bytes budget
+Scale bound: one merge broadcasts the merged segment's dense dl blob
+(built distributively by the norms job, then read back as ONE binary row
+of 4 bytes/doc — no per-row driver path) for blockmax recompute inside
+merge_term. A merge set stays within the tier policy's max_segments_bytes budget
 (exactly the reference's invariant: merge_writer streams ONE bounded
 merge at a time; unbounded merges are prevented by policy, not by the
 writer).
@@ -182,12 +183,26 @@ def merge_segments(
             }
         )
 
-    # merged norms (needed inside merge_term for blockmax recompute):
-    # dense dl array of the NEW segment, built from the merged docs table
-    new_dls = (
-        merged_docs.select("doc_id", "dl").orderBy("doc_id").toPandas()
+    # ---- norms table FIRST (distributed dense-dl build; merge_term needs
+    # the dl array for blockmax recompute). The per-segment dls_bin blob is
+    # then read back (one row, 4 bytes/doc of packed binary) and broadcast —
+    # never the per-row toPandas path.
+    (
+        spark.read.parquet(docs_dir)
+        .select("seg_id", "doc_id", "dl")
+        .groupBy("seg_id")
+        .applyInPandas(kernels.norms_builder, kernels.NORMS_SCHEMA)
+        .withColumn("seg_part", F.col("seg_id"))
+        .write.partitionBy("seg_part")
+        .parquet(norms_dir, mode="overwrite")
     )
-    dls_arr = new_dls["dl"].to_numpy().astype("<u4")
+    import pyarrow.parquet as pq
+
+    norms_tbl = pq.read_table(norms_dir, columns=["dls_bin"])
+    assert norms_tbl.num_rows == 1
+    dls_arr = np.frombuffer(
+        bytes(norms_tbl.column("dls_bin")[0].as_py()), dtype="<u4"
+    )
     bc_norms = spark.sparkContext.broadcast(dls_arr)
 
     merged_post = (
@@ -199,17 +214,6 @@ def merge_segments(
         merged_post.withColumn("seg_part", F.col("seg_id"))
         .write.partitionBy("seg_part")
         .parquet(post_dir, mode="overwrite")
-    )
-
-    # ---- norms table
-    (
-        spark.read.parquet(docs_dir)
-        .select("seg_id", "doc_id", "dl")
-        .groupBy("seg_id")
-        .applyInPandas(kernels.norms_builder, kernels.NORMS_SCHEMA)
-        .withColumn("seg_part", F.col("seg_id"))
-        .write.partitionBy("seg_part")
-        .parquet(norms_dir, mode="overwrite")
     )
 
     # ---- snapshot: survivors + the merged segment
@@ -257,9 +261,10 @@ def delete_by_query(spark, store: SnapshotStore, flt) -> int:
 
     snap = store.snapshot()
     searcher = IndexSearcher(spark, store)
-    matched = searcher.search_batch(
-        {0: flt}, k=1 << 30, with_urls=False
-    ).select("seg_id", "doc_id")
+    # match-only path: no scoring, no global ranking window — a delete can
+    # match most of the corpus, and ranking it would funnel every match
+    # through one partition's sort
+    matched = searcher.match_docs(flt)
     old_masks = _load_masks(store, snap)
 
     def to_blob(key, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -38,22 +38,34 @@ def wildcard_to_regex(pattern: str) -> str:
     return "".join(out)
 
 
-def levenshtein(a: str, b: str, max_d: int) -> int:
-    """Plain Levenshtein distance, early-exit if > max_d
-    (the reference builds a parametric automaton,
-    [up] core/utils/levenshtein_utils.cpp; same metric)."""
+def levenshtein(
+    a: str, b: str, max_d: int, transpositions: bool = False
+) -> int:
+    """Levenshtein distance, early-exit if > max_d; with
+    `transpositions` the OSA/restricted-Damerau variant (adjacent swap
+    costs 1) — the reference's parametric automaton supports both
+    ([up] core/utils/levenshtein_utils.cpp)."""
     if abs(len(a) - len(b)) > max_d:
         return max_d + 1
+    prev2: list[int] | None = None
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
         cur = [i] + [0] * len(b)
         best = i
         for j, cb in enumerate(b, 1):
             cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            if (
+                transpositions
+                and i >= 2
+                and j >= 2
+                and ca == b[j - 2]
+                and a[i - 2] == cb
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
             best = min(best, cur[j])
         if best > max_d:
             return max_d + 1
-        prev = cur
+        prev2, prev = prev, cur
     return prev[-1]
 
 
@@ -151,7 +163,10 @@ class OracleIndex:
             cand = [
                 t
                 for t in d
-                if levenshtein(node.term, t, node.max_distance) <= node.max_distance
+                if levenshtein(
+                    node.term, t, node.max_distance, node.with_transpositions
+                )
+                <= node.max_distance
             ]
         else:  # pragma: no cover
             raise TypeError(type(node))

@@ -38,7 +38,7 @@ from iresearch_spark.codec.postings import (
 )
 from iresearch_spark.oracle.model import wildcard_to_regex
 from iresearch_spark.query import filters as qf
-from iresearch_spark.query.fuzzy import levenshtein_leq_mask
+from iresearch_spark.query.fuzzy import damerau_leq_mask, levenshtein_leq_mask
 from iresearch_spark.query.wand import TermPostings, and_terms, or_terms_topk
 from iresearch_spark.store import SnapshotStore
 
@@ -101,6 +101,17 @@ def _walk_terms(node: qf.Filter, terms: set[str], phrases: list) -> None:
     elif isinstance(node, qf.Not):
         _walk_terms(node.child, terms, phrases)
         _walk_terms(node.excluded, terms, phrases)
+
+
+def _walk_columns(node: qf.Filter, out: set) -> None:
+    if isinstance(node, qf.ColumnExists):
+        out.add(node.column)
+    elif isinstance(node, (qf.And, qf.Or)):
+        for c in node.children:
+            _walk_columns(c, out)
+    elif isinstance(node, qf.Not):
+        _walk_columns(node.child, out)
+        _walk_columns(node.excluded, out)
 
 
 def _collect_expansions(node: qf.Filter, out: list) -> None:
@@ -197,11 +208,16 @@ class IndexSearcher:
                 )
             elif isinstance(node, qf.Fuzzy):
                 q, d = node.term, node.max_distance
+                metric = (
+                    damerau_leq_mask
+                    if node.with_transpositions
+                    else levenshtein_leq_mask
+                )
                 len_ok = F.length("term").between(len(q) - d, len(q) + d)
 
                 @F.pandas_udf("boolean")
                 def lev_ok(terms: pd.Series) -> pd.Series:
-                    mask = levenshtein_leq_mask(q, terms.to_numpy(dtype=np.str_), d)
+                    mask = metric(q, terms.to_numpy(dtype=np.str_), d)
                     return pd.Series(mask)
 
                 conds.append(len_ok & lev_ok(F.col("term")))
@@ -241,49 +257,53 @@ class IndexSearcher:
             node: tuple(sorted(by_node.get(i, []))) for i, node in enumerate(nodes)
         }
 
-    def _resolve_column_exists(self, node: qf.Filter) -> qf.Filter:
-        """Rewrite ColumnExists leaves into per-segment DocSets by scanning
-        the doc table once per column ([up] column_existence_filter
-        materializes a column iterator; here the doc table IS the
-        columnstore). The doc-id set is collected to the driver — at scale
-        this filter should wrap a selective sub-tree, exactly like the
-        reference's cached bitset usage."""
-        if isinstance(node, qf.ColumnExists):
-            rows = (
-                self.store.read_docs(self.spark, self.sid)
-                .filter(F.col(node.column).isNotNull())
-                .select("seg_id", "doc_id")
-                .collect()
+    def _existence_df(self, columns: list[str]) -> DataFrame:
+        """Per-segment existence sets for ColumnExists leaves, fully
+        distributed ([up] core/search/column_existence_filter.cpp
+        materializes a per-segment column iterator; here the doc table IS
+        the columnstore). One doc-table scan covers ALL referenced
+        columns; the per-segment sorted doc-id blobs ride the cogroup into
+        the scoring kernel exactly like mask_bin — nothing touches the
+        driver."""
+        docs = self.store.read_docs(self.spark, self.sid)
+        flags = [
+            F.col(c).isNotNull().alias(f"__ex_{i}") for i, c in enumerate(columns)
+        ]
+        sel = docs.select("seg_id", "doc_id", *flags)
+        cols = list(columns)
+
+        def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("doc_id")
+            bins = [
+                pdf.loc[pdf[f"__ex_{i}"], "doc_id"]
+                .to_numpy(dtype=np.int64)
+                .astype("<u4")
+                .tobytes()
+                for i in range(len(cols))
+            ]
+            return pd.DataFrame(
+                {"seg_id": [int(key[0])], "ex_cols": [cols], "ex_bins": [bins]}
             )
-            by_seg: dict[int, list[int]] = {}
-            for r in rows:
-                by_seg.setdefault(int(r["seg_id"]), []).append(int(r["doc_id"]))
-            return qf.DocSet(by_seg, boost=node.boost)
-        if isinstance(node, qf.And):
-            return qf.And(
-                *[self._resolve_column_exists(c) for c in node.children],
-                boost=node.boost,
-            )
-        if isinstance(node, qf.Or):
-            return qf.Or(
-                *[self._resolve_column_exists(c) for c in node.children],
-                min_match=node.min_match,
-                boost=node.boost,
-            )
-        if isinstance(node, qf.Not):
-            return qf.Not(
-                self._resolve_column_exists(node.child),
-                self._resolve_column_exists(node.excluded),
-                node.boost,
-            )
-        return node
+
+        return sel.groupBy("seg_id").applyInPandas(
+            build, "seg_id int, ex_cols array<string>, ex_bins array<binary>"
+        )
+
+    def _norms_side(self, trees) -> DataFrame:
+        """Norms table, plus per-segment existence blobs when any query
+        references a ColumnExists filter."""
+        columns: set[str] = set()
+        for t in trees.values():
+            _walk_columns(t, columns)
+        if not columns:
+            return self._norms
+        return self._norms.join(
+            self._existence_df(sorted(columns)), "seg_id", "left"
+        )
 
     def prepare(self, queries: dict[int, qf.Filter]):
         """Normalize + expand all query trees; returns (trees, terms, idf)."""
-        norm = {
-            qid: self._resolve_column_exists(qf.normalize(f))
-            for qid, f in queries.items()
-        }
+        norm = {qid: qf.normalize(f) for qid, f in queries.items()}
         exp_nodes: list[qf.Filter] = []
         for t in norm.values():
             _collect_expansions(t, exp_nodes)
@@ -357,7 +377,7 @@ class IndexSearcher:
         )
         per_seg = (
             rows.groupBy("seg_id")
-            .cogroup(self._norms.groupBy("seg_id"))
+            .cogroup(self._norms_side(trees).groupBy("seg_id"))
             .applyInPandas(kernel, RESULT_SCHEMA)
         )
         if tie == "url":
@@ -397,18 +417,46 @@ class IndexSearcher:
     def search(self, flt: qf.Filter, k: int = 10, with_urls: bool = True) -> DataFrame:
         return self.search_batch({0: flt}, k=k, with_urls=with_urls).drop("qid")
 
+    def match_docs(self, flt: qf.Filter) -> DataFrame:
+        """Match-only execution: every (seg_id, doc_id) the filter matches,
+        straight from the per-segment kernel — no scoring pass, no
+        row_number window, no global sort. This is the path maintenance
+        operations (delete-by-query, cached-filter materialization) use;
+        ranking machinery on an unranked match set is a scale hazard
+        (a delete can match most of the corpus)."""
+        trees, terms, idf, need_pos = self.prepare({0: flt})
+        if all(isinstance(t, qf.Empty) for t in trees.values()):
+            return self.spark.createDataFrame([], "seg_id int, doc_id bigint")
+        cols = ["seg_id", "term", "df", "blob", "skip", "bmax"]
+        if need_pos:
+            cols += ["pos_off", "pos_pay"]
+        rows = self._postings.filter(F.col("term").isin(list(terms))).select(*cols)
+        kernel = _make_segment_kernel(
+            trees, idf, self.avgdl, self.k1, self.b, 0, need_pos,
+            None, self.scorer, match_only=True,
+        )
+        return (
+            rows.groupBy("seg_id")
+            .cogroup(self._norms_side(trees).groupBy("seg_id"))
+            .applyInPandas(kernel, RESULT_SCHEMA)
+            .select("seg_id", "doc_id")
+        )
+
 
 # ------------------------------------------------------------------ kernel
 
 
 def _make_segment_kernel(
-    trees, idf, avgdl, k1, b, k, need_pos, score_round=None, scorer="bm25"
+    trees, idf, avgdl, k1, b, k, need_pos, score_round=None, scorer="bm25",
+    match_only=False,
 ):
     """Per-segment scoring kernel (runs in applyInPandas cogroup).
 
     Decodes each needed (term, seg) posting list once, evaluates every
     query tree with float64 numpy in the frozen association order, and
-    returns the per-segment top-k per query."""
+    returns the per-segment top-k per query. With `match_only` the WAND
+    fast paths and the top-k truncation are skipped and EVERY matching
+    doc is emitted (score column carries 0.0)."""
 
     def kernel(postings_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -426,6 +474,15 @@ def _make_segment_kernel(
             mb = norms_pdf["mask_bin"].iloc[0]
             if mb is not None and len(mb):
                 mask = np.frombuffer(bytes(mb), dtype="<u4").astype(np.int64)
+        ex_sets: dict[str, np.ndarray] = {}
+        if "ex_cols" in norms_pdf.columns:
+            ec = norms_pdf["ex_cols"].iloc[0]
+            eb = norms_pdf["ex_bins"].iloc[0]
+            if ec is not None:
+                for c, blob in zip(ec, eb):
+                    ex_sets[c] = np.frombuffer(
+                        bytes(blob), dtype="<u4"
+                    ).astype(np.int64)
         term_rows = {r.term: r for r in postings_pdf.itertuples()}
         readers: dict[str, TermPostings | None] = {}
 
@@ -516,6 +573,11 @@ def _make_segment_kernel(
             if isinstance(node, qf.DocSet):
                 ds = np.asarray(node.for_segment(seg_id), dtype=np.int64)
                 return ds, np.full(len(ds), float(node.boost))
+            if isinstance(node, qf.ColumnExists):
+                docs = ex_sets.get(node.column)
+                if docs is None:
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+                return docs, np.full(len(docs), float(node.boost))
             if isinstance(node, qf.NgramSimilarity):
                 return eval_ngram_similarity(node)
             raise TypeError(f"cannot evaluate {type(node)}")
@@ -578,16 +640,24 @@ def _make_segment_kernel(
 
         def eval_ngram_similarity(node):
             """F9: longest positionally-increasing chain of matched target
-            grams / gram count >= threshold; score = boost * similarity.
-            Candidates are the gram-union docs; the LIS runs per candidate
-            (bounded by the expansion, [up] ngram_similarity_filter.cpp)."""
+            grams / gram count >= threshold; score = boost * similarity
+            ([up] ngram_similarity_filter.cpp's longest-sequence search).
+
+            Two-phase: (1) a fully vectorized count prefilter — a chain of
+            length L uses L distinct gram slots, so sim >= threshold needs
+            at least ceil(threshold·m) slots present, computed with one
+            scatter-add over the candidate union (common grams matching
+            most of the corpus cost one searchsorted, not a Python pass);
+            (2) the grouped-LIS runs ONLY on survivors, whose positions
+            are the only ones decoded."""
             grams = list(node.grams())
             m = len(grams)
             if m == 0:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             import bisect
+            import math
 
-            per_gram = []  # (docs, tfs, row) per gram present in segment
+            per_gram = []  # (row, docs, tfs) per gram present in segment
             for g in grams:
                 row = term_rows.get(g)
                 if row is None:
@@ -595,15 +665,19 @@ def _make_segment_kernel(
                     continue
                 docs, tfs = get_postings(g)
                 per_gram.append((row, docs, tfs))
-            cand = np.unique(
-                np.concatenate(
-                    [d for pg in per_gram if pg for d in (pg[1],)]
-                    or [np.empty(0, np.int64)]
-                )
-            )
+            present_pg = [pg for pg in per_gram if pg]
+            if not present_pg:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            cand_all = np.unique(np.concatenate([pg[1] for pg in present_pg]))
+            # phase 1: slots-present count per candidate (vectorized)
+            need = max(1, int(math.ceil(node.threshold * m - 1e-9)))
+            cnt = np.zeros(len(cand_all), np.int64)
+            for pg in present_pg:
+                cnt[np.searchsorted(cand_all, pg[1])] += 1
+            cand = cand_all[cnt >= need]
             if len(cand) == 0:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
-            # per gram: positions for each candidate doc (empty if absent)
+            # phase 2: positions for surviving candidates only
             pos_per_gram = []
             for pg in per_gram:
                 if pg is None:
@@ -649,6 +723,24 @@ def _make_segment_kernel(
 
         out_frames = []
         for qid, tree in trees.items():
+            if match_only:
+                docs, _ = eval_node(tree)
+                if mask is not None and len(docs):
+                    keep = ~np.isin(docs, mask, assume_unique=True)
+                    docs = docs[keep]
+                if len(docs) == 0:
+                    continue
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(docs), qid, dtype=np.int64),
+                            "seg_id": np.full(len(docs), seg_id, dtype=np.int32),
+                            "doc_id": docs,
+                            "score": np.zeros(len(docs), dtype=np.float64),
+                        }
+                    )
+                )
+                continue
             docs = scores = None
             ft = _flatten_or_terms(tree)
             if ft is not None and len(ft) >= 2:

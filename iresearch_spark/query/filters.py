@@ -96,10 +96,11 @@ class Phrase(Filter):
 @dataclass(frozen=True)
 class ColumnExists(Filter):
     """Docs whose stored column is non-null (F11,
-    [up] core/search/column_existence_filter.cpp). Resolved at prepare
-    time against the doc table into a DocSet (the reference materializes
-    a column iterator per segment the same way). Filter-only semantics:
-    constant score = boost."""
+    [up] core/search/column_existence_filter.cpp). Resolved fully
+    distributed: one doc-table scan emits per-segment sorted doc-id blobs
+    that ride the cogroup into the scoring kernel (the reference
+    materializes a per-segment column iterator the same way). Filter-only
+    semantics: constant score = boost."""
 
     column: str
     boost: float = 1.0

@@ -195,34 +195,31 @@ SIM_BANDS = 4
 
 
 def simhash(docs: DataFrame, bits: int = SIM_BITS) -> DataFrame:
-    """48-bit SimHash: bit b set iff Σ_term tf·(±1 by hash bit b) > 0."""
-    tf = (
-        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("h", md5_long(F.col("term")))
-    )
-    contrib = tf.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "tf",
-        "h",
-    ).withColumn(
-        "w",
-        F.when(F.expr("(h >> bit) & 1") == 1, F.col("tf")).otherwise(-F.col("tf")),
-    )
-    return (
-        contrib.groupBy("doc_id", "bit")
-        .agg(F.sum("w").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ).alias("simhash")
+    """48-bit SimHash: bit b set iff Σ_term tf·(±1 by hash bit b) > 0.
+
+    One shuffle only: token occurrences are hashed row-wise, then a single
+    groupBy(doc_id) computes all `bits` signed sums as aggregate COLUMNS
+    (map-side partial agg) — no per-bit row explosion, and no intermediate
+    (doc, term) tf grouping (Σ_occurrences ±1 == Σ_terms ±tf). At 10^12
+    docs the shuffle volume is exactly the token table, not 48× it."""
+    occ = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    ).withColumn("h", md5_long(F.col("term")))
+    sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = occ.groupBy("doc_id").agg(*sums)
+    sim = None
+    for b in range(bits):
+        term = (
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
         )
-    )
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -106,6 +106,21 @@ def test_delete_by_query(spark, split_store, tmp_path):
         assert got == expect, f"query {q}"
 
 
+def test_delete_uses_match_only_plan(spark, split_store):
+    """M4: the delete path must rank nothing — no Window (global sort of
+    the match set) anywhere in the executed plan, and every matching doc
+    is returned (not a top-k prefix)."""
+    s = IndexSearcher(spark, split_store)
+    matched = s.match_docs(qf.Term("w3"))
+    plan = matched._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    n_match = matched.count()
+    n_topk_all = s.search_batch(
+        {0: qf.Term("w3")}, k=1 << 30, with_urls=False
+    ).count()
+    assert n_match == n_topk_all and n_match > 0
+
+
 def test_merge_compacts_masked_docs(spark, unit_corpus, split_store, tmp_path):
     store = _copy_store(split_store, tmp_path)
     n_before = store.snapshot()["stats"]["n_docs"]

@@ -101,6 +101,56 @@ def test_same_position_filter(spark, unit_index):
     assert got2 == exp2 and got2
 
 
+def test_fuzzy_transpositions_rank_identical(searcher, unit_index):
+    """F8 with_transpositions: OSA expansion differs from plain Levenshtein
+    (w21 is one adjacent swap from w12) and the engine matches the oracle
+    for both metrics."""
+    from iresearch_spark.query import filters as qf
+
+    _store, _sid, oracle = unit_index
+    trees = {
+        0: qf.Fuzzy("w12", max_distance=1, with_transpositions=True),
+        1: qf.Fuzzy("w12", max_distance=1, with_transpositions=False),
+        2: qf.Fuzzy("w102", max_distance=2, with_transpositions=True),
+    }
+    assert "w21" in oracle.expand(trees[0])
+    assert "w21" not in oracle.expand(trees[1])
+    got = _spark_results(searcher, trees, k=15)
+    for qid, tree in trees.items():
+        want = oracle.search(tree, k=15)
+        have = got.get(qid, [])
+        assert len(have) == len(want), qid
+        for (rank, seg, doc, url, score), (oseg, odoc, ourl, oscore) in zip(
+            have, want
+        ):
+            assert (seg, doc, url, score) == (oseg, odoc, ourl, oscore), qid
+
+
+def test_column_exists_is_distributed(spark, unit_index, monkeypatch):
+    """F11 must never materialize the existence set on the driver: the
+    whole-corpus existence set (1000 docs) resolves with ZERO
+    DataFrame.collect calls on the match path."""
+    from pyspark.sql import DataFrame
+
+    from iresearch_spark.query import filters as qf
+    from iresearch_spark.query.executor import IndexSearcher
+
+    store, sid, oracle = unit_index
+    s = IndexSearcher(spark, store, sid)
+    collected: list[int] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    n = s.match_docs(qf.ColumnExists("lang")).count()
+    assert n == oracle.n_docs
+    assert collected == [], "ColumnExists resolution collected rows to the driver"
+
+
 def test_column_exists_and_docset(spark, unit_index):
     """F11 column-existence + F18 cached doc-set filters."""
     from iresearch_spark.query import filters as qf
@@ -174,3 +224,59 @@ def test_ngram_similarity(spark, tmp_path):
         for r in s.search(flt2, k=10, with_urls=True).collect()
     }
     assert got2 == {"a": 1.0, "b": 0.75, "c": 0.25}
+
+
+def test_ngram_similarity_common_gram_prefilter(spark, tmp_path):
+    """F9 at skew: a gram matching >50% of the corpus must be pruned by the
+    vectorized count prefilter, not fed to the per-candidate chain search —
+    results stay exact either way."""
+    import pandas as pd
+
+    from iresearch_spark.build import build_index
+    from iresearch_spark.query import filters as qf
+    from iresearch_spark.query.executor import IndexSearcher
+    from iresearch_spark.store import SnapshotStore
+
+    n = 120
+    texts = []
+    for i in range(n):
+        if i < 3:
+            texts.append("ta ab bl le")  # full chain, sim 1.0
+        elif i < 6:
+            texts.append("ta ab zz")  # half chain, sim 0.5
+        else:
+            texts.append("ta qq rr")  # common gram only, sim 0.25
+    corpus = pd.DataFrame(
+        {
+            "url": [f"{i:04d}" for i in range(n)],
+            "warc_ts": pd.to_datetime(["2026-01-01"] * n),
+            "html": [None] * n,
+            "text": texts,
+            "lang": ["en"] * n,
+        }
+    )
+    store = SnapshotStore(str(tmp_path / "ng_skew"))
+    build_index(spark, spark.createDataFrame(corpus), store, n_segments=2, source="t")
+    s = IndexSearcher(spark, store)
+    # threshold 0.7 -> need >= 3 gram slots: the 114 'ta'-only docs are
+    # prefiltered; only the 3 full-chain docs match
+    got = {
+        r["url"]: round(r["score"], 6)
+        for r in s.search(
+            qf.NgramSimilarity("table", threshold=0.7, n=2), k=50, with_urls=True
+        ).collect()
+    }
+    assert got == {f"{i:04d}": 1.0 for i in range(3)}
+    # threshold 0.5 admits the half-chain docs too
+    got2 = {
+        r["url"]: round(r["score"], 6)
+        for r in s.search(
+            qf.NgramSimilarity("table", threshold=0.5, n=2), k=50, with_urls=True
+        ).collect()
+    }
+    assert got2 == {f"{i:04d}": (1.0 if i < 3 else 0.5) for i in range(6)}
+    # threshold 0.25: every doc matches (the common gram alone qualifies)
+    n_low = s.search(
+        qf.NgramSimilarity("table", threshold=0.25, n=2), k=1 << 20, with_urls=False
+    ).count()
+    assert n_low == n

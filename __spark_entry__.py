@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from iresearch_spark.build.indexer import build_index
+from iresearch_spark.fields import FieldSpec
 from iresearch_spark.fixtures.adapter import documents_as_corpus
 from iresearch_spark.query import filters as qf
 from iresearch_spark.query.executor import IndexSearcher
@@ -29,10 +30,25 @@ from iresearch_spark.textops.sqlgen import (
     base_ctes,
     bm25_phrase_sql,
     bm25_topk_sql,
+    stem_tokens_expr,
+    tokens_expr,
+    ws_tokens_expr,
 )
 
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 _SEARCHERS: dict[str, IndexSearcher] = {}
+_LIFECYCLE: dict[str, IndexSearcher] = {}
+
+# Contract index fields (SURVEY.md §2b): the default web text field plus
+# one field per analyzer family — A1 identity, A3 delimiter, A4 ngram,
+# A5 pipeline (text|stem), A6 stem — all over the driver documents table.
+_MF_FIELDS = [
+    FieldSpec("text", "__text__", "text"),
+    FieldSpec("srcid", "source", "identity"),
+    FieldSpec("ws", "text", "delimiter: "),
+    FieldSpec("srcng", "source", "ngram:2,3"),
+    FieldSpec("stem", "text", "text|stem"),
+]
 
 # ---- frozen query specs (terms exist across sf0.001/0.01/0.1 corpora)
 _FILTERS: dict[str, qf.Filter] = {
@@ -50,7 +66,81 @@ _FILTERS: dict[str, qf.Filter] = {
     "bm25_wildcard": qf.Wildcard("%ow"),
     "bm25_fuzzy": qf.Fuzzy("tble", max_distance=1),
     "bm25_phrase": qf.Phrase(["table", "hash"]),
+    # F8 with transpositions (OSA == Damerau at d=1, where DuckDB agrees)
+    "bm25_fuzzy_dl": qf.Fuzzy("tble", max_distance=1, with_transpositions=True),
+    # field-qualified algebra: text BM25 + identity-field term (A1)
+    "bm25_field_term": qf.And(qf.Term("table"), qf.Term("src7", field="srcid")),
+    # A3 delimiter field: phrase over raw whitespace tokens
+    "bm25_ws_phrase": qf.Phrase(["table", "hash"], field="ws"),
+    # F10 over the A4 ngram field: 2-gram and 3-gram sharing a start offset
+    "bm25_sameposition": qf.SamePosition(["c1", "c18"], field="srcng"),
+    # F9 natively over the ngram-analyzed field
+    "bm25_ngram_sim": qf.NgramSimilarity("src1", threshold=0.6, n=2, field="srcng"),
+    # F6 phrase part: position 1 matches any 's'-prefixed term
+    "bm25_phrase_prefix": qf.Phrase(["table", qf.Prefix("s")]),
+    # F17: expansions beyond the cap match unscored
+    "bm25_prefix_capped": qf.Prefix("s", scored_terms_limit=3),
+    # A5/A6 pipeline field text|stem ('customer' stems to 'custom')
+    "bm25_stem": qf.Term("custom", field="stem"),
+    # F12 match-all with boost
+    "alldocs_boost": qf.AllDocs(boost=1.5),
 }
+
+_NGRAM_SIM_SQL = """
+WITH sims AS (
+  SELECT doc_id,
+         ((CASE WHEN contains(source, 'sr') THEN 1 ELSE 0 END)
+          + (CASE WHEN contains(source, 'rc') THEN 1 ELSE 0 END)
+          + (CASE WHEN contains(source, 'c1') THEN 1 ELSE 0 END)) / 3.0 AS sim
+  FROM documents
+),
+scored AS (SELECT doc_id, sim AS score FROM sims WHERE sim >= 0.6)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY rank"""
+
+_SAMEPOS_SQL = """
+WITH g AS (SELECT doc_id, source, len(source) AS L FROM documents),
+ng_dl AS (
+  SELECT doc_id, greatest(L - 1, 0) + greatest(L - 2, 0) AS dl FROM g
+),
+ng_stats AS (
+  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM ng_dl
+),
+dfs AS (
+  SELECT (SELECT count(*) FROM g WHERE contains(source, 'c1')) AS df1,
+         (SELECT count(*) FROM g WHERE contains(source, 'c18')) AS df2
+),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(range(1, L - 1),
+             i -> substr(source, i, 2) = 'c1'
+                  AND substr(source, i, 3) = 'c18')) AS h
+  FROM g
+),
+scored AS (
+  SELECT h.doc_id,
+    ((SELECT ln(1.0 + (s.n_docs - d.df1 + 0.5) / (d.df1 + 0.5))
+      FROM dfs d CROSS JOIN ng_stats s)
+     + (SELECT ln(1.0 + (s.n_docs - d.df2 + 0.5) / (d.df2 + 0.5))
+        FROM dfs d CROSS JOIN ng_stats s))
+    * (h.h * (1.2 + 1.0))
+    / (h.h + 1.2 * (1.0 - 0.75 + 0.75 * nd.dl / s.avgdl)) AS score
+  FROM hits h JOIN ng_dl nd USING (doc_id) CROSS JOIN ng_stats s
+  WHERE h.h > 0
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY rank"""
+
+_ALLDOCS_SQL = """
+SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rank,
+       doc_id, 1.5 AS score
+FROM documents ORDER BY rank LIMIT 10"""
 
 _BM25_ORACLES: dict[str, str] = {
     "bm25_term_high": bm25_topk_sql(["table"]),
@@ -68,24 +158,93 @@ _BM25_ORACLES: dict[str, str] = {
     "bm25_wildcard": bm25_topk_sql([], expand_cond="term LIKE '%ow'"),
     "bm25_fuzzy": bm25_topk_sql([], expand_cond="levenshtein(term, 'tble') <= 1"),
     "bm25_phrase": bm25_phrase_sql(["table", "hash"]),
+    "bm25_fuzzy_dl": bm25_topk_sql(
+        [], expand_cond="damerau_levenshtein(term, 'tble') <= 1"
+    ),
+    "bm25_field_term": f"""{base_ctes()},
+qterms(term) AS (VALUES ('table')),
+src_stats AS (SELECT count(*) AS df FROM documents WHERE source = 'src7'),
+scored AS (
+  SELECT tf.doc_id,
+         sum({_score_expr(1.2, 0.75)})
+         + (SELECT ln(1.0 + (s2.n_docs - sd.df + 0.5) / (sd.df + 0.5))
+            FROM src_stats sd CROSS JOIN stats s2) AS score
+  FROM tf JOIN qterms USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN documents doc ON doc.doc_id = tf.doc_id AND doc.source = 'src7'
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY rank""",
+    "bm25_ws_phrase": bm25_phrase_sql(
+        ["table", "hash"], tokens_sql=ws_tokens_expr()
+    ),
+    "bm25_sameposition": _SAMEPOS_SQL,
+    "bm25_ngram_sim": _NGRAM_SIM_SQL,
+    "bm25_phrase_prefix": bm25_phrase_sql(["table", ("prefix", "s")]),
+    "bm25_prefix_capped": bm25_topk_sql(
+        [], expand_cond="term LIKE 's%'", expand_limit=3
+    ),
+    "bm25_stem": bm25_topk_sql(["custom"], tokens_sql=stem_tokens_expr()),
+    "alldocs_boost": _ALLDOCS_SQL,
 }
+
+_LIVE_DOCS = (
+    f"(SELECT * FROM documents "
+    f"WHERE NOT list_contains({tokens_expr()}, 'dup'))"
+)
 
 
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
-    """Build (once, cached on disk under .cache/) the contract index over
-    the sf_dir documents table and return a pinned searcher."""
+    """Build (once, cached on disk under .cache/) the multi-field contract
+    index over the sf_dir documents table and return a pinned searcher."""
     key = sf_dir.rstrip("/")
     got = _SEARCHERS.get(key)
     if got is not None:
         return got
     store = SnapshotStore(
-        os.path.join(_CACHE_ROOT, "contract_index", key.strip("/").replace("/", "_"))
+        os.path.join(
+            _CACHE_ROOT, "contract_index_v2", key.strip("/").replace("/", "_")
+        )
+    )
+    if store.current_snapshot_id() is None:
+        corpus = documents_as_corpus(spark, key, extra_cols=("source",))
+        build_index(
+            spark, corpus, store, n_segments=4, fields=_MF_FIELDS, source=key
+        )
+    s = IndexSearcher(spark, store)
+    _SEARCHERS[key] = s
+    return s
+
+
+def _lifecycle_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """M4+M2 lifecycle index (cached): build, delete-by-query every doc
+    containing 'dup', then consolidate all segments into one — the stats
+    and rankings afterwards must equal a fresh build over the survivors
+    (the DuckDB oracle computes exactly that)."""
+    from iresearch_spark.build.merge import delete_by_query, merge_segments
+
+    key = sf_dir.rstrip("/")
+    got = _LIFECYCLE.get(key)
+    if got is not None:
+        return got
+    store = SnapshotStore(
+        os.path.join(
+            _CACHE_ROOT, "lifecycle_index", key.strip("/").replace("/", "_")
+        )
     )
     if store.current_snapshot_id() is None:
         corpus = documents_as_corpus(spark, key)
         build_index(spark, corpus, store, n_segments=4, source=key)
+        delete_by_query(spark, store, qf.Term("dup"))
+        seg_ids = [int(s["seg_id"]) for s in store.snapshot()["segments"]]
+        merge_segments(spark, store, seg_ids)
     s = IndexSearcher(spark, store)
-    _SEARCHERS[key] = s
+    _LIFECYCLE[key] = s
     return s
 
 
@@ -143,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _searcher(spark, sf_dir)
         return (
             s.store.read_postings(spark, s.sid)
+            .filter(F.col("field") == "text")
             .groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
             .orderBy(F.desc("df"), F.asc("term"))
@@ -152,8 +312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def collection_stats(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         docs = s.store.read_docs(spark, s.sid)
-        terms = s.store.read_postings(spark, s.sid).agg(
-            F.count_distinct("term").alias("n_terms")
+        terms = (
+            s.store.read_postings(spark, s.sid)
+            .filter(F.col("field") == "text")
+            .agg(F.count_distinct("term").alias("n_terms"))
         )
         return docs.agg(
             F.count("*").alias("n_docs"),
@@ -186,6 +348,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["collection_stats"] = collection_stats
     q["doc_norms"] = doc_norms
     q["doclen_by_lang"] = doclen_by_lang
+
+    # M4+M2 lifecycle: delete-by-query then consolidate; post-compaction
+    # stats and rankings must equal a fresh build over the survivors
+    def lifecycle_stats(spark, sf_dir):
+        s = _lifecycle_searcher(spark, sf_dir)
+        return (
+            s.store.read_docs(spark, s.sid)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("dl").cast("long").alias("sum_dl"),
+            )
+        )
+
+    def lifecycle_term(spark, sf_dir):
+        s = _lifecycle_searcher(spark, sf_dir)
+        res = s.search_batch(
+            {0: qf.Term("table")}, k=10, with_urls=True, tie="url", score_round=6
+        )
+        return res.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.col("score"),
+        )
+
+    q["lifecycle_stats"] = lifecycle_stats
+    q["lifecycle_term"] = lifecycle_term
 
     # training-data operators (SURVEY.md §2 extensions)
     q["token_stats"] = lambda s, d: quality.token_stats(_docs(s, d))
@@ -278,5 +466,12 @@ FROM documents GROUP BY lang ORDER BY lang"""
     o["embed_knn"] = similarity.cosine_topk_sql()
     o["embed_lsh_ann"] = similarity.lsh_ann_topk_sql()
     o["binary_meta"] = multimodal.binary_meta_sql()
+    o["lifecycle_stats"] = f"""
+WITH live AS (
+  SELECT doc_id, {tokens_expr()} AS toks FROM documents
+  WHERE NOT list_contains({tokens_expr()}, 'dup')
+)
+SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS sum_dl FROM live"""
+    o["lifecycle_term"] = bm25_topk_sql(["table"], doc_table=_LIVE_DOCS)
     # multimodal_features: decode stub is not SQL-expressible -> rows-only
     return o

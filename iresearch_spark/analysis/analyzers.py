@@ -1,0 +1,350 @@
+"""The analyzer family: frozen deterministic specs + vectorized kernels.
+
+Mirrors the reference's analyzer registry ([up] core/analysis/analyzers.cpp;
+SURVEY.md §2b A1-A6): each analyzer turns one stored value into a token
+stream with positions. Specs are strings so they can live in the snapshot
+manifest:
+
+  "text"             A2 — NFKC + lower + [a-z0-9]+ runs − stopwords;
+                     positions = post-filter sequential index
+                     ([up] core/analysis/text_token_stream.cpp).
+  "identity"         A1 — the whole value as one token at position 0
+                     ([up] core/analysis/analyzers.cpp identity).
+  "delimiter:<sep>"  A3 — split on the literal separator, drop empties,
+                     no case folding; positions sequential
+                     ([up] core/analysis/delimited_token_stream.cpp).
+  "ngram:<min>,<max>" A4 — all char n-grams of each length in [min,max];
+                     POSITION = START OFFSET in the value, so grams of
+                     different lengths starting at the same offset share a
+                     position (this is what makes by_same_position and
+                     ngram phrase chains meaningful over ngram fields;
+                     [up] core/analysis/ngram_token_stream.cpp).
+  "a|b|..."          A5 — pipeline: each token of stage k feeds stage k+1;
+                     final position = parent_pos * PIPE_STRIDE + child_pos
+                     (packed pair, collision-free for tokens shorter than
+                     PIPE_STRIDE; [up] core/analysis/
+                     pipeline_token_stream.cpp composes offsets the same
+                     conceptual way). SINGLETON stages (identity, stem —
+                     exactly one output token at position 0 per input)
+                     pass the parent position through unchanged, so e.g.
+                     "text|stem" keeps 0..n-1 phrase-compatible positions.
+
+  "stem"             A6 — frozen Porter-STYLE suffix stripper (see
+                     stem_token below; deliberately simpler than Snowball
+                     so the DuckDB oracle can replicate it with regexes);
+                     usually used as the pipeline tail "text|stem"
+                     ([up] core/analysis/stem_token_stream.cpp role).
+
+Two implementations per spec, asserted equal by tests/test_analyzers.py:
+  * analyze_one(value, spec)   — pure-Python reference (oracle side);
+  * analyze_batch(series, spec) — vectorized (pandas/numpy) kernel used
+    inside mapInArrow by the build pipeline: returns flat token/position
+    arrays + per-row counts, no per-row Python on the text/ngram paths.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import numpy as np
+import pandas as pd
+
+from iresearch_spark.analysis.tokenizer import STOPWORDS, _TOKEN_RE
+
+PIPE_STRIDE = 4096  # position packing stride per pipeline level
+
+
+# --------------------------------------------------------------- stemming
+
+# Frozen Porter-style suffix table (applied ONCE, longest match first,
+# with a minimum-stem-length guard). This is deliberately a small,
+# regex-expressible subset of Porter so the DuckDB oracle can mirror it
+# exactly; it is NOT Snowball.
+STEM_RULES: tuple[tuple[str, str, int], ...] = (
+    # (suffix, replacement, min remaining stem length)
+    ("ational", "ate", 2),
+    ("ization", "ize", 2),
+    ("fulness", "ful", 2),
+    ("ousness", "ous", 2),
+    ("iveness", "ive", 2),
+    ("tional", "tion", 2),
+    ("biliti", "ble", 2),
+    ("lessli", "less", 2),
+    ("entli", "ent", 2),
+    ("ation", "ate", 2),
+    ("alism", "al", 2),
+    ("aliti", "al", 2),
+    ("ement", "e", 2),
+    ("ments", "ment", 2),
+    ("iviti", "ive", 2),
+    ("ness", "", 3),
+    ("ance", "", 3),
+    ("ence", "", 3),
+    ("able", "", 3),
+    ("ible", "", 3),
+    ("ment", "", 3),
+    ("sses", "ss", 2),
+    ("ies", "i", 2),
+    ("ing", "", 3),
+    ("eed", "ee", 2),
+    ("edly", "", 3),
+    ("ed", "", 3),
+    ("ly", "", 3),
+    ("er", "", 3),
+    ("es", "e", 2),
+    ("s", "", 3),
+)
+
+
+def stem_token(tok: str) -> str:
+    """Apply the first matching rule (rules are ordered longest-first)."""
+    for suf, rep, keep in STEM_RULES:
+        if tok.endswith(suf) and len(tok) - len(suf) >= keep:
+            return tok[: len(tok) - len(suf)] + rep
+    return tok
+
+
+def stem_sql_expr(var: str) -> str:
+    """DuckDB CASE expression computing stem_token(var) — the oracle twin
+    of the frozen rule table (rules applied in order, first match wins)."""
+    parts = ["CASE"]
+    for suf, rep, keep in STEM_RULES:
+        cond = f"len({var}) - {len(suf)} >= {keep} AND {var} LIKE '%{suf}'"
+        then = f"substr({var}, 1, len({var}) - {len(suf)})"
+        if rep:
+            then += f" || '{rep}'"
+        parts.append(f"WHEN {cond} THEN {then}")
+    parts.append(f"ELSE {var} END")
+    return " ".join(parts)
+
+
+def _stem_series(toks: pd.Series) -> pd.Series:
+    """Vectorized-enough stemming: stem each UNIQUE token once."""
+    uniq = pd.unique(toks)
+    table = {u: stem_token(u) for u in uniq}
+    return toks.map(table)
+
+
+# ---------------------------------------------------- pure-Python reference
+
+
+def parse_spec(spec: str) -> list[str]:
+    # stages are NOT stripped: "delimiter: " legitimately splits on space
+    stages = [s for s in spec.split("|") if s]
+    if not stages:
+        raise ValueError(f"empty analyzer spec: {spec!r}")
+    return stages
+
+
+def _one_stage(value: str | None, stage: str) -> list[tuple[str, int]]:
+    if value is None:
+        return []
+    if stage == "text":
+        norm = unicodedata.normalize("NFKC", value).lower()
+        toks = [t for t in _TOKEN_RE.findall(norm) if t not in STOPWORDS]
+        return list(zip(toks, range(len(toks))))
+    if stage == "identity":
+        return [(value, 0)]
+    if stage.startswith("delimiter:"):
+        sep = stage[len("delimiter:") :]
+        toks = [t for t in value.split(sep) if t]
+        return list(zip(toks, range(len(toks))))
+    if stage.startswith("ngram:"):
+        lo, hi = (int(x) for x in stage[len("ngram:") :].split(","))
+        out = []
+        for n in range(lo, hi + 1):
+            for i in range(0, len(value) - n + 1):
+                out.append((value[i : i + n], i))
+        return out
+    if stage == "stem":
+        return [(stem_token(value), 0)]
+    raise ValueError(f"unknown analyzer stage: {stage!r}")
+
+
+def _is_singleton_stage(stage: str) -> bool:
+    """Stages that always emit exactly one token at position 0 per input —
+    their pipeline output keeps the PARENT's position."""
+    return stage in ("identity", "stem")
+
+
+def analyze_one(value: str | None, spec: str) -> list[tuple[str, int]]:
+    """Reference implementation: [(token, position)] for one value."""
+    stages = parse_spec(spec)
+    stream: list[tuple[str, int]] = [(value, 0)] if value is not None else []
+    first = True
+    for stage in stages:
+        singleton = _is_singleton_stage(stage)
+        nxt: list[tuple[str, int]] = []
+        for tok, pos in stream:
+            children = _one_stage(tok, stage)
+            if first:
+                nxt.extend(children)
+            elif singleton:
+                nxt.extend((ctok, pos) for ctok, _ in children)
+            else:
+                for ctok, cpos in children:
+                    nxt.append((ctok, pos * PIPE_STRIDE + min(cpos, PIPE_STRIDE - 1)))
+        stream = nxt
+        first = False
+    return stream
+
+
+# ------------------------------------------------------- vectorized kernels
+
+
+def _flatten_lists(lists: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    counts = lists.str.len().fillna(0).to_numpy(np.int64)
+    total = int(counts.sum())
+    if total:
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in lists if isinstance(t, list) and t]
+        )
+    else:
+        flat = np.empty(0, dtype=object)
+    return flat, counts
+
+
+def _batch_text(values: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    norm = values.fillna("").astype(str).str.normalize("NFKC").str.lower()
+    tok_lists = norm.str.findall(_TOKEN_RE)
+    flat, counts = _flatten_lists(tok_lists)
+    # stopword filter via factorize: one membership test per UNIQUE token
+    codes, uniq = pd.factorize(flat, sort=False)
+    stop = STOPWORDS
+    is_stop_u = np.fromiter(
+        (u in stop for u in np.asarray(uniq, dtype=object)),
+        count=len(uniq),
+        dtype=bool,
+    )
+    keep = ~is_stop_u[codes] if len(codes) else np.empty(0, bool)
+    owner = np.repeat(np.arange(len(values), dtype=np.int64), counts)[keep]
+    flat = flat[keep]
+    kcounts = np.bincount(owner, minlength=len(values)).astype(np.int64)
+    kstarts = np.cumsum(kcounts) - kcounts
+    pos = np.arange(len(flat), dtype=np.int64) - np.repeat(kstarts, kcounts)
+    return flat, kcounts, pos
+
+
+def _batch_identity(values: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    notna = values.notna().to_numpy()
+    flat = values.to_numpy(dtype=object)[notna]
+    counts = notna.astype(np.int64)
+    return flat, counts, np.zeros(len(flat), dtype=np.int64)
+
+
+def _batch_delimiter(
+    values: pd.Series, sep: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    lists = values.fillna("").astype(str).str.split(re.escape(sep), regex=True)
+    flat, counts = _flatten_lists(lists)
+    nonempty = flat != "" if len(flat) else np.empty(0, bool)
+    owner = np.repeat(np.arange(len(values), dtype=np.int64), counts)[nonempty]
+    flat = flat[nonempty]
+    kcounts = np.bincount(owner, minlength=len(values)).astype(np.int64)
+    kstarts = np.cumsum(kcounts) - kcounts
+    pos = np.arange(len(flat), dtype=np.int64) - np.repeat(kstarts, kcounts)
+    return flat, kcounts, pos
+
+
+def _batch_ngram(
+    values: pd.Series, lo: int, hi: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All char n-grams per value, fully vectorized: the batch's values are
+    concatenated into one UTF-32 buffer; each gram length is a stride-
+    tricks window over it, materialized as fixed-width numpy strings —
+    no per-row Python."""
+    s = values.fillna("").astype(str)
+    lens = s.str.len().to_numpy(np.int64)
+    joined = "".join(s.tolist())
+    buf = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    starts = np.cumsum(lens) - lens
+    n_rows = len(s)
+    flat_parts: list[np.ndarray] = []
+    pos_parts: list[np.ndarray] = []
+    owner_parts: list[np.ndarray] = []
+    for n in range(lo, hi + 1):
+        cnt_n = np.maximum(lens - n + 1, 0)
+        if cnt_n.sum() == 0 or len(buf) < n:
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(buf, n)
+        # window index w starts a gram of row r iff w in
+        # [starts[r], starts[r] + cnt_n[r])
+        w_idx = np.repeat(starts, cnt_n) + (
+            np.arange(int(cnt_n.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(cnt_n) - cnt_n, cnt_n)
+        )
+        grams = (
+            np.ascontiguousarray(win[w_idx]).view(f"<U{n}").reshape(-1)
+        ).astype(object)
+        flat_parts.append(grams)
+        pos_parts.append(w_idx - np.repeat(starts, cnt_n))
+        owner_parts.append(np.repeat(np.arange(n_rows, dtype=np.int64), cnt_n))
+    if not flat_parts:
+        return (
+            np.empty(0, dtype=object),
+            np.zeros(n_rows, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
+    flat = np.concatenate(flat_parts)
+    pos = np.concatenate(pos_parts)
+    owner = np.concatenate(owner_parts)
+    # canonical emission order: by (owner, then length-major as appended) —
+    # order is irrelevant downstream (the build lexsorts), but counts must
+    # be per owner
+    order = np.argsort(owner, kind="stable")
+    flat, pos, owner = flat[order], pos[order], owner[order]
+    counts = np.bincount(owner, minlength=n_rows).astype(np.int64)
+    return flat, counts, pos
+
+
+def _batch_stage(
+    values: pd.Series, stage: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    if stage == "text":
+        return _batch_text(values)
+    if stage == "identity":
+        return _batch_identity(values)
+    if stage.startswith("delimiter:"):
+        return _batch_delimiter(values, stage[len("delimiter:") :])
+    if stage.startswith("ngram:"):
+        lo, hi = (int(x) for x in stage[len("ngram:") :].split(","))
+        return _batch_ngram(values, lo, hi)
+    if stage == "stem":
+        flat, counts, pos = _batch_identity(values)
+        return _stem_series(pd.Series(flat, dtype=object)).to_numpy(object), counts, pos
+    raise ValueError(f"unknown analyzer stage: {stage!r}")
+
+
+def analyze_batch(
+    values: pd.Series, spec: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized analyzer: (flat tokens, per-row counts, positions)."""
+    stages = parse_spec(spec)
+    flat, counts, pos = _batch_stage(values, stages[0])
+    for stage in stages[1:]:
+        # feed each token of the previous stage through the next one;
+        # vectorization carries over because the flattened token array is
+        # just another series
+        c_flat, c_counts, c_pos = _batch_stage(
+            pd.Series(flat, dtype=object), stage
+        )
+        parent_pos = np.repeat(pos, c_counts)
+        if _is_singleton_stage(stage):
+            new_pos = parent_pos
+        else:
+            new_pos = parent_pos * PIPE_STRIDE + np.minimum(c_pos, PIPE_STRIDE - 1)
+        # regroup child counts to original rows
+        owner_tok = np.repeat(
+            np.arange(len(flat), dtype=np.int64), c_counts
+        )  # child -> parent token
+        tok_row = np.repeat(
+            np.arange(len(counts), dtype=np.int64), counts
+        )  # parent token -> row
+        new_counts = (
+            np.bincount(tok_row[owner_tok], minlength=len(counts)).astype(np.int64)
+            if len(owner_tok)
+            else np.zeros(len(counts), dtype=np.int64)
+        )
+        flat, counts, pos = c_flat, new_counts, new_pos
+    return flat, counts, pos

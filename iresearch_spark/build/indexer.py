@@ -39,6 +39,7 @@ import time
 from pyspark.sql import DataFrame, functions as F
 
 from iresearch_spark.build import kernels
+from iresearch_spark.fields import DEFAULT_FIELDS, FieldSpec
 from iresearch_spark.store import SnapshotStore
 
 
@@ -58,6 +59,7 @@ def build_index(
     store: SnapshotStore,
     n_segments: int = 8,
     *,
+    fields: list[FieldSpec] | None = None,
     band_bits: int | None = None,
     parts: int | None = None,
     source: str = "",
@@ -80,7 +82,15 @@ def build_index(
     t_start = time.time()
     sc = spark.sparkContext
     parts = parts or sc.defaultParallelism * 2
+    field_specs = list(fields) if fields else list(DEFAULT_FIELDS)
+    field_names = [f.name for f in field_specs]
     prev_snap = store.snapshot() if mode == "append" else None
+    if prev_snap is not None:
+        prev_fields = [FieldSpec.from_json(d) for d in prev_snap.get("fields", [])]
+        if prev_fields and prev_fields != field_specs:
+            raise ValueError(
+                "append with a different field spec than the live index"
+            )
     seg_base = (
         max((int(s["seg_id"]) for s in prev_snap["segments"]), default=-1) + 1
         if prev_snap
@@ -91,7 +101,8 @@ def build_index(
     import json
 
     staging_path = os.path.join(store.root, "_staging.json")
-    stage_key = f"{source}|{n_segments}|{band_bits}|{mode}|{seg_base}"
+    fields_key = ",".join(f"{f.name}={f.source}:{f.analyzer}" for f in field_specs)
+    stage_key = f"{source}|{n_segments}|{band_bits}|{mode}|{seg_base}|{fields_key}"
     staged = {}
     if os.path.exists(staging_path):
         with open(staging_path) as f:
@@ -119,6 +130,15 @@ def build_index(
     t0 = time.time()
     if not (docs_done and post_done) and not tok_done:
         cols = ["seg_id", "url", "warc_ts", "lang", "html", "text"]
+        # extra analyzer source columns beyond the standard web shape
+        extra_sources = sorted(
+            {
+                f.source
+                for f in field_specs
+                if f.source != "__text__" and f.source not in cols
+            }
+        )
+        cols += extra_sources
         corpus_cols = set(corpus.columns)
         src = _with_seg_id(corpus, n_segments, seg_base)
         if "html" not in corpus_cols:
@@ -135,7 +155,10 @@ def build_index(
         tokenized = (
             src.select(*cols)
             .repartition(parts)
-            .mapInArrow(kernels.tokenize_kernel, kernels.TOKENIZED_SCHEMA)
+            .mapInArrow(
+                kernels.make_tokenize_kernel(field_specs),
+                kernels.TOKENIZED_SCHEMA,
+            )
         )
         (
             tokenized.repartition(n_segments, "seg_id")
@@ -157,7 +180,9 @@ def build_index(
         # partition dirs are named seg_part=N while seg_id stays a data
         # column, so per-segment dir reads keep the column without basePath
         (
-            assigned.select("seg_id", "doc_id", "url", "warc_ts", "lang", "dl")
+            assigned.select(
+                "seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls"
+            )
             .withColumn("seg_part", F.col("seg_id"))
             .write.partitionBy("seg_part")
             .parquet(docs_dir, mode="overwrite")
@@ -168,7 +193,7 @@ def build_index(
     t0 = time.time()
     if not post_done:
         partials = assigned.select(
-            "seg_id", "doc_id", "dl", "terms", "tfs", "positions"
+            "seg_id", "doc_id", "fdls", "terms", "tfids", "tfs", "positions"
         ).mapInArrow(kernels.make_partials_kernel(band_bits or 16), kernels.PARTIAL_SCHEMA)
         if band_bits is not None:
             # two-level salted path: hot terms' partials are pre-merged per
@@ -176,8 +201,10 @@ def build_index(
             # pathological term. Segments already bound per-term skew to
             # n_docs/n_segments; enable this level when segments are huge.
             partials = (
-                partials.repartition(parts, "seg_id", "term", "band")
-                .sortWithinPartitions("seg_id", "term", "band", "min_doc")
+                partials.repartition(parts, "seg_id", "fidx", "term", "band")
+                .sortWithinPartitions(
+                    "seg_id", "fidx", "term", "band", "min_doc"
+                )
                 .mapInArrow(kernels.merge_kernel, kernels.PARTIAL_SCHEMA)
             )
         # one partition per segment (hash on seg_id), term-sorted within:
@@ -191,8 +218,10 @@ def build_index(
         # job would recompute the whole upstream pipeline twice.
         final = (
             partials.repartition(n_segments, "seg_id")
-            .sortWithinPartitions("seg_id", "term", "min_doc")
-            .mapInArrow(kernels.encode_kernel, kernels.POSTING_SCHEMA)
+            .sortWithinPartitions("seg_id", "fidx", "term", "min_doc")
+            .mapInArrow(
+                kernels.make_encode_kernel(field_names), kernels.POSTING_SCHEMA
+            )
         )
         final.withColumn("seg_part", F.col("seg_id")).write.partitionBy(
             "seg_part"
@@ -204,7 +233,7 @@ def build_index(
     if not norms_done:
         (
             spark.read.parquet(docs_dir)
-            .select("seg_id", "doc_id", "dl")
+            .select("seg_id", "doc_id", "fdls")
             .groupBy("seg_id")
             .applyInPandas(kernels.norms_builder, kernels.NORMS_SCHEMA)
             .withColumn("seg_part", F.col("seg_id"))
@@ -214,14 +243,24 @@ def build_index(
     timings["norms_write_s"] = time.time() - t0
 
     # ---- per-segment stats + lineage (norms rows already carry doc
-    # stats — no second docs scan)
+    # stats — no second docs scan). n_segments × n_fields tiny rows.
     t0 = time.time()
+    norm_rows = (
+        spark.read.parquet(norms_dir)
+        .select("seg_id", "fidx", "n_docs", "sum_dl")
+        .collect()
+    )
     doc_stats = {
         int(r["seg_id"]): (int(r["n_docs"]), int(r["sum_dl"]))
-        for r in spark.read.parquet(norms_dir)
-        .select("seg_id", "n_docs", "sum_dl")
-        .collect()
+        for r in norm_rows
+        if int(r["fidx"]) == 0
     }
+    field_sums = {name: 0 for name in field_names}
+    seg_field_sums: dict[int, dict[str, int]] = {}
+    for r in norm_rows:
+        name = field_names[int(r["fidx"])]
+        field_sums[name] += int(r["sum_dl"])
+        seg_field_sums.setdefault(int(r["seg_id"]), {})[name] = int(r["sum_dl"])
     post_df = spark.read.parquet(post_dir)
     post_stats = {
         int(r["seg_id"]): r.asDict()
@@ -249,6 +288,7 @@ def build_index(
             "n_docs": n,
             "sum_dl": sum_dl,
             "n_terms": int(ps.get("n_terms", 0)),
+            "field_sum_dl": seg_field_sums.get(seg_id, {}),
         }
         segments.append(seg)
         n_docs_total += n
@@ -285,12 +325,19 @@ def build_index(
         segments = list(prev_snap["segments"]) + segments
         n_docs_total += int(prev_snap["stats"]["n_docs"])
         sum_dl_total += int(prev_snap["stats"]["sum_dl"])
+        for name, v in prev_snap["stats"].get("field_sum_dl", {}).items():
+            field_sums[name] = field_sums.get(name, 0) + int(v)
     sid = store.commit(
         segments,
-        stats={"n_docs": n_docs_total, "sum_dl": sum_dl_total},
+        stats={
+            "n_docs": n_docs_total,
+            "sum_dl": sum_dl_total,
+            "field_sum_dl": field_sums,
+        },
         lineage=lineage,
         metrics=metrics,
         operation="append" if prev_snap else "rebuild",
+        fields=[f.to_json() for f in field_specs],
     )
     if os.path.exists(staging_path):
         os.remove(staging_path)

@@ -7,11 +7,14 @@ inverted-index accumulation + format flush
 ([up] core/index/field_data.cpp -> [up] core/formats/formats_10.cpp) as a
 sequence of vectorized map stages + compact shuffles:
 
-  tokenize_kernel   corpus rows -> (seg, url, meta, dl, terms, tfs, positions)
+  make_tokenize_kernel(fields)
+                    corpus rows -> (seg, url, meta, per-field dls, terms,
+                    field ids, tfs, positions) — one analyzer per field
   assign_kernel     (sorted by seg,url)   -> + per-segment sequential doc_id
-  partials_kernel   token lists -> per-(seg,term,band) raw posting partials
+  partials_kernel   token lists -> per-(seg,field,term,band) raw partials
   merge_kernel      (sorted partials)     -> concatenated band partials
-  encode_kernel     (sorted band merges)  -> final encoded posting rows
+  make_encode_kernel(names)
+                    (sorted band merges)  -> final encoded posting rows
 
 Partials carry raw little-endian uint32 arrays (docs/tfs/dls/positions) so
 shuffles move compact binary, and every merge is a pure concatenation:
@@ -29,54 +32,58 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from iresearch_spark.analysis.extract import extract_series
-from iresearch_spark.analysis.tokenizer import STOPWORDS, _TOKEN_RE
 from iresearch_spark.codec.postings import (
-    encode_positions,
     encode_positions_batch,
-    encode_postings,
     encode_postings_batch,
 )
 
 TOKENIZED_SCHEMA = (
     "seg_id int, url string, warc_ts timestamp, lang string, dl int, "
-    "terms array<string>, tfs array<int>, positions array<int>"
+    "fdls array<int>, terms array<string>, tfids array<int>, "
+    "tfs array<int>, positions array<int>"
 )
 ASSIGNED_SCHEMA = (
     "seg_id int, doc_id bigint, url string, warc_ts timestamp, lang string, "
-    "dl int, terms array<string>, tfs array<int>, positions array<int>"
+    "dl int, fdls array<int>, terms array<string>, tfids array<int>, "
+    "tfs array<int>, positions array<int>"
 )
 PARTIAL_SCHEMA = (
-    "seg_id int, term string, band int, min_doc bigint, n bigint, "
+    "seg_id int, fidx int, term string, band int, min_doc bigint, n bigint, "
     "docs_bin binary, tfs_bin binary, dls_bin binary, pos_bin binary"
 )
 POSTING_SCHEMA = (
-    "seg_id int, term string, df bigint, cf bigint, max_tf int, "
-    "blob binary, skip binary, bmax binary, pos_off binary, pos_pay binary"
+    "seg_id int, field string, term string, df bigint, cf bigint, "
+    "max_tf int, blob binary, skip binary, bmax binary, pos_off binary, "
+    "pos_pay binary"
 )
-NORMS_SCHEMA = "seg_id int, n_docs bigint, sum_dl bigint, dls_bin binary"
+NORMS_SCHEMA = (
+    "seg_id int, fidx int, n_docs bigint, sum_dl bigint, dls_bin binary"
+)
 
 
 def norms_builder(key, pdf):
-    """Per-segment dense norms column: dls_bin[doc_id-1] = doc length (u32),
-    plus the segment doc stats (n_docs, sum_dl) so snapshot stats come from
-    this tiny table instead of a second full docs scan.
-    The reference stores norms in its columnstore per doc
-    ([up] core/index/norm.cpp); dense docIDs make a flat array exact."""
+    """Per-(segment, field) dense norms columns: one row per field with
+    dls_bin[doc_id-1] = that field's token count for the doc (u32), plus
+    the stats (n_docs, per-field sum_dl) so snapshot stats come from this
+    tiny table instead of a second full docs scan. The reference stores
+    norms per field in its columnstore ([up] core/index/norm.cpp); dense
+    docIDs make flat arrays exact."""
     import pandas as pd
 
     pdf = pdf.sort_values("doc_id")
     doc = pdf["doc_id"].to_numpy()
     n = len(doc)
     assert doc[0] == 1 and doc[-1] == n, "docIDs must be dense 1..n"
-    dls = pdf["dl"].to_numpy().astype("<u4")
-    return pd.DataFrame(
-        {
-            "seg_id": [key[0]],
-            "n_docs": [n],
-            "sum_dl": [int(dls.astype(np.int64).sum())],
-            "dls_bin": [dls.tobytes()],
-        }
-    )
+    fdl = np.asarray(pdf["fdls"].tolist(), dtype=np.int64)  # (n, n_fields)
+    n_fields = fdl.shape[1]
+    rows = {
+        "seg_id": [key[0]] * n_fields,
+        "fidx": list(range(n_fields)),
+        "n_docs": [n] * n_fields,
+        "sum_dl": [int(fdl[:, f].sum()) for f in range(n_fields)],
+        "dls_bin": [fdl[:, f].astype("<u4").tobytes() for f in range(n_fields)],
+    }
+    return pd.DataFrame(rows)
 
 
 def _list_offsets(arr: pa.Array) -> np.ndarray:
@@ -115,97 +122,128 @@ def _bin_view(batch: pa.RecordBatch, name: str) -> tuple[np.ndarray, np.ndarray]
 # ------------------------------------------------------------ tokenization
 
 
-def tokenize_kernel(batches):
-    """corpus (seg_id, url, warc_ts, lang, html, text) -> TOKENIZED_SCHEMA.
+def make_tokenize_kernel(field_specs):
+    """corpus (seg_id, url, warc_ts, lang, html, text[, extra sources]) ->
+    TOKENIZED_SCHEMA, for an arbitrary field-spec list.
 
-    html -> frozen extraction -> frozen tokenization -> per-doc inverted
-    entry (sorted unique terms, tfs, positions flat in term order). Falls
-    back to the `text` column for rows with null html.
+    Per field: run its analyzer (vectorized, analysis.analyzers) over the
+    source column — the "__text__" source is html -> frozen extraction
+    with `text` fallback for null html. Then ONE combined aggregation
+    builds the per-doc inverted entries: terms sorted (field idx asc, term
+    asc), tf per (field, term), positions flat in entry order (ascending
+    within each entry), and per-field dl vector `fdls`.
     """
     import pandas as pd
 
-    stop_set = STOPWORDS
-    for batch in batches:
-        tbl = batch.to_pandas()
-        n = len(tbl)
-        if n == 0:
-            continue
-        texts = extract_series(tbl["html"])
-        if tbl["html"].isna().any():
-            mask = tbl["html"].isna()
-            texts.loc[mask] = tbl["text"].fillna("")[mask]
-        norm = texts.str.normalize("NFKC").str.lower()
-        tok_lists = norm.str.findall(_TOKEN_RE)
-        counts = tok_lists.str.len().to_numpy(np.int64)
-        total = int(counts.sum())
-        if total:
-            flat = np.concatenate(
-                [np.asarray(t, dtype=object) for t in tok_lists if t]
+    from iresearch_spark.analysis.analyzers import analyze_batch
+
+    specs = list(field_specs)
+
+    def kernel(batches):
+        for batch in batches:
+            tbl = batch.to_pandas()
+            n = len(tbl)
+            if n == 0:
+                continue
+            flat_parts, fidx_parts, owner_parts, pos_parts = [], [], [], []
+            fdls = np.zeros((n, len(specs)), dtype=np.int64)
+            for fi, fs in enumerate(specs):
+                if fs.source == "__text__":
+                    vals = extract_series(tbl["html"])
+                    if tbl["html"].isna().any():
+                        na = tbl["html"].isna()
+                        vals.loc[na] = tbl["text"].fillna("")[na]
+                else:
+                    vals = tbl[fs.source]
+                flat, counts, pos = analyze_batch(vals, fs.analyzer)
+                fdls[:, fi] = counts
+                if len(flat) == 0:
+                    continue
+                flat_parts.append(flat)
+                pos_parts.append(pos)
+                owner_parts.append(np.repeat(np.arange(n, dtype=np.int64), counts))
+                fidx_parts.append(np.full(len(flat), fi, dtype=np.int64))
+            if flat_parts:
+                flat = np.concatenate(flat_parts)
+                pos = np.concatenate(pos_parts)
+                owner = np.concatenate(owner_parts)
+                fidx = np.concatenate(fidx_parts)
+            else:
+                flat = np.empty(0, dtype=object)
+                pos = owner = fidx = np.empty(0, dtype=np.int64)
+            # hash-factorize once; every per-token op below is integer-based
+            codes, uniq = pd.factorize(flat, sort=False)
+            uniq_obj = np.asarray(uniq, dtype=object)
+            rank = np.empty(len(uniq_obj), dtype=np.int64)
+            rank[np.argsort(uniq_obj, kind="stable")] = np.arange(len(uniq_obj))
+            # per-doc (field asc, term asc, position asc) order
+            order = np.lexsort((pos, rank[codes], fidx, owner))
+            o_owner, o_fidx = owner[order], fidx[order]
+            o_term, o_pos = codes[order], pos[order]
+            if len(order):
+                newgrp = np.empty(len(order), dtype=bool)
+                newgrp[0] = True
+                newgrp[1:] = (
+                    (o_owner[1:] != o_owner[:-1])
+                    | (o_fidx[1:] != o_fidx[:-1])
+                    | (o_term[1:] != o_term[:-1])
+                )
+                gstart = np.flatnonzero(newgrp)
+                tf = np.diff(np.append(gstart, len(order)))
+                gterm = uniq_obj[o_term[gstart]]
+                gfidx = o_fidx[gstart]
+                gowner = o_owner[gstart]
+            else:
+                tf = np.empty(0, np.int64)
+                gterm = np.empty(0, object)
+                gfidx = np.empty(0, np.int64)
+                gowner = np.empty(0, np.int64)
+            terms_per_doc = np.bincount(gowner, minlength=n).astype(np.int64)
+            toks_per_doc = np.bincount(owner, minlength=n).astype(np.int64)
+            term_off = np.concatenate(([0], np.cumsum(terms_per_doc)))
+            pos_off = np.concatenate(([0], np.cumsum(toks_per_doc)))
+            fdl_off = np.arange(n + 1, dtype=np.int64) * len(specs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("seg_id"),
+                    batch.column("url"),
+                    batch.column("warc_ts"),
+                    batch.column("lang"),
+                    pa.array(fdls[:, 0].astype(np.int32)),
+                    pa.ListArray.from_arrays(
+                        pa.array(fdl_off, pa.int32()),
+                        pa.array(fdls.reshape(-1).astype(np.int32)),
+                    ),
+                    pa.ListArray.from_arrays(
+                        pa.array(term_off, pa.int32()),
+                        pa.array(gterm, pa.string()),
+                    ),
+                    pa.ListArray.from_arrays(
+                        pa.array(term_off, pa.int32()),
+                        pa.array(gfidx.astype(np.int32)),
+                    ),
+                    pa.ListArray.from_arrays(
+                        pa.array(term_off, pa.int32()), pa.array(tf, pa.int32())
+                    ),
+                    pa.ListArray.from_arrays(
+                        pa.array(pos_off, pa.int32()), pa.array(o_pos, pa.int32())
+                    ),
+                ],
+                names=[
+                    "seg_id",
+                    "url",
+                    "warc_ts",
+                    "lang",
+                    "dl",
+                    "fdls",
+                    "terms",
+                    "tfids",
+                    "tfs",
+                    "positions",
+                ],
             )
-        else:
-            flat = np.empty(0, dtype=object)
-        # hash-factorize once, then every per-token op is integer-based:
-        # stopword test + lexicographic rank come from the (small) vocab
-        codes, uniq = pd.factorize(flat, sort=False)
-        uniq_obj = np.asarray(uniq, dtype=object)
-        is_stop_u = np.fromiter(
-            (u in stop_set for u in uniq_obj), count=len(uniq_obj), dtype=bool
-        )
-        rank = np.empty(len(uniq_obj), dtype=np.int64)
-        rank[np.argsort(uniq_obj, kind="stable")] = np.arange(len(uniq_obj))
-        keep = ~is_stop_u[codes] if len(codes) else np.empty(0, bool)
-        owner = np.repeat(np.arange(n, dtype=np.int64), counts)[keep]
-        kept_codes = codes[keep]
-        kcounts = np.bincount(owner, minlength=n).astype(np.int64)
-        kstarts = np.cumsum(kcounts) - kcounts
-        pos = np.arange(len(kept_codes), dtype=np.int64) - np.repeat(kstarts, kcounts)
-        # per-doc (term asc, position asc) order — int sort on vocab ranks
-        order = np.lexsort((pos, rank[kept_codes], owner))
-        o_owner, o_term, o_pos = owner[order], kept_codes[order], pos[order]
-        if len(order):
-            newgrp = np.empty(len(order), dtype=bool)
-            newgrp[0] = True
-            newgrp[1:] = (o_owner[1:] != o_owner[:-1]) | (o_term[1:] != o_term[:-1])
-            gstart = np.flatnonzero(newgrp)
-            tf = np.diff(np.append(gstart, len(order)))
-            gterm = uniq_obj[o_term[gstart]]
-            gowner = o_owner[gstart]
-        else:
-            gstart = np.empty(0, np.int64)
-            tf = np.empty(0, np.int64)
-            gterm = np.empty(0, object)
-            gowner = np.empty(0, np.int64)
-        terms_per_doc = np.bincount(gowner, minlength=n).astype(np.int64)
-        term_off = np.concatenate(([0], np.cumsum(terms_per_doc)))
-        pos_off = np.concatenate(([0], np.cumsum(kcounts)))
-        yield pa.RecordBatch.from_arrays(
-            [
-                batch.column("seg_id"),
-                batch.column("url"),
-                batch.column("warc_ts"),
-                batch.column("lang"),
-                pa.array(kcounts, pa.int32()),
-                pa.ListArray.from_arrays(
-                    pa.array(term_off, pa.int32()), pa.array(gterm, pa.string())
-                ),
-                pa.ListArray.from_arrays(
-                    pa.array(term_off, pa.int32()), pa.array(tf, pa.int32())
-                ),
-                pa.ListArray.from_arrays(
-                    pa.array(pos_off, pa.int32()), pa.array(o_pos, pa.int32())
-                ),
-            ],
-            names=[
-                "seg_id",
-                "url",
-                "warc_ts",
-                "lang",
-                "dl",
-                "terms",
-                "tfs",
-                "positions",
-            ],
-        )
+
+    return kernel
 
 
 # --------------------------------------------------------- docID assignment
@@ -242,13 +280,15 @@ def assign_kernel(batches):
 
 
 def make_partials_kernel(band_bits: int = 16):
-    """(seg_id, doc_id, dl, terms, tfs, positions) -> PARTIAL_SCHEMA rows.
+    """(seg_id, doc_id, fdls, terms, tfids, tfs, positions) ->
+    PARTIAL_SCHEMA rows.
 
-    Explodes each batch's token lists into (seg, term, band) posting runs
-    with raw uint32 payloads. `band` = (doc_id-1) >> band_bits splits a hot
-    term's postings into doc-range bands so the level-1 merge shuffle
-    spreads the term over multiple reducers — the salted-shuffle skew
-    defusal mandated by BASELINE.json:6.
+    Explodes each batch's token lists into (seg, field, term, band)
+    posting runs with raw uint32 payloads. The per-entry dl is the entry's
+    OWN field's token count (fdls[tfid]) — norms are per field. `band` =
+    (doc_id-1) >> band_bits splits a hot term's postings into doc-range
+    bands so the level-1 merge shuffle spreads the term over multiple
+    reducers — the salted-shuffle skew defusal mandated by BASELINE.json:6.
     """
 
     def kernel(batches):
@@ -258,7 +298,9 @@ def make_partials_kernel(band_bits: int = 16):
                 continue
             seg = batch.column("seg_id").to_numpy().astype(np.int64)
             doc = batch.column("doc_id").to_numpy().astype(np.int64)
-            dl = batch.column("dl").to_numpy().astype(np.int64)
+            fdls_la = batch.column("fdls")
+            f_off = _list_offsets(fdls_la)
+            f_vals = fdls_la.values.to_numpy().astype(np.int64)
             terms_la = batch.column("terms")
             t_off = _list_offsets(terms_la)
             # dictionary-encode term strings once (C++); every later op is
@@ -268,21 +310,23 @@ def make_partials_kernel(band_bits: int = 16):
             t_dict = terms_la.values.dictionary_encode()
             t_codes = t_dict.indices.to_numpy().astype(np.int64)
             t_dict_vals = t_dict.dictionary
+            e_fid = batch.column("tfids").values.to_numpy().astype(np.int64)
             tf_vals = batch.column("tfs").values.to_numpy().astype(np.int64)
             pos_vals = batch.column("positions").values.to_numpy().astype(np.int64)
             ntpd = np.diff(t_off)
             if ntpd.sum() == 0:
                 continue
-            e_seg = np.repeat(seg, ntpd)
-            e_doc = np.repeat(doc, ntpd)
-            e_dl = np.repeat(dl, ntpd)
+            e_row = np.repeat(np.arange(n, dtype=np.int64), ntpd)
+            e_seg = seg[e_row]
+            e_doc = doc[e_row]
+            e_dl = f_vals[f_off[:-1][e_row] + e_fid]
             e_tf = tf_vals
             e_band = (e_doc - 1) >> band_bits
             # entry -> slice of pos_vals: entries are laid out in order, so
             # the exclusive prefix sum of e_tf is each entry's start
             ctf = np.concatenate(([0], np.cumsum(e_tf)))[:-1]
-            order = np.lexsort((e_doc, e_band, t_codes, e_seg))
-            s_seg, s_term = e_seg[order], t_codes[order]
+            order = np.lexsort((e_doc, e_band, t_codes, e_fid, e_seg))
+            s_seg, s_fid, s_term = e_seg[order], e_fid[order], t_codes[order]
             s_band, s_doc = e_band[order], e_doc[order]
             s_tf, s_dl = e_tf[order], e_dl[order]
             # gather positions into sorted-entry order
@@ -293,12 +337,13 @@ def make_partials_kernel(band_bits: int = 16):
                 np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(ns) - ns, ns)
             )
             s_pos = pos_vals[gidx]
-            # run boundaries on (seg, term, band)
+            # run boundaries on (seg, field, term, band)
             m = len(order)
             newrun = np.empty(m, dtype=bool)
             newrun[0] = True
             newrun[1:] = (
                 (s_seg[1:] != s_seg[:-1])
+                | (s_fid[1:] != s_fid[:-1])
                 | (s_band[1:] != s_band[:-1])
                 | (s_term[1:] != s_term[:-1])
             )
@@ -311,6 +356,7 @@ def make_partials_kernel(band_bits: int = 16):
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(s_seg[rstart].astype(np.int32)),
+                    pa.array(s_fid[rstart].astype(np.int32)),
                     pc.take(t_dict_vals, pa.array(s_term[rstart])),
                     pa.array(s_band[rstart].astype(np.int32)),
                     pa.array(s_doc[rstart]),
@@ -322,6 +368,7 @@ def make_partials_kernel(band_bits: int = 16):
                 ],
                 names=[
                     "seg_id",
+                    "fidx",
                     "term",
                     "band",
                     "min_doc",
@@ -354,6 +401,7 @@ class _SortedRuns:
     def _extract(self, batch: pa.RecordBatch) -> dict:
         w = {
             "seg_id": batch.column("seg_id").to_numpy().astype(np.int64),
+            "fidx": batch.column("fidx").to_numpy().astype(np.int64),
             "term": batch.column("term").to_numpy(zero_copy_only=False),
             "min_doc": batch.column("min_doc").to_numpy().astype(np.int64),
             "n": batch.column("n").to_numpy().astype(np.int64),
@@ -404,8 +452,10 @@ class _SortedRuns:
             m = len(w["seg_id"])
             new = np.empty(m, dtype=bool)
             new[0] = True
-            new[1:] = (w["seg_id"][1:] != w["seg_id"][:-1]) | (
-                w["term"][1:] != w["term"][:-1]
+            new[1:] = (
+                (w["seg_id"][1:] != w["seg_id"][:-1])
+                | (w["fidx"][1:] != w["fidx"][:-1])
+                | (w["term"][1:] != w["term"][:-1])
             )
             if self.with_band:
                 new[1:] |= w["band"][1:] != w["band"][:-1]
@@ -421,14 +471,15 @@ class _SortedRuns:
 
 
 def merge_kernel(batches):
-    """Level-1 band merge: concatenate partials of one (seg, term, band)
-    in min_doc order (pure concat — ranges never interleave; the whole
-    merge is offset arithmetic over the batch's contiguous buffers)."""
+    """Level-1 band merge: concatenate partials of one (seg, field, term,
+    band) in min_doc order (pure concat — ranges never interleave; the
+    whole merge is offset arithmetic over the batch's contiguous buffers)."""
     runs = _SortedRuns(with_band=True)
     for w, gstart, cut in runs.groups(batches):
         bounds = np.append(gstart, cut)
         arrays = [
             pa.array(w["seg_id"][gstart].astype(np.int32)),
+            pa.array(w["fidx"][gstart].astype(np.int32)),
             pa.array(w["term"][gstart], pa.string()),
             pa.array(w["band"][gstart].astype(np.int32)),
             pa.array(w["min_doc"][gstart]),
@@ -441,6 +492,7 @@ def merge_kernel(batches):
             arrays,
             names=[
                 "seg_id",
+                "fidx",
                 "term",
                 "band",
                 "min_doc",
@@ -453,58 +505,64 @@ def merge_kernel(batches):
         )
 
 
-def encode_kernel(batches):
-    """Final merge + encode: one output row per (seg, term) with the block
-    blob, skip list, blockmax metadata and position blobs (SURVEY.md S6/SC4).
-    Input sorted by (seg_id, term, min_doc). Group assembly is offset
-    arithmetic and the encoders are batch-vectorized across groups
-    (per-group Python survives only for the rare >128-doc hot terms)."""
-    runs = _SortedRuns(with_band=False)
-    for w, gstart, cut in runs.groups(batches):
-        bounds = np.append(gstart, cut)
-        d_data, d_off = w["docs_bin"]
-        t_data, t_off = w["tfs_bin"]
-        l_data, l_off = w["dls_bin"]
-        p_data, p_off = w["pos_bin"]
-        docs_all = d_data[: d_off[cut]].view("<u4")
-        tfs_all = t_data[: t_off[cut]].view("<u4")
-        dls_all = l_data[: l_off[cut]].view("<u4")
-        pos_all = p_data[: p_off[cut]].view("<u4")
-        db = (d_off[bounds] // 4).astype(np.int64)
-        pb = (p_off[bounds] // 4).astype(np.int64)
-        dfs = np.diff(db)
-        cfs = np.add.reduceat(tfs_all.astype(np.int64), db[:-1])
-        max_tfs = np.maximum.reduceat(tfs_all.astype(np.int64), db[:-1])
-        blob_buf, blob_off, skip_buf, skip_off, bmax_buf, bmax_off = (
-            encode_postings_batch(docs_all, tfs_all, dls_all, db)
-        )
-        po_buf, po_off, pay_buf, pay_off = encode_positions_batch(
-            pos_all.astype(np.int64), tfs_all.astype(np.int64), db
-        )
-        del pb
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(w["seg_id"][gstart].astype(np.int32)),
-                pa.array(w["term"][gstart], pa.string()),
-                pa.array(dfs),
-                pa.array(cfs),
-                pa.array(max_tfs.astype(np.int32)),
-                _binary_array(blob_buf, blob_off),
-                _binary_array(skip_buf, skip_off),
-                _binary_array(bmax_buf, bmax_off),
-                _binary_array(po_buf, po_off),
-                _binary_array(pay_buf, pay_off),
-            ],
-            names=[
-                "seg_id",
-                "term",
-                "df",
-                "cf",
-                "max_tf",
-                "blob",
-                "skip",
-                "bmax",
-                "pos_off",
-                "pos_pay",
-            ],
-        )
+def make_encode_kernel(field_names):
+    """Final merge + encode: one output row per (seg, field, term) with the
+    block blob, skip list, blockmax metadata and position blobs (SURVEY.md
+    S6/SC4). Input sorted by (seg_id, fidx, term, min_doc). Group assembly
+    is offset arithmetic and the encoders are batch-vectorized across
+    groups (per-group Python survives only for the rare >128-doc hot
+    terms); the fidx -> field-name mapping is a take on a tiny vocab."""
+    names_arr = pa.array(list(field_names), pa.string())
+
+    def kernel(batches):
+        runs = _SortedRuns(with_band=False)
+        for w, gstart, cut in runs.groups(batches):
+            bounds = np.append(gstart, cut)
+            d_data, d_off = w["docs_bin"]
+            t_data, t_off = w["tfs_bin"]
+            l_data, l_off = w["dls_bin"]
+            p_data, p_off = w["pos_bin"]
+            docs_all = d_data[: d_off[cut]].view("<u4")
+            tfs_all = t_data[: t_off[cut]].view("<u4")
+            dls_all = l_data[: l_off[cut]].view("<u4")
+            pos_all = p_data[: p_off[cut]].view("<u4")
+            db = (d_off[bounds] // 4).astype(np.int64)
+            dfs = np.diff(db)
+            cfs = np.add.reduceat(tfs_all.astype(np.int64), db[:-1])
+            max_tfs = np.maximum.reduceat(tfs_all.astype(np.int64), db[:-1])
+            blob_buf, blob_off, skip_buf, skip_off, bmax_buf, bmax_off = (
+                encode_postings_batch(docs_all, tfs_all, dls_all, db)
+            )
+            po_buf, po_off, pay_buf, pay_off = encode_positions_batch(
+                pos_all.astype(np.int64), tfs_all.astype(np.int64), db
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(w["seg_id"][gstart].astype(np.int32)),
+                    pc.take(names_arr, pa.array(w["fidx"][gstart])),
+                    pa.array(w["term"][gstart], pa.string()),
+                    pa.array(dfs),
+                    pa.array(cfs),
+                    pa.array(max_tfs.astype(np.int32)),
+                    _binary_array(blob_buf, blob_off),
+                    _binary_array(skip_buf, skip_off),
+                    _binary_array(bmax_buf, bmax_off),
+                    _binary_array(po_buf, po_off),
+                    _binary_array(pay_buf, pay_off),
+                ],
+                names=[
+                    "seg_id",
+                    "field",
+                    "term",
+                    "df",
+                    "cf",
+                    "max_tf",
+                    "blob",
+                    "skip",
+                    "bmax",
+                    "pos_off",
+                    "pos_pay",
+                ],
+            )
+
+    return kernel

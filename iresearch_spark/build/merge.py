@@ -2,18 +2,20 @@
 
 merge_segments reproduces the reference's merge_writer semantics
 ([up] core/index/merge_writer.cpp): k segments stream into one new
-segment; docIDs are rebased by cumulative live-doc offsets in seg_id
-order, masked (deleted) docs are dropped and the survivors' docIDs are
-compacted; term dictionaries union naturally under groupBy(term); the
-new segment's postings/skip/blockmax blobs are re-encoded from the
-remapped doc lists.
+segment; masked (deleted) docs are dropped and survivors get new docIDs
+assigned by a GLOBAL url sort — preserving the engine's docID invariant
+(SURVEY.md §1.4: docIDs follow url order within every segment), so a
+merged segment is indistinguishable from a fresh build over the same live
+docs (tested). Term dictionaries union naturally under groupBy(field,
+term); the new segment's postings/skip/blockmax blobs are re-encoded from
+the remapped doc lists.
 
-Spark shape: the docs remap is a per-source-segment vectorized
-applyInPandas (offsets precomputed on the driver from segment metadata —
-no data-dependent driver loop), and the postings merge is one
-groupBy(seg-set terms).applyInPandas — term-parallel, so a single merge
-scales out across executors even though the *output* is one logical
-segment, and many merge sets can run as independent jobs.
+Spark shape: the doc stream is ONE url-sorted task (the reference's
+single-threaded merge_writer doc pass; bounded by the tier policy's merge
+budget) emitting an (old_seg, old_doc) -> new_doc remap table; the
+postings merge is one groupBy(field, term).applyInPandas — term-parallel,
+so a single merge scales out across executors even though the *output* is
+one logical segment, and many merge sets can run as independent jobs.
 
 delete_by_query writes per-segment tombstone masks (sorted u32 docID
 blobs, the document_mask of [up] core/formats/formats.hpp) and commits a
@@ -80,78 +82,114 @@ def merge_segments(
     masks = _load_masks(store, snap)
     parts = parts or spark.sparkContext.defaultParallelism * 2
 
-    # live-doc offsets per source segment (driver-side, from metadata)
-    offsets: dict[int, int] = {}
-    acc = 0
-    for sid_ in seg_ids:
-        offsets[sid_] = acc
-        acc += int(segs[sid_]["n_docs"]) - len(masks.get(sid_, ()))
+    acc = sum(
+        int(segs[sid_]["n_docs"]) - len(masks.get(sid_, ())) for sid_ in seg_ids
+    )
     new_seg_id = max(segs) + 1
     commit_dir = store.new_commit_dir()
     docs_dir = os.path.join(commit_dir, "docs")
     post_dir = os.path.join(commit_dir, "postings")
     norms_dir = os.path.join(commit_dir, "norms")
+    remap_dir = os.path.join(commit_dir, "remap")
 
-    # ---- docs table: drop masked, rebase docIDs (order-preserving)
+    # ---- docs table: drop masked, re-assign docIDs by GLOBAL url sort.
+    # The engine's docID invariant (SURVEY.md §1.4) is "docIDs follow url
+    # order within a segment"; per-source-offset rebase would break it and
+    # make merged segments tie-break differently from a fresh build. The
+    # merged segment's doc stream is therefore one url-sorted pass — a
+    # single task, exactly the reference's single-threaded merge_writer
+    # doc stream (bounded by the policy's max_segments_bytes); the
+    # postings merge below stays term-parallel.
     docs = spark.read.parquet(
         *[store.abs_path(segs[s]["docs_path"]) for s in seg_ids]
     )
 
-    def remap_docs(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        src = int(key[0])
-        pdf = pdf.sort_values("doc_id")
-        mask = masks.get(src)
+    def drop_masked(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        mask = masks.get(int(key[0]))
         if mask is not None and len(mask):
             pdf = pdf[~pdf["doc_id"].isin(mask)]
-        pdf = pdf.copy()
-        pdf["doc_id"] = offsets[src] + np.arange(1, len(pdf) + 1, dtype=np.int64)
-        pdf["seg_id"] = np.int32(new_seg_id)
         return pdf
 
-    docs_schema = (
+    survivors_schema = (
         "seg_id int, doc_id bigint, url string, warc_ts timestamp, "
-        "lang string, dl int"
+        "lang string, dl int, fdls array<int>"
     )
-    merged_docs = (
-        docs.select("seg_id", "doc_id", "url", "warc_ts", "lang", "dl")
+
+    def assign_new_ids(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["_g"]).sort_values("url").reset_index(drop=True)
+        pdf["old_seg"] = pdf["seg_id"].astype("int32")
+        pdf["old_doc"] = pdf["doc_id"]
+        pdf["seg_id"] = np.int32(new_seg_id)
+        pdf["doc_id"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
+        return pdf
+
+    staged = (
+        docs.select("seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls")
         .groupBy("seg_id")
-        .applyInPandas(remap_docs, docs_schema)
+        .applyInPandas(drop_masked, survivors_schema)
+        .withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            assign_new_ids,
+            survivors_schema + ", old_seg int, old_doc bigint",
+        )
     )
     (
-        merged_docs.withColumn("seg_part", F.col("seg_id"))
+        staged.withColumn("seg_part", F.col("seg_id"))
+        .write.partitionBy("seg_part")
+        .parquet(remap_dir, mode="overwrite")
+    )
+    (
+        spark.read.parquet(remap_dir)
+        .select("seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls")
+        .withColumn("seg_part", F.col("seg_id"))
         .write.partitionBy("seg_part")
         .parquet(docs_dir, mode="overwrite")
     )
+
+    # old (seg, doc) -> new doc mapping, read back as compact arrays and
+    # broadcast (8 bytes/doc, same budget class as the dls blob)
+    import pyarrow.parquet as pq
+
+    remap_tbl = pq.read_table(
+        remap_dir, columns=["old_seg", "old_doc", "doc_id"]
+    )
+    o_seg = remap_tbl.column("old_seg").to_numpy()
+    o_doc = remap_tbl.column("old_doc").to_numpy()
+    n_doc = remap_tbl.column("doc_id").to_numpy()
+    remap_arrays: dict[int, np.ndarray] = {}
+    for sid_ in seg_ids:
+        arr = np.zeros(int(segs[sid_]["n_docs"]) + 1, dtype=np.int64)
+        sel = o_seg == sid_
+        arr[o_doc[sel]] = n_doc[sel]  # masked docs stay 0 (= dropped)
+        remap_arrays[sid_] = arr
+    bc_remap = spark.sparkContext.broadcast(remap_arrays)
 
     # ---- postings: per-term concat with docID remap, re-encode
     post = spark.read.parquet(
         *[store.abs_path(segs[s]["postings_path"]) for s in seg_ids]
     )
-    bc_masks = spark.sparkContext.broadcast(
-        {k: v for k, v in masks.items() if k in offsets}
-    )
-    bc_offsets = spark.sparkContext.broadcast(offsets)
+
+    field_names = [d["name"] for d in store.fields()]
+    field_idx = {name: i for i, name in enumerate(field_names)}
 
     def merge_term(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term = key[0]
+        field, term = key[0], key[1]
         pdf = pdf.sort_values("seg_id")
-        mks, offs = bc_masks.value, bc_offsets.value
+        remap = bc_remap.value
         all_docs, all_tfs, all_pos = [], [], []
         for row in pdf.itertuples():
             pl = decode_postings(bytes(row.blob))
             docs_a = pl.doc_ids.astype(np.int64)
             tfs_a = pl.tfs.astype(np.int64)
-            sel = np.arange(len(docs_a))
-            mask = mks.get(int(row.seg_id))
-            if mask is not None and len(mask):
-                keep = ~np.isin(docs_a, mask)
-                # compacted id = old - (#deleted <= old)
-                shift = np.searchsorted(mask, docs_a, side="right")
-                docs_a, tfs_a, sel = (docs_a - shift)[keep], tfs_a[keep], sel[keep]
+            new_ids = remap[int(row.seg_id)][docs_a]
+            keep = new_ids > 0  # 0 = masked/dropped doc
+            sel = np.flatnonzero(keep)
+            docs_a, tfs_a = new_ids[keep], tfs_a[keep]
             pos_flat = decode_positions_for(
                 bytes(row.pos_off), bytes(row.pos_pay), sel, tfs_a
             )
-            all_docs.append(docs_a + offs[int(row.seg_id)])
+            all_docs.append(docs_a)
             all_tfs.append(tfs_a)
             all_pos.extend(p for p in pos_flat)
         docs_m = np.concatenate(all_docs) if all_docs else np.empty(0, np.int64)
@@ -160,10 +198,16 @@ def merge_segments(
                 columns=[f.split()[0] for f in kernels.POSTING_SCHEMA.split(", ")]
             )
         tfs_m = np.concatenate(all_tfs)
+        # new docIDs interleave across source segments (global url sort):
+        # re-sort the concatenated entries, permuting per-doc position
+        # lists with them
+        order = np.argsort(docs_m, kind="stable")
+        docs_m, tfs_m = docs_m[order], tfs_m[order]
+        all_pos = [all_pos[i] for i in order]
         pos_m = (
             np.concatenate(all_pos) if all_pos else np.empty(0, np.int64)
         )
-        dls_m = _dls_for(bc_norms.value, docs_m)
+        dls_m = _dls_for(bc_norms.value[field_idx[field]], docs_m)
         blob, skip, bmax = encode_postings(
             docs_m.astype("<u4"), tfs_m.astype("<u4"), dls_m.astype("<u4")
         )
@@ -171,6 +215,7 @@ def merge_segments(
         return pd.DataFrame(
             {
                 "seg_id": [np.int32(new_seg_id)],
+                "field": [field],
                 "term": [term],
                 "df": [int(len(docs_m))],
                 "cf": [int(tfs_m.sum())],
@@ -189,7 +234,7 @@ def merge_segments(
     # never the per-row toPandas path.
     (
         spark.read.parquet(docs_dir)
-        .select("seg_id", "doc_id", "dl")
+        .select("seg_id", "doc_id", "fdls")
         .groupBy("seg_id")
         .applyInPandas(kernels.norms_builder, kernels.NORMS_SCHEMA)
         .withColumn("seg_part", F.col("seg_id"))
@@ -198,16 +243,25 @@ def merge_segments(
     )
     import pyarrow.parquet as pq
 
-    norms_tbl = pq.read_table(norms_dir, columns=["dls_bin"])
-    assert norms_tbl.num_rows == 1
-    dls_arr = np.frombuffer(
-        bytes(norms_tbl.column("dls_bin")[0].as_py()), dtype="<u4"
-    )
-    bc_norms = spark.sparkContext.broadcast(dls_arr)
+    norms_tbl = pq.read_table(norms_dir, columns=["fidx", "dls_bin", "sum_dl"])
+    dls_by_fidx = {
+        int(fx): np.frombuffer(bytes(blob.as_py()), dtype="<u4")
+        for fx, blob in zip(
+            norms_tbl.column("fidx").to_pylist(), norms_tbl.column("dls_bin")
+        )
+    }
+    field_sums_new = {
+        field_names[int(fx)]: int(s)
+        for fx, s in zip(
+            norms_tbl.column("fidx").to_pylist(),
+            norms_tbl.column("sum_dl").to_pylist(),
+        )
+    }
+    bc_norms = spark.sparkContext.broadcast(dls_by_fidx)
 
     merged_post = (
-        post.repartition(parts, "term")
-        .groupBy("term")
+        post.repartition(parts, "field", "term")
+        .groupBy("field", "term")
         .applyInPandas(merge_term, kernels.POSTING_SCHEMA)
     )
     (
@@ -216,13 +270,16 @@ def merge_segments(
         .parquet(post_dir, mode="overwrite")
     )
 
+    # drop the remap staging table (only needed during this merge)
+    import shutil
+
+    shutil.rmtree(remap_dir, ignore_errors=True)
+
     # ---- snapshot: survivors + the merged segment
     rel = os.path.relpath(commit_dir, store.root)
     n_docs_new = int(acc)
-    sum_dl_new = int(dls_arr.astype(np.int64).sum())
-    n_terms_new = int(
-        spark.read.parquet(post_dir).select("term").distinct().count()
-    )
+    sum_dl_new = int(field_sums_new.get(field_names[0], 0))
+    n_terms_new = int(spark.read.parquet(post_dir).count())
     new_seg = {
         "seg_id": new_seg_id,
         "docs_path": f"{rel}/docs/seg_part={new_seg_id}",
@@ -231,12 +288,19 @@ def merge_segments(
         "n_docs": n_docs_new,
         "sum_dl": sum_dl_new,
         "n_terms": n_terms_new,
+        "field_sum_dl": field_sums_new,
     }
-    survivors = [s for s in snap["segments"] if int(s["seg_id"]) not in offsets]
+    survivors = [s for s in snap["segments"] if int(s["seg_id"]) not in set(seg_ids)]
     segments = survivors + [new_seg]
+    field_totals: dict[str, int] = {}
+    for s in segments:
+        per = s.get("field_sum_dl") or {field_names[0]: int(s["sum_dl"])}
+        for name, v in per.items():
+            field_totals[name] = field_totals.get(name, 0) + int(v)
     stats = {
         "n_docs": sum(int(s["n_docs"]) for s in segments),
         "sum_dl": sum(int(s["sum_dl"]) for s in segments),
+        "field_sum_dl": field_totals,
     }
     lineage = [
         {

@@ -1,0 +1,33 @@
+"""Indexed-field specifications (SURVEY.md §1.1: documents are bags of
+named fields, each with its own analyzer — [up] core/index/index_writer.hpp
+documents_context::insert takes per-field analyzers).
+
+A FieldSpec binds an index field name to a corpus source column and an
+analyzer spec string (iresearch_spark.analysis.analyzers). The special
+source "__text__" is the default web path: html -> frozen extraction,
+falling back to the `text` column for rows with null html.
+
+The spec list is frozen into the snapshot manifest at build time, so a
+reader always scores with the exact analysis the index was built with.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    name: str
+    source: str = "__text__"
+    analyzer: str = "text"
+
+    def to_json(self) -> dict:
+        return {"name": self.name, "source": self.source, "analyzer": self.analyzer}
+
+    @classmethod
+    def from_json(cls, d: dict) -> "FieldSpec":
+        return cls(d["name"], d["source"], d["analyzer"])
+
+
+DEFAULT_FIELDS: tuple[FieldSpec, ...] = (FieldSpec("text", "__text__", "text"),)

@@ -9,7 +9,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def documents_as_corpus(spark, sf_dir: str) -> DataFrame:
+def documents_as_corpus(
+    spark, sf_dir: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.select(
         F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
@@ -17,4 +19,5 @@ def documents_as_corpus(spark, sf_dir: str) -> DataFrame:
         F.lit(None).cast("binary").alias("html"),
         F.col("text"),
         F.col("lang"),
+        *[F.col(c) for c in extra_cols],
     )

@@ -20,7 +20,6 @@ import zlib
 import numpy as np
 
 from iresearch_spark import BM25_B, BM25_K1
-from iresearch_spark.analysis.tokenizer import tokenize
 from iresearch_spark.query import filters as qf
 
 
@@ -70,7 +69,11 @@ def levenshtein(
 
 
 class OracleIndex:
-    """In-memory inverted index + BM25 evaluator over (url, text) rows."""
+    """In-memory inverted index + BM25 evaluator over (url, text) rows,
+    with optional extra named fields, each analyzed by its own frozen
+    analyzer spec (analysis.analyzers) — the multi-field document model of
+    [up] core/index/index_writer.hpp (per-field postings, norms and
+    statistics)."""
 
     def __init__(
         self,
@@ -79,88 +82,114 @@ class OracleIndex:
         n_segments: int = 4,
         k1: float = BM25_K1,
         b: float = BM25_B,
+        extra_fields: list[tuple[str, list, str]] | None = None,
     ):
+        """extra_fields: [(field_name, values aligned with urls, analyzer
+        spec)] indexed alongside the default ("text", texts, "text")."""
+        from iresearch_spark.analysis.analyzers import analyze_one
+
         self.n_segments = n_segments
         self.k1 = k1  # b=0 -> BM15, b=1 -> BM11 ([up] core/search/bm25.cpp)
         self.b = b
+        fields: list[tuple[str, list, str]] = [("text", texts, "text")]
+        fields += list(extra_fields or [])
+        self.field_names = [f[0] for f in fields]
         # segment = crc32(url) % n_segments; docID = 1-based rank of url
-        # within its segment (ascending) — must match build/docids.py
-        per_seg: dict[int, list[tuple[str, str]]] = {s: [] for s in range(n_segments)}
-        for u, t in zip(urls, texts):
-            per_seg[zlib.crc32(u.encode()) % n_segments].append((u, t))
+        # within its segment (ascending) — must match the build pipeline
+        per_seg: dict[int, list[int]] = {s: [] for s in range(n_segments)}
+        for i, u in enumerate(urls):
+            per_seg[zlib.crc32(u.encode()) % n_segments].append(i)
         self.doc_url: dict[tuple[int, int], str] = {}
-        self.doc_len: dict[tuple[int, int], int] = {}
-        # postings[term][seg] = (list of doc_ids, list of tfs, list of pos-lists)
-        self.postings: dict[str, dict[int, tuple[list, list, list]]] = {}
-        n_total, dl_total = 0, 0
+        # doc_len[field][(seg, doc)] = that field's token count
+        self.doc_len: dict[str, dict[tuple[int, int], int]] = {
+            name: {} for name, _, _ in fields
+        }
+        # postings[(field, term)][seg] = (doc_ids, tfs, pos-lists)
+        self.postings: dict[tuple[str, str], dict[int, tuple[list, list, list]]] = {}
+        n_total = 0
+        dl_total: dict[str, int] = {name: 0 for name, _, _ in fields}
         for seg in range(n_segments):
-            rows = sorted(per_seg[seg], key=lambda r: r[0])
-            for i, (u, t) in enumerate(rows):
-                doc = i + 1  # docIDs start at 1 ([up] core/shared.hpp doc_limits)
-                toks = tokenize(t)
-                dl = len(toks)
-                self.doc_url[(seg, doc)] = u
-                self.doc_len[(seg, doc)] = dl
+            rows = sorted(per_seg[seg], key=lambda i: urls[i])
+            for di, i in enumerate(rows):
+                doc = di + 1  # docIDs start at 1 ([up] core/shared.hpp)
+                self.doc_url[(seg, doc)] = urls[i]
                 n_total += 1
-                dl_total += dl
-                occ: dict[str, list[int]] = {}
-                for p, tok in enumerate(toks):
-                    occ.setdefault(tok, []).append(p)
-                for term, poss in occ.items():
-                    by_seg = self.postings.setdefault(term, {})
-                    docs, tfs, positions = by_seg.setdefault(seg, ([], [], []))
-                    docs.append(doc)
-                    tfs.append(len(poss))
-                    positions.append(poss)
+                for name, values, spec in fields:
+                    toks = analyze_one(values[i], spec)
+                    self.doc_len[name][(seg, doc)] = len(toks)
+                    dl_total[name] += len(toks)
+                    occ: dict[str, list[int]] = {}
+                    for tok, p in toks:
+                        occ.setdefault(tok, []).append(p)
+                    for term, poss in occ.items():
+                        by_seg = self.postings.setdefault((name, term), {})
+                        docs, tfs, positions = by_seg.setdefault(seg, ([], [], []))
+                        docs.append(doc)
+                        tfs.append(len(poss))
+                        positions.append(sorted(poss))
         self.n_docs = n_total
-        self.avgdl = (dl_total / n_total) if n_total else 0.0
-        self.df = {t: sum(len(v[0]) for v in s.values()) for t, s in self.postings.items()}
-        self.dictionary = sorted(self.df)
+        self.avgdl_by_field = {
+            name: (dl_total[name] / n_total) if n_total else 0.0
+            for name, _, _ in fields
+        }
+        self.avgdl = self.avgdl_by_field["text"]
+        self.df = {
+            key: sum(len(v[0]) for v in s.values())
+            for key, s in self.postings.items()
+        }
+        self.dictionary_by_field: dict[str, list[str]] = {}
+        for fname, term in sorted(self.df):
+            self.dictionary_by_field.setdefault(fname, []).append(term)
+        self.dictionary = self.dictionary_by_field.get("text", [])
 
     @classmethod
-    def from_corpus(cls, pdf, n_segments: int = 4) -> "OracleIndex":
-        return cls(pdf["url"].tolist(), pdf["text"].tolist(), n_segments)
+    def from_corpus(cls, pdf, n_segments: int = 4, **kw) -> "OracleIndex":
+        return cls(pdf["url"].tolist(), pdf["text"].tolist(), n_segments, **kw)
 
     # ------------------------------------------------------------- scoring
 
-    def idf(self, term: str) -> float:
-        df = self.df.get(term, 0)
+    def idf(self, term: str, field: str = "text") -> float:
+        df = self.df.get((field, term), 0)
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
-    def _tfn(self, tf: float, dl: int) -> float:
+    def _tfn(self, tf: float, dl: int, field: str = "text") -> float:
+        avgdl = self.avgdl_by_field[field]
         return (
             tf
             * (self.k1 + 1.0)
-            / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+            / (tf + self.k1 * (1.0 - self.b + self.b * dl / avgdl))
         )
 
-    def _term_scores(self, term: str, boost: float) -> dict[tuple[int, int], float]:
+    def _term_scores(
+        self, term: str, boost: float, field: str = "text"
+    ) -> dict[tuple[int, int], float]:
         out: dict[tuple[int, int], float] = {}
-        idf = self.idf(term)
-        for seg, (docs, tfs, _) in self.postings.get(term, {}).items():
+        idf = self.idf(term, field)
+        dlm = self.doc_len[field]
+        for seg, (docs, tfs, _) in self.postings.get((field, term), {}).items():
             for doc, tf in zip(docs, tfs):
-                out[(seg, doc)] = boost * idf * self._tfn(tf, self.doc_len[(seg, doc)])
+                out[(seg, doc)] = boost * idf * self._tfn(tf, dlm[(seg, doc)], field)
         return out
 
     # ---------------------------------------------------------- expansion
 
-    def expand(self, node: qf.Filter) -> list[str]:
-        """Dictionary expansion for multiterm filters, capped at
-        scored_terms_limit by (df desc, term asc) — SURVEY.md F17."""
-        d = self.dictionary
+    def _expand_all(self, node: qf.Filter) -> list[str]:
+        """Every dictionary term the multiterm node matches (uncapped)."""
+        d = self.dictionary_by_field.get(node.field, [])
         if isinstance(node, qf.Prefix):
-            cand = [t for t in d if t.startswith(node.prefix)]
-        elif isinstance(node, qf.TermRange):
+            return [t for t in d if t.startswith(node.prefix)]
+        if isinstance(node, qf.TermRange):
             cand = d
             if node.lo is not None:
                 cand = [t for t in cand if (t >= node.lo if node.include_lo else t > node.lo)]
             if node.hi is not None:
                 cand = [t for t in cand if (t <= node.hi if node.include_hi else t < node.hi)]
-        elif isinstance(node, qf.Wildcard):
+            return list(cand)
+        if isinstance(node, qf.Wildcard):
             rx = re.compile(wildcard_to_regex(node.pattern))
-            cand = [t for t in d if rx.fullmatch(t)]
-        elif isinstance(node, qf.Fuzzy):
-            cand = [
+            return [t for t in d if rx.fullmatch(t)]
+        if isinstance(node, qf.Fuzzy):
+            return [
                 t
                 for t in d
                 if levenshtein(
@@ -168,10 +197,20 @@ class OracleIndex:
                 )
                 <= node.max_distance
             ]
-        else:  # pragma: no cover
-            raise TypeError(type(node))
-        cand.sort(key=lambda t: (-self.df[t], t))
+        raise TypeError(type(node))  # pragma: no cover
+
+    def expand(self, node: qf.Filter) -> list[str]:
+        """The SCORED expansion: top scored_terms_limit matches by
+        (df desc, term asc) — SURVEY.md F17."""
+        cand = self._expand_all(node)
+        cand.sort(key=lambda t: (-self.df[(node.field, t)], t))
         return sorted(cand[: node.scored_terms_limit])
+
+    def expand_weighted(self, node: qf.Filter) -> list[tuple[str, float]]:
+        """All matches, weight 1.0 for the scored cap, 0.0 for the rest
+        (matched-but-unscored, the limited_sample_collector semantics)."""
+        scored = set(self.expand(node))
+        return sorted((t, 1.0 if t in scored else 0.0) for t in self._expand_all(node))
 
     # --------------------------------------------------------- evaluation
 
@@ -185,16 +224,29 @@ class OracleIndex:
         if isinstance(node, qf.AllDocs):
             return {key: node.boost for key in self.doc_url}
         if isinstance(node, qf.Term):
-            return self._term_scores(node.term, node.boost)
+            return self._term_scores(node.term, node.boost, node.field)
         if isinstance(node, qf.Terms):
+            w_by_t = dict(zip(node.terms, node.weights))
             return self._eval(
-                qf.Or(*[qf.Term(t, node.boost) for t in sorted(set(node.terms))])
+                qf.Or(
+                    *[
+                        qf.Term(t, node.boost * w_by_t[t], field=node.field)
+                        for t in sorted(w_by_t)
+                    ]
+                )
             )
         if isinstance(node, (qf.Prefix, qf.TermRange, qf.Wildcard, qf.Fuzzy)):
-            terms = self.expand(node)
-            if not terms:
+            tw = self.expand_weighted(node)
+            if not tw:
                 return {}
-            return self._eval(qf.Or(*[qf.Term(t, node.boost) for t in terms]))
+            return self._eval(
+                qf.Terms(
+                    [t for t, _ in tw],
+                    boost=node.boost,
+                    field=node.field,
+                    weights=[w for _, w in tw],
+                )
+            )
         if isinstance(node, qf.And):
             child_maps = [self._eval(c) for c in node.children]
             keys = set(child_maps[0])
@@ -218,36 +270,88 @@ class OracleIndex:
             return self._phrase(node)
         if isinstance(node, qf.SamePosition):
             return self._phrase(node, step=0)
+        if isinstance(node, qf.NgramSimilarity):
+            return self._ngram_similarity(node)
         raise TypeError(f"oracle cannot evaluate {type(node)}")
 
-    def _phrase(self, node, step: int = 1) -> dict[tuple[int, int], float]:
-        terms = list(node.terms)
-        if not terms:
+    def _ngram_similarity(self, node) -> dict[tuple[int, int], float]:
+        """F9 reference model: longest positionally-increasing chain of
+        matched target grams / gram count >= threshold; score = boost ·
+        similarity ([up] core/search/ngram_similarity_filter.cpp)."""
+        import bisect
+
+        grams = list(node.grams())
+        m = len(grams)
+        if m == 0:
             return {}
-        maps = []
-        for t in terms:
-            by_seg = self.postings.get(t)
-            if not by_seg:
-                return {}
-            m: dict[tuple[int, int], list[int]] = {}
-            for seg, (docs, _tfs, poss) in by_seg.items():
+        # per doc: list of (gram index, positions)
+        events: dict[tuple[int, int], list[tuple[int, list[int]]]] = {}
+        for gi, g in enumerate(grams):
+            for seg, (docs, _tfs, poss) in self.postings.get(
+                (node.field, g), {}
+            ).items():
                 for doc, pl in zip(docs, poss):
-                    m[(seg, doc)] = pl
+                    events.setdefault((seg, doc), []).append((gi, pl))
+        out: dict[tuple[int, int], float] = {}
+        for key, evs in events.items():
+            tails: list[int] = []
+            for gi, pl in sorted(evs):
+                # descending within one gram slot: it extends a chain once
+                for p in sorted(pl, reverse=True):
+                    j = bisect.bisect_left(tails, p)
+                    if j == len(tails):
+                        tails.append(p)
+                    else:
+                        tails[j] = p
+            sim = len(tails) / m
+            if sim >= node.threshold:
+                out[key] = node.boost * sim
+        return out
+
+    def _phrase(self, node, step: int = 1) -> dict[tuple[int, int], float]:
+        """Positional phrase / same-position; slots may be plain terms or
+        multiterm phrase parts (expanded UNCAPPED, matching the engine's
+        per-position variants)."""
+        field = node.field
+        slots: list[list[str]] = []
+        for part in node.terms:
+            if isinstance(part, str):
+                slots.append([part])
+            elif isinstance(part, qf.Terms):
+                slots.append(sorted(set(part.terms)))
+            else:
+                slots.append(self._expand_all(part))
+        if not slots:
+            return {}
+        maps = []  # per slot: (seg, doc) -> merged sorted positions
+        for slot in slots:
+            m: dict[tuple[int, int], set] = {}
+            for t in slot:
+                by_seg = self.postings.get((field, t))
+                if not by_seg:
+                    continue
+                for seg, (docs, _tfs, poss) in by_seg.items():
+                    for doc, pl in zip(docs, poss):
+                        m.setdefault((seg, doc), set()).update(pl)
+            if not m:
+                return {}
             maps.append(m)
         keys = set(maps[0])
         for m in maps[1:]:
             keys &= set(m)
-        pos_sets = [{k: set(m[k]) for k in keys} for m in maps[1:]]
-        idf_sum = sum(self.idf(t) for t in terms)
+        idf_sum = sum(self.idf(t, field) for slot in slots for t in slot)
+        dlm = self.doc_len[field]
         out: dict[tuple[int, int], float] = {}
         for k in keys:
             hits = sum(
                 1
-                for p in maps[0][k]
-                if all(p + (i + 1) * step in ps[k] for i, ps in enumerate(pos_sets))
+                for p in sorted(maps[0][k])
+                if all(p + i * step in maps[i][k] for i in range(1, len(maps)))
             )
             if hits:
-                out[k] = node.boost * idf_sum * self._tfn(hits, self.doc_len[k])
+                out[k] = (
+                    node.boost * idf_sum * self._tfn(hits, dlm[k], field)
+                )
         return out
 
     # -------------------------------------------------------------- top-k

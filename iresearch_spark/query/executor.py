@@ -47,18 +47,21 @@ RESULT_SCHEMA = "qid bigint, seg_id int, doc_id bigint, score double"
 _EXPANDABLE = (qf.Prefix, qf.TermRange, qf.Wildcard, qf.Fuzzy)
 
 
-def _flatten_or_terms(tree: qf.Filter) -> list[tuple[str, float]] | None:
-    """[(term, weight multiplier)] if `tree` is a pure min_match=1
-    disjunction over unique terms — the shape block-max WAND handles."""
-    out: list[tuple[str, float]] = []
+def _flatten_or_terms(tree: qf.Filter):
+    """[((field, term), weight multiplier)] if `tree` is a pure min_match=1
+    disjunction over unique terms with all-positive weights — the shape
+    block-max WAND handles (zero-weight matched-unscored expansions fall
+    back to the exact eval path, where score-0 matches still surface)."""
+    out: list[tuple[tuple[str, str], float]] = []
 
     def rec(node: qf.Filter, mult: float) -> bool:
         if isinstance(node, qf.Term):
-            out.append((node.term, mult * node.boost))
+            out.append(((node.field, node.term), mult * node.boost))
             return True
         if isinstance(node, qf.Terms):
-            for t in sorted(set(node.terms)):
-                out.append((t, mult * node.boost))
+            w_by_t = dict(zip(node.terms, node.weights))
+            for t in sorted(w_by_t):
+                out.append(((node.field, t), mult * node.boost * w_by_t[t]))
             return True
         if isinstance(node, qf.Or) and node.min_match == 1:
             return all(rec(c, mult * node.boost) for c in node.children)
@@ -66,31 +69,40 @@ def _flatten_or_terms(tree: qf.Filter) -> list[tuple[str, float]] | None:
 
     if not rec(tree, 1.0):
         return None
-    terms = [t for t, _ in out]
-    if len(set(terms)) != len(terms):
+    keys = [k for k, _ in out]
+    if len(set(keys)) != len(keys):
+        return None
+    if any(w <= 0.0 for _, w in out):
         return None
     return out
 
 
-def _flatten_and_terms(tree: qf.Filter) -> list[tuple[str, float]] | None:
-    """[(term, weight multiplier)] if `tree` is a flat Term conjunction."""
+def _flatten_and_terms(tree: qf.Filter):
+    """[((field, term), weight)] if `tree` is a flat Term conjunction."""
     if isinstance(tree, qf.And) and all(
         isinstance(c, qf.Term) for c in tree.children
     ):
-        return [(c.term, tree.boost * c.boost) for c in tree.children]
+        return [
+            ((c.field, c.term), tree.boost * c.boost) for c in tree.children
+        ]
     return None
 
 
-def _walk_terms(node: qf.Filter, terms: set[str], phrases: list) -> None:
+def _walk_terms(node: qf.Filter, terms: set, phrases: list) -> None:
+    """Collect every (field, term) key the tree needs postings for."""
     if isinstance(node, qf.Term):
-        terms.add(node.term)
+        terms.add((node.field, node.term))
     elif isinstance(node, (qf.Terms,)):
-        terms.update(node.terms)
+        terms.update((node.field, t) for t in node.terms)
     elif isinstance(node, (qf.Phrase, qf.SamePosition)):
-        terms.update(node.terms)
+        for slot in node.terms:
+            if isinstance(slot, qf.Terms):
+                terms.update((node.field, t) for t in slot.terms)
+            else:
+                terms.add((node.field, slot))
         phrases.append(node)
     elif isinstance(node, qf.NgramSimilarity):
-        terms.update(node.grams())
+        terms.update((node.field, g) for g in node.grams())
         phrases.append(node)
     elif isinstance(node, qf.And):
         for c in node.children:
@@ -101,6 +113,19 @@ def _walk_terms(node: qf.Filter, terms: set[str], phrases: list) -> None:
     elif isinstance(node, qf.Not):
         _walk_terms(node.child, terms, phrases)
         _walk_terms(node.excluded, terms, phrases)
+
+
+def _keys_condition(keys) -> "F.Column":
+    """Pushdown-friendly scan predicate for a set of (field, term) keys:
+    one isin per referenced field, OR-combined."""
+    by_field: dict[str, list[str]] = {}
+    for f, t in keys:
+        by_field.setdefault(f, []).append(t)
+    cond = None
+    for f, ts in sorted(by_field.items()):
+        c = (F.col("field") == f) & F.col("term").isin(ts)
+        cond = c if cond is None else (cond | c)
+    return cond
 
 
 def _walk_columns(node: qf.Filter, out: set) -> None:
@@ -114,9 +139,22 @@ def _walk_columns(node: qf.Filter, out: set) -> None:
         _walk_columns(node.excluded, out)
 
 
+def _phrase_part(node: qf.Filter, field: str) -> qf.Filter:
+    """A multiterm node used as a phrase slot expands WITHOUT the scored
+    cap ([up] phrase_filter's per-position variants match every term the
+    automaton accepts) and inherits the phrase's field."""
+    import dataclasses
+
+    return dataclasses.replace(node, scored_terms_limit=1 << 30, field=field)
+
+
 def _collect_expansions(node: qf.Filter, out: list) -> None:
     if isinstance(node, _EXPANDABLE):
         out.append(node)
+    elif isinstance(node, qf.Phrase):
+        for slot in node.terms:
+            if isinstance(slot, _EXPANDABLE):
+                out.append(_phrase_part(slot, node.field))
     elif isinstance(node, qf.And) or isinstance(node, qf.Or):
         for c in node.children:
             _collect_expansions(c, out)
@@ -125,12 +163,34 @@ def _collect_expansions(node: qf.Filter, out: list) -> None:
         _collect_expansions(node.excluded, out)
 
 
-def _rewrite(node: qf.Filter, resolved: dict[qf.Filter, tuple[str, ...]]) -> qf.Filter:
+def _rewrite(node: qf.Filter, resolved: dict) -> qf.Filter:
+    """Replace multiterm leaves with their dictionary expansions.
+
+    `resolved[node]` is [(term, weight)]: weight 1.0 for the top
+    scored_terms_limit expansions by (df desc, term asc), 0.0 for the rest
+    — which still MATCH but contribute no score, the reference's
+    limited_sample_collector semantics (SURVEY.md F17)."""
     if isinstance(node, _EXPANDABLE):
-        terms = resolved.get(node, ())
-        if not terms:
+        tw = resolved.get(node, ())
+        if not tw:
             return qf.Empty()
-        return qf.Terms(terms, boost=node.boost)
+        return qf.Terms(
+            [t for t, _ in tw],
+            boost=node.boost,
+            field=node.field,
+            weights=[w for _, w in tw],
+        )
+    if isinstance(node, qf.Phrase):
+        slots = []
+        for slot in node.terms:
+            if isinstance(slot, _EXPANDABLE):
+                tw = resolved.get(_phrase_part(slot, node.field), ())
+                if not tw:
+                    return qf.Empty()  # an unmatchable slot empties the phrase
+                slots.append(qf.Terms([t for t, _ in tw], field=node.field))
+            else:
+                slots.append(slot)
+        return qf.Phrase(slots, boost=node.boost, field=node.field)
     if isinstance(node, qf.And):
         return qf.And(*[_rewrite(c, resolved) for c in node.children], boost=node.boost)
     if isinstance(node, qf.Or):
@@ -165,6 +225,10 @@ class IndexSearcher:
         stats = store.global_stats(self.sid)
         self.n_docs = stats["n_docs"]
         self.avgdl = stats["avgdl"]
+        self.field_names = [d["name"] for d in store.fields(self.sid)]
+        self.avgdl_by_field = dict(stats.get("avgdl_by_field") or {})
+        if not self.avgdl_by_field:  # legacy single-field snapshot
+            self.avgdl_by_field = {self.field_names[0]: self.avgdl}
         self.k1, self.b = k1, b
         if scorer not in ("bm25", "tfidf"):
             raise ValueError(scorer)
@@ -179,16 +243,23 @@ class IndexSearcher:
             return 1.0 + math.log(self.n_docs / (df + 1.0))
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
-    def _expand(self, nodes: list[qf.Filter]) -> dict[qf.Filter, tuple[str, ...]]:
-        """One distributed dictionary job expanding all multiterm nodes."""
+    def _expand(self, nodes: list[qf.Filter]) -> dict:
+        """One distributed dictionary job expanding all multiterm nodes.
+
+        Returns node -> ((term, weight), ...): the top scored_terms_limit
+        expansions by (df desc, term asc) carry weight 1.0, the remaining
+        matches weight 0.0 — matched but unscored, the reference's
+        limited_sample_collector behavior (SURVEY.md F17,
+        [up] core/search/multiterm_query.cpp)."""
         if not nodes:
             return {}
         conds = []
         for node in nodes:
+            in_field = F.col("field") == node.field
             if isinstance(node, qf.Prefix):
-                conds.append(F.col("term").startswith(node.prefix))
+                conds.append(in_field & F.col("term").startswith(node.prefix))
             elif isinstance(node, qf.TermRange):
-                c = F.lit(True)
+                c = in_field
                 if node.lo is not None:
                     c = c & (
                         (F.col("term") >= node.lo)
@@ -204,7 +275,10 @@ class IndexSearcher:
                 conds.append(c)
             elif isinstance(node, qf.Wildcard):
                 conds.append(
-                    F.col("term").rlike("^(?:" + wildcard_to_regex(node.pattern) + ")$")
+                    in_field
+                    & F.col("term").rlike(
+                        "^(?:" + wildcard_to_regex(node.pattern) + ")$"
+                    )
                 )
             elif isinstance(node, qf.Fuzzy):
                 q, d = node.term, node.max_distance
@@ -220,7 +294,7 @@ class IndexSearcher:
                     mask = metric(q, terms.to_numpy(dtype=np.str_), d)
                     return pd.Series(mask)
 
-                conds.append(len_ok & lev_ok(F.col("term")))
+                conds.append(in_field & len_ok & lev_ok(F.col("term")))
             else:  # pragma: no cover
                 raise TypeError(type(node))
         union = conds[0]
@@ -228,33 +302,30 @@ class IndexSearcher:
             union = union | c
         dict_df = (
             self._postings.filter(union)
-            .groupBy("term")
+            .groupBy("field", "term")
             .agg(F.sum("df").alias("df"))
         )
         tag = F.array(
             *[F.when(c, F.lit(i)).otherwise(F.lit(None)) for i, c in enumerate(conds)]
         )
-        limit_map = F.create_map(
-            *[
-                x
-                for i, n in enumerate(nodes)
-                for x in (F.lit(i), F.lit(n.scored_terms_limit))
-            ]
-        )
         w = Window.partitionBy("node_id").orderBy(F.desc("df"), F.asc("term"))
         rows = (
-            dict_df.select("term", "df", F.explode(tag).alias("node_id"))
+            dict_df.select("field", "term", "df", F.explode(tag).alias("node_id"))
             .filter(F.col("node_id").isNotNull())
             .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= limit_map[F.col("node_id")])
-            .select("node_id", "term")
+            .select("node_id", "term", "rn")
             .collect()
         )
-        by_node: dict[int, list[str]] = {}
+        by_node: dict[int, list[tuple[str, float]]] = {}
         for r in rows:
-            by_node.setdefault(int(r["node_id"]), []).append(r["term"])
+            nid = int(r["node_id"])
+            scored = int(r["rn"]) <= nodes[nid].scored_terms_limit
+            by_node.setdefault(nid, []).append(
+                (r["term"], 1.0 if scored else 0.0)
+            )
         return {
-            node: tuple(sorted(by_node.get(i, []))) for i, node in enumerate(nodes)
+            node: tuple(sorted(by_node.get(i, [])))
+            for i, node in enumerate(nodes)
         }
 
     def _existence_df(self, columns: list[str]) -> DataFrame:
@@ -315,22 +386,22 @@ class IndexSearcher:
         trees = {
             qid: qf.normalize(_rewrite(t, resolved)) for qid, t in norm.items()
         }
-        terms: set[str] = set()
+        terms: set[tuple[str, str]] = set()
         phrases: list = []
         for t in trees.values():
             _walk_terms(t, terms, phrases)
-        # global df stats for exactly the needed terms (small agg, term
-        # filter pushed down to the sorted parquet scan)
-        idf: dict[str, float] = {}
+        # global df stats for exactly the needed (field, term) keys (small
+        # agg, both predicates pushed down to the sorted parquet scan)
+        idf: dict[tuple[str, str], float] = {}
         if terms:
             stat_rows = (
-                self._postings.filter(F.col("term").isin(list(terms)))
-                .groupBy("term")
+                self._postings.filter(_keys_condition(terms))
+                .groupBy("field", "term")
                 .agg(F.sum("df").alias("df"))
                 .collect()
             )
             for r in stat_rows:
-                idf[r["term"]] = self.idf(int(r["df"]))
+                idf[(r["field"], r["term"])] = self.idf(int(r["df"]))
         return trees, terms, idf, bool(phrases)
 
     # ------------------------------------------------------------ execute
@@ -354,8 +425,6 @@ class IndexSearcher:
         external double-precision oracle computes (absorbs last-ulp
         numpy-vs-libm noise; see SURVEY.md §7 hard-part (a))."""
         trees, terms, idf, need_pos = self.prepare(queries)
-        avgdl, k1, b = self.avgdl, self.k1, self.b
-        scorer = self.scorer
         term_free = any(
             not isinstance(t, qf.Empty) for t in trees.values()
         ) and not terms  # DocSet/AllDocs-only queries still need execution
@@ -368,12 +437,17 @@ class IndexSearcher:
                 )
             return self.spark.createDataFrame([], schema)
 
-        cols = ["seg_id", "term", "df", "blob", "skip", "bmax"]
+        cols = ["seg_id", "field", "term", "df", "blob", "skip", "bmax"]
         if need_pos:
             cols += ["pos_off", "pos_pay"]
-        rows = self._postings.filter(F.col("term").isin(list(terms))).select(*cols)
+        rows = (
+            self._postings.filter(_keys_condition(terms)).select(*cols)
+            if terms
+            else self._postings.limit(0).select(*cols)
+        )
         kernel = _make_segment_kernel(
-            trees, idf, avgdl, k1, b, k, need_pos, score_round, scorer
+            trees, idf, self.avgdl_by_field, self.field_names, self.k1,
+            self.b, k, need_pos, score_round, self.scorer,
         )
         per_seg = (
             rows.groupBy("seg_id")
@@ -427,13 +501,17 @@ class IndexSearcher:
         trees, terms, idf, need_pos = self.prepare({0: flt})
         if all(isinstance(t, qf.Empty) for t in trees.values()):
             return self.spark.createDataFrame([], "seg_id int, doc_id bigint")
-        cols = ["seg_id", "term", "df", "blob", "skip", "bmax"]
+        cols = ["seg_id", "field", "term", "df", "blob", "skip", "bmax"]
         if need_pos:
             cols += ["pos_off", "pos_pay"]
-        rows = self._postings.filter(F.col("term").isin(list(terms))).select(*cols)
+        rows = (
+            self._postings.filter(_keys_condition(terms)).select(*cols)
+            if terms
+            else self._postings.limit(0).select(*cols)
+        )
         kernel = _make_segment_kernel(
-            trees, idf, self.avgdl, self.k1, self.b, 0, need_pos,
-            None, self.scorer, match_only=True,
+            trees, idf, self.avgdl_by_field, self.field_names, self.k1,
+            self.b, 0, need_pos, None, self.scorer, match_only=True,
         )
         return (
             rows.groupBy("seg_id")
@@ -447,16 +525,18 @@ class IndexSearcher:
 
 
 def _make_segment_kernel(
-    trees, idf, avgdl, k1, b, k, need_pos, score_round=None, scorer="bm25",
-    match_only=False,
+    trees, idf, avgdl_by_field, field_names, k1, b, k, need_pos,
+    score_round=None, scorer="bm25", match_only=False,
 ):
     """Per-segment scoring kernel (runs in applyInPandas cogroup).
 
-    Decodes each needed (term, seg) posting list once, evaluates every
-    query tree with float64 numpy in the frozen association order, and
-    returns the per-segment top-k per query. With `match_only` the WAND
-    fast paths and the top-k truncation are skipped and EVERY matching
-    doc is emitted (score column carries 0.0)."""
+    Decodes each needed (field, term, seg) posting list once, evaluates
+    every query tree with float64 numpy in the frozen association order,
+    and returns the per-segment top-k per query. Norms arrive as one row
+    per (segment, field) — per-field dl arrays and avgdl, the reference's
+    per-field norm columns. With `match_only` the WAND fast paths and the
+    top-k truncation are skipped and EVERY matching doc is emitted (score
+    column carries 0.0)."""
 
     def kernel(postings_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -466,9 +546,13 @@ def _make_segment_kernel(
         if len(norms_pdf) == 0:
             return empty  # postings may legitimately be empty (DocSet-only)
         seg_id = int(norms_pdf["seg_id"].iloc[0])
-        dls = np.frombuffer(norms_pdf["dls_bin"].iloc[0], dtype="<u4").astype(
-            np.float64
-        )
+        dls_by_field: dict[str, np.ndarray] = {}
+        for r in norms_pdf.itertuples():
+            fname = field_names[int(r.fidx)]
+            dls_by_field[fname] = np.frombuffer(r.dls_bin, dtype="<u4").astype(
+                np.float64
+            )
+        n_seg_docs = max((len(a) for a in dls_by_field.values()), default=0)
         mask = None
         if "mask_bin" in norms_pdf.columns:
             mb = norms_pdf["mask_bin"].iloc[0]
@@ -483,13 +567,13 @@ def _make_segment_kernel(
                     ex_sets[c] = np.frombuffer(
                         bytes(blob), dtype="<u4"
                     ).astype(np.int64)
-        term_rows = {r.term: r for r in postings_pdf.itertuples()}
-        readers: dict[str, TermPostings | None] = {}
+        term_rows = {(r.field, r.term): r for r in postings_pdf.itertuples()}
+        readers: dict[tuple[str, str], TermPostings | None] = {}
 
-        def get_reader(term) -> TermPostings | None:
-            r = readers.get(term, False)
+        def get_reader(key) -> TermPostings | None:
+            r = readers.get(key, False)
             if r is False:
-                row = term_rows.get(term)
+                row = term_rows.get(key)
                 r = (
                     TermPostings(
                         bytes(row.blob), bytes(row.skip), bytes(row.bmax), row.df
@@ -497,41 +581,53 @@ def _make_segment_kernel(
                     if row is not None
                     else None
                 )
-                readers[term] = r
+                readers[key] = r
             return r
 
-        def get_postings(term):
-            r = get_reader(term)
+        def get_postings(key):
+            r = get_reader(key)
             if r is None:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             return r.full()
 
         if scorer == "tfidf":
 
-            def tfn(tf, dl_arr):
+            def tfn(tf, dl_arr, avgdl):
                 return np.sqrt(tf) / np.sqrt(dl_arr)
 
         else:
 
-            def tfn(tf, dl_arr):
+            def tfn(tf, dl_arr, avgdl):
                 return (tf * (k1 + 1.0)) / (
                     tf + k1 * (1.0 - b + b * dl_arr / avgdl)
                 )
+
+        def field_dls(field):
+            return dls_by_field.get(field)
+
+        def field_avgdl(field):
+            return avgdl_by_field.get(field, 1.0) or 1.0
 
         def eval_node(node):
             if isinstance(node, qf.Empty):
                 return np.empty(0, np.int64), np.empty(0, np.float64)
             if isinstance(node, qf.AllDocs):
-                docs = np.arange(1, len(dls) + 1, dtype=np.int64)
-                return docs, np.full(len(dls), float(node.boost))
+                docs = np.arange(1, n_seg_docs + 1, dtype=np.int64)
+                return docs, np.full(n_seg_docs, float(node.boost))
             if isinstance(node, qf.Term):
-                docs, tfs = get_postings(node.term)
+                key = (node.field, node.term)
+                docs, tfs = get_postings(key)
                 if len(docs) == 0:
                     return docs, np.empty(0, np.float64)
-                w = node.boost * idf.get(node.term, 0.0)
-                return docs, w * tfn(tfs, dls[docs - 1])
+                w = node.boost * idf.get(key, 0.0)
+                dls = field_dls(node.field)
+                return docs, w * tfn(tfs, dls[docs - 1], field_avgdl(node.field))
             if isinstance(node, qf.Terms):
-                kids = [qf.Term(t, node.boost) for t in sorted(set(node.terms))]
+                w_by_t = dict(zip(node.terms, node.weights))
+                kids = [
+                    qf.Term(t, node.boost * w_by_t[t], field=node.field)
+                    for t in sorted(w_by_t)
+                ]
                 return eval_node(qf.Or(*kids)) if kids else (
                     np.empty(0, np.int64),
                     np.empty(0, np.float64),
@@ -582,60 +678,100 @@ def _make_segment_kernel(
                 return eval_ngram_similarity(node)
             raise TypeError(f"cannot evaluate {type(node)}")
 
-        def _positional_match(terms, offsets, boost):
-            """Shared positional kernel: docs where every terms[j] occurs at
-            (anchor position + offsets[j]); returns (docs, scores) with
-            tf = number of matching anchors. offsets = 0,1,2,... gives the
-            phrase filter (F6); all-zero offsets gives by_same_position
-            (F10). Fully vectorized: per-doc position lists are flattened
-            into one namespace (doc_index · 2^22 + position) and matched
-            with sorted np.isin — no per-doc Python."""
-            per_term = []
-            for t in terms:
-                row = term_rows.get(t)
+        def _slot_positions(slot_terms, field, common):
+            """Merged (owner-packed) position set of any slot term over the
+            `common` docs; returns (flat sorted unique, per-common counts
+            present flag is implicit via membership)."""
+            SHIFT = np.int64(1) << 33  # > max packed position (u32)
+            parts = []
+            for t in slot_terms:
+                key = (field, t)
+                row = term_rows.get(key)
                 if row is None:
-                    return np.empty(0, np.int64), np.empty(0, np.float64)
-                docs, tfs = get_postings(t)
-                per_term.append((row, docs, tfs))
-            common = per_term[0][1]
-            for _, d, _ in per_term[1:]:
-                common = common[np.isin(common, d, assume_unique=True)]
-            if len(common) == 0:
-                return common, np.empty(0, np.float64)
-            SHIFT = np.int64(1) << 22  # > max doc length
-            flats = []
-            for row, docs, tfs in per_term:
-                sel = np.searchsorted(docs, common)
+                    continue
+                docs, tfs = get_postings(key)
+                idx = np.searchsorted(docs, common)
+                idx_c = np.minimum(idx, max(len(docs) - 1, 0))
+                present = (len(docs) > 0) & (docs[idx_c] == common)
+                sel = idx_c[present]
                 counts = tfs[sel].astype(np.int64)
                 pls = decode_positions_for(
                     bytes(row.pos_off), bytes(row.pos_pay), sel, counts
                 )
-                owner = np.repeat(np.arange(len(common), dtype=np.int64), counts)
+                owner = np.repeat(np.flatnonzero(present).astype(np.int64), counts)
                 flat = owner * SHIFT + (
                     np.concatenate(pls) if pls else np.empty(0, np.int64)
                 )
-                flats.append((flat, owner, counts))
-            anchor, owner0, _ = flats[0]
+                parts.append(flat)
+            if not parts:
+                return np.empty(0, np.int64)
+            return np.unique(np.concatenate(parts))
+
+        def _positional_match(slots, offsets, boost, field):
+            """Shared positional kernel: docs where every slot j has some
+            term occurring at (anchor position + offsets[j]); returns
+            (docs, scores) with tf = number of matching anchors. offsets =
+            0,1,2,... gives the phrase filter (F6, with multiterm "phrase
+            part" slots); all-zero offsets gives by_same_position (F10).
+            Fully vectorized: per-doc position lists are flattened into one
+            namespace (doc_index · 2^33 + position) and matched with sorted
+            np.isin — no per-doc Python. `slots` is a list of tuples of
+            candidate terms per position; slot weight = Σ idf over its
+            terms (frozen spec, SQL-expressible)."""
+            SHIFT = np.int64(1) << 33
+            slot_docs = []
+            for slot in slots:
+                docs_u = [
+                    get_postings((field, t))[0]
+                    for t in slot
+                    if term_rows.get((field, t)) is not None
+                ]
+                if not docs_u:
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+                slot_docs.append(
+                    docs_u[0]
+                    if len(docs_u) == 1
+                    else np.unique(np.concatenate(docs_u))
+                )
+            common = slot_docs[0]
+            for d in slot_docs[1:]:
+                common = common[np.isin(common, d, assume_unique=True)]
+            if len(common) == 0:
+                return common, np.empty(0, np.float64)
+            flats = [_slot_positions(slot, field, common) for slot in slots]
+            anchor = flats[0]
+            owner0 = anchor >> 33
             ok = np.ones(len(anchor), dtype=bool)
             for j in range(1, len(flats)):
-                ok &= np.isin(anchor + (offsets[j] - offsets[0]), flats[j][0])
+                ok &= np.isin(anchor + (offsets[j] - offsets[0]), flats[j])
             hits = np.bincount(owner0[ok], minlength=len(common)).astype(
                 np.float64
             )
             matched = hits > 0
-            w = boost * sum(idf.get(t, 0.0) for t in terms)
+            w = boost * sum(
+                idf.get((field, t), 0.0) for slot in slots for t in slot
+            )
             docs_out = common[matched]
-            scores = w * tfn(hits[matched], dls[docs_out - 1])
+            dls = field_dls(field)
+            scores = w * tfn(hits[matched], dls[docs_out - 1], field_avgdl(field))
             return docs_out.astype(np.int64), scores
 
+        def _as_slots(parts):
+            return [
+                tuple(p.terms) if isinstance(p, qf.Terms) else (p,)
+                for p in parts
+            ]
+
         def eval_phrase(node):
+            slots = _as_slots(node.terms)
             return _positional_match(
-                list(node.terms), list(range(len(node.terms))), node.boost
+                slots, list(range(len(slots))), node.boost, node.field
             )
 
         def eval_same_position(node):
+            slots = _as_slots(node.terms)
             return _positional_match(
-                list(node.terms), [0] * len(node.terms), node.boost
+                slots, [0] * len(slots), node.boost, node.field
             )
 
         def eval_ngram_similarity(node):
@@ -659,11 +795,12 @@ def _make_segment_kernel(
 
             per_gram = []  # (row, docs, tfs) per gram present in segment
             for g in grams:
-                row = term_rows.get(g)
+                key = (node.field, g)
+                row = term_rows.get(key)
                 if row is None:
                     per_gram.append(None)
                     continue
-                docs, tfs = get_postings(g)
+                docs, tfs = get_postings(key)
                 per_gram.append((row, docs, tfs))
             present_pg = [pg for pg in per_gram if pg]
             if not present_pg:
@@ -745,22 +882,33 @@ def _make_segment_kernel(
             ft = _flatten_or_terms(tree)
             if ft is not None and len(ft) >= 2:
                 pairs = [
-                    (m * idf.get(t, 0.0), get_reader(t))
-                    for t, m in ft
-                    if get_reader(t) is not None
+                    (
+                        m * idf.get(key, 0.0),
+                        get_reader(key),
+                        field_dls(key[0]),
+                        field_avgdl(key[0]),
+                    )
+                    for key, m in ft
+                    if get_reader(key) is not None
                 ]
                 docs, scores = or_terms_topk(
-                    pairs, dls, k, tfn, mask=mask, score_round=score_round
+                    pairs, k, tfn, mask=mask, score_round=score_round
                 )
             else:
                 fa = _flatten_and_terms(tree)
                 if fa is not None and len(fa) >= 2:
-                    if any(get_reader(t) is None for t, _m in fa):
+                    if any(get_reader(key) is None for key, _m in fa):
                         continue  # a missing term empties the conjunction
                     pairs = [
-                        (m * idf.get(t, 0.0), get_reader(t)) for t, m in fa
+                        (
+                            m * idf.get(key, 0.0),
+                            get_reader(key),
+                            field_dls(key[0]),
+                            field_avgdl(key[0]),
+                        )
+                        for key, m in fa
                     ]
-                    docs, scores = and_terms(pairs, dls, tfn, mask=mask)
+                    docs, scores = and_terms(pairs, tfn, mask=mask)
                 else:
                     docs, scores = eval_node(tree)
                     if mask is not None and len(docs):

@@ -38,16 +38,33 @@ class Filter:
 class Term(Filter):
     term: str
     boost: float = 1.0
+    field: str = "text"
 
 
 @dataclass(frozen=True)
 class Terms(Filter):
+    """Weak disjunction over a term set (F2). `weights` (aligned with
+    `terms`, default 1.0) carry per-term score multipliers; weight 0.0
+    means "matches but is not scored" — the reference's multiterm
+    expansion keeps matching terms beyond scored_terms_limit unscored
+    ([up] core/search/multiterm_query.cpp limited_sample_collector)."""
+
     terms: tuple[str, ...]
     boost: float = 1.0
+    field: str = "text"
+    weights: tuple[float, ...] = ()
 
-    def __init__(self, terms, boost: float = 1.0):
+    def __init__(self, terms, boost: float = 1.0, field: str = "text",
+                 weights=None):
         object.__setattr__(self, "terms", tuple(terms))
         object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "field", field)
+        object.__setattr__(
+            self,
+            "weights",
+            tuple(weights) if weights is not None
+            else tuple(1.0 for _ in self.terms),
+        )
 
 
 @dataclass(frozen=True)
@@ -55,6 +72,7 @@ class Prefix(Filter):
     prefix: str
     scored_terms_limit: int = 64
     boost: float = 1.0
+    field: str = "text"
 
 
 @dataclass(frozen=True)
@@ -65,6 +83,7 @@ class TermRange(Filter):
     include_hi: bool = False
     scored_terms_limit: int = 64
     boost: float = 1.0
+    field: str = "text"
 
 
 @dataclass(frozen=True)
@@ -72,6 +91,7 @@ class Wildcard(Filter):
     pattern: str  # '%' = any run, '_' = any single char (reference syntax)
     scored_terms_limit: int = 64
     boost: float = 1.0
+    field: str = "text"
 
 
 @dataclass(frozen=True)
@@ -81,16 +101,24 @@ class Fuzzy(Filter):
     with_transpositions: bool = False
     scored_terms_limit: int = 64
     boost: float = 1.0
+    field: str = "text"
 
 
 @dataclass(frozen=True)
 class Phrase(Filter):
-    terms: tuple[str, ...]
-    boost: float = 1.0
+    """Ordered positional match (F6). Each element of `terms` is either a
+    plain term string or a "phrase part" — a Prefix/Wildcard/Fuzzy node
+    whose dictionary expansion may match at that position
+    ([up] core/search/phrase_filter.cpp's per-position variants)."""
 
-    def __init__(self, terms, boost: float = 1.0):
+    terms: tuple
+    boost: float = 1.0
+    field: str = "text"
+
+    def __init__(self, terms, boost: float = 1.0, field: str = "text"):
         object.__setattr__(self, "terms", tuple(terms))
         object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "field", field)
 
 
 @dataclass(frozen=True)
@@ -145,6 +173,7 @@ class NgramSimilarity(Filter):
     threshold: float = 0.7
     n: int = 2
     boost: float = 1.0
+    field: str = "text"
 
     def grams(self) -> tuple[str, ...]:
         t = self.target
@@ -163,10 +192,12 @@ class SamePosition(Filter):
 
     terms: tuple[str, ...]
     boost: float = 1.0
+    field: str = "text"
 
-    def __init__(self, terms, boost: float = 1.0):
+    def __init__(self, terms, boost: float = 1.0, field: str = "text"):
         object.__setattr__(self, "terms", tuple(terms))
         object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "field", field)
 
 
 @dataclass(frozen=True)

@@ -108,8 +108,7 @@ def _drop_masked(
 
 
 def or_terms_topk(
-    terms: list[tuple[float, TermPostings]],
-    dls: np.ndarray,
+    terms: list[tuple[float, TermPostings, np.ndarray, float]],
     k: int,
     tfn,
     mask: np.ndarray | None = None,
@@ -117,25 +116,33 @@ def or_terms_topk(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k of a weighted term disjunction with block-max pruning.
 
-    `terms` is [(weight, reader)] with weight = boost · idf;
-    `tfn(tf_array, dl_array)` is the BM25 tf-normalization;
-    returns (docs, scores) of AT MOST k docs (unsorted)."""
+    `terms` is [(weight, reader, dls, avgdl)] with weight = boost · idf
+    and dls/avgdl the term's FIELD norms (per-field statistics, as the
+    reference's per-field norm columns); `tfn(tf_array, dl_array, avgdl)`
+    is the BM25 tf-normalization; returns (docs, scores) of AT MOST k docs
+    (unsorted)."""
     infos = []
-    for w, r in terms:
+    for w, r, dls, avgdl in terms:
         if w <= 0.0 or len(r.skip) == 0:
             continue
         ub_blocks = w * tfn(
-            r.bmax[:, 0].astype(np.float64), r.bmax[:, 1].astype(np.float64)
+            r.bmax[:, 0].astype(np.float64),
+            r.bmax[:, 1].astype(np.float64),
+            avgdl,
         )
-        infos.append((w, r, ub_blocks, float(ub_blocks.max())))
+        infos.append((w, r, dls, avgdl, ub_blocks, float(ub_blocks.max())))
     if not infos:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    total_gub = sum(i[3] for i in infos)
+    total_gub = sum(i[5] for i in infos)
 
     # phase 0: θ from the highest-upper-bound term scored alone
-    w0, r0, _, _ = max(infos, key=lambda i: i[3])
+    w0, r0, dls0, avgdl0, _, _ = max(infos, key=lambda i: i[5])
     d0, t0 = _drop_masked(*r0.full(), mask)
-    s0 = w0 * tfn(t0, dls[d0 - 1]) if len(d0) else np.empty(0, np.float64)
+    s0 = (
+        w0 * tfn(t0, dls0[d0 - 1], avgdl0)
+        if len(d0)
+        else np.empty(0, np.float64)
+    )
     if len(s0) >= k:
         theta = float(np.partition(s0, len(s0) - k)[len(s0) - k])
     else:
@@ -144,7 +151,7 @@ def or_terms_topk(
 
     # phase 1: surviving blocks + candidate union
     cand_parts = []
-    for w, r, ub_blocks, gub in infos:
+    for w, r, _dls, _avgdl, ub_blocks, gub in infos:
         surv = np.flatnonzero(ub_blocks + (total_gub - gub) >= theta_eff)
         if len(surv):
             docs_b, _ = r.decode_blocks(surv)
@@ -159,12 +166,11 @@ def or_terms_topk(
 
     # phase 2: exact scores (seek-decode whatever the candidates touch)
     score = np.zeros(len(cand), np.float64)
-    dl_c = dls[cand - 1]
-    for w, r, _ub, _g in infos:
+    for w, r, dls, avgdl, _ub, _g in infos:
         tf = r.lookup_tfs(cand)
         nz = tf > 0
         if nz.any():
-            score[nz] += w * tfn(tf[nz], dl_c[nz])
+            score[nz] += w * tfn(tf[nz], dls[cand[nz] - 1], avgdl)
     # round BEFORE truncation so the kept k under ties match the
     # exhaustive path's (rounded score desc, doc asc) selection exactly
     if score_round is not None:
@@ -176,22 +182,22 @@ def or_terms_topk(
 
 
 def and_terms(
-    terms: list[tuple[float, TermPostings]],
-    dls: np.ndarray,
+    terms: list[tuple[float, TermPostings, np.ndarray, float]],
     tfn,
     mask: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact weighted conjunction: lead with the rarest list, seek into the
-    rest. Returns (docs, summed scores) for ALL matching docs."""
+    rest. `terms` entries carry their field's dls/avgdl like
+    or_terms_topk. Returns (docs, summed scores) for ALL matching docs."""
     if not terms:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     order = sorted(terms, key=lambda t: t[1].df)
-    w0, r0 = order[0]
+    w0, r0, _, _ = order[0]
     cand, tf0 = _drop_masked(*r0.full(), mask)
     if len(cand) == 0:
         return cand, np.empty(0, np.float64)
     tfs = [tf0]
-    for _w, r in order[1:]:
+    for _w, r, _dls, _avgdl in order[1:]:
         tf = r.lookup_tfs(cand)
         keep = tf > 0
         cand = cand[keep]
@@ -199,8 +205,7 @@ def and_terms(
         tfs.append(tf[keep])
         if len(cand) == 0:
             return cand, np.empty(0, np.float64)
-    dl_c = dls[cand - 1]
     score = np.zeros(len(cand), np.float64)
-    for (w, _r), tf in zip(order, tfs):
-        score += w * tfn(tf, dl_c)
+    for (w, _r, dls, avgdl), tf in zip(order, tfs):
+        score += w * tfn(tf, dls[cand - 1], avgdl)
     return cand, score

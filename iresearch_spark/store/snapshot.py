@@ -89,11 +89,17 @@ class SnapshotStore:
         lineage: list[dict] | None = None,
         metrics: dict | None = None,
         operation: str = "append",
+        fields: list[dict] | None = None,
     ) -> int:
         """Publish a new snapshot. `segments` is the FULL live segment list:
         [{seg_id, docs_path, postings_path, n_docs, sum_dl, n_terms, ...}];
-        paths are relative to root. Returns the new snapshot id."""
+        paths are relative to root. `fields` is the indexed-field spec list
+        (name/source/analyzer dicts) — carried forward from the parent when
+        omitted, so maintenance commits keep the analysis contract. Returns
+        the new snapshot id."""
         parent = self.current_snapshot_id()
+        if fields is None and parent is not None:
+            fields = self.snapshot(parent).get("fields")
         sid = (parent or 0) + 1
         manifest = {
             "snapshot_id": sid,
@@ -104,6 +110,7 @@ class SnapshotStore:
             "stats": stats,
             "lineage": lineage or [],
             "metrics": metrics or {},
+            "fields": fields or [],
         }
         snap_path = self._snap_path(sid)
         if os.path.exists(snap_path):
@@ -190,7 +197,21 @@ class SnapshotStore:
     def global_stats(self, snapshot_id: int | None = None) -> dict:
         snap = self.snapshot(snapshot_id)
         if snap is None:
-            return {"n_docs": 0, "sum_dl": 0, "avgdl": 0.0}
+            return {"n_docs": 0, "sum_dl": 0, "avgdl": 0.0, "avgdl_by_field": {}}
         st = dict(snap["stats"])
-        st["avgdl"] = (st["sum_dl"] / st["n_docs"]) if st.get("n_docs") else 0.0
+        n = st.get("n_docs") or 0
+        st["avgdl"] = (st["sum_dl"] / n) if n else 0.0
+        fsums = st.get("field_sum_dl") or {}
+        st["avgdl_by_field"] = {
+            name: (v / n if n else 0.0) for name, v in fsums.items()
+        }
         return st
+
+    def fields(self, snapshot_id: int | None = None) -> list[dict]:
+        """Indexed-field specs frozen at build time (empty = legacy
+        single-field snapshot, treated as [{name: 'text', ...}])."""
+        snap = self.snapshot(snapshot_id)
+        got = (snap or {}).get("fields") or []
+        if not got:
+            return [{"name": "text", "source": "__text__", "analyzer": "text"}]
+        return got

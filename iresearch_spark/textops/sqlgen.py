@@ -33,11 +33,33 @@ def tokens_expr(text_col: str = "text") -> str:
     )
 
 
-def base_ctes(doc_table: str = "documents") -> str:
-    """Shared CTE prefix: tokenized docs, doc lengths, tf, df, stats."""
+def ws_tokens_expr(text_col: str = "text") -> str:
+    """Whitespace-delimiter analyzer twin (A3, `delimiter: `): raw
+    space-split tokens, empties dropped, no folding."""
+    return (
+        f"list_filter(string_split(coalesce({text_col}, ''), ' '), "
+        f"t -> t <> '')"
+    )
+
+
+def stem_tokens_expr(text_col: str = "text") -> str:
+    """`text|stem` pipeline twin (A6): frozen-rule stem of each text
+    token (analysis.analyzers.STEM_RULES as a CASE expression)."""
+    from iresearch_spark.analysis.analyzers import stem_sql_expr
+
+    return (
+        f"list_transform({tokens_expr(text_col)}, t -> {stem_sql_expr('t')})"
+    )
+
+
+def base_ctes(doc_table: str = "documents", tokens_sql: str | None = None) -> str:
+    """Shared CTE prefix: tokenized docs, doc lengths, tf, df, stats.
+    `tokens_sql` swaps the analyzer (defaults to the frozen text spec) —
+    per-field statistics come from per-field token streams, exactly like
+    the engine's per-field norms/df."""
     return f"""
 WITH tokdocs AS (
-  SELECT doc_id, {tokens_expr()} AS toks FROM {doc_table}
+  SELECT doc_id, {tokens_sql or tokens_expr()} AS toks FROM {doc_table}
 ),
 dl AS (SELECT doc_id, len(toks) AS dl FROM tokdocs),
 stats AS (
@@ -81,20 +103,35 @@ def bm25_topk_sql(
     k1: float = BM25_K1,
     b: float = BM25_B,
     doc_table: str = "documents",
+    tokens_sql: str | None = None,
 ) -> str:
     """Oracle for Term/Terms/And/Or(min_match)/Not and expanded multiterm
     filters (prefix/range/wildcard/fuzzy pass their dictionary condition as
-    `expand_cond`, capped at `expand_limit` by (df DESC, term ASC) exactly
-    like the engine's scored_terms_limit, [up] core/search/multiterm_query).
+    `expand_cond`; scoring is capped at `expand_limit` by (df DESC, term
+    ASC) — the engine's scored_terms_limit — while MATCHING uses the full
+    expansion, [up] core/search/multiterm_query's limited_sample_collector
+    semantics).
     """
     if expand_cond is not None:
         qterms = (
+            f"qterms_all AS (SELECT term FROM df WHERE {expand_cond}),\n"
             f"qterms AS (SELECT term FROM df WHERE {expand_cond} "
             f"ORDER BY df DESC, term ASC LIMIT {expand_limit})"
+        )
+        matched = (
+            "matched AS (SELECT DISTINCT tf.doc_id FROM tf "
+            "JOIN qterms_all USING (term)),"
+        )
+        scored_src = (
+            "scored AS (\n"
+            "  SELECT m.doc_id, coalesce(s0.score, 0.0) AS score\n"
+            "  FROM matched m LEFT JOIN scored0 s0 USING (doc_id)\n)"
         )
         mm = 1
     else:
         qterms = f"qterms(term) AS (VALUES {_lit_list(terms)})"
+        matched = ""
+        scored_src = "scored AS (SELECT doc_id, score FROM scored0)"
         mm = len(set(terms)) if require_all else min_match
     not_clause = ""
     if exclude:
@@ -103,9 +140,10 @@ def bm25_topk_sql(
             + ", ".join(f"'{t}'" for t in exclude)
             + "))"
         )
-    return f"""{base_ctes(doc_table)},
+    return f"""{base_ctes(doc_table, tokens_sql)},
 {qterms},
-scored AS (
+{matched}
+scored0 AS (
   SELECT tf.doc_id, sum({_score_expr(k1, b)}) AS score
   FROM tf
   JOIN qterms USING (term)
@@ -115,30 +153,60 @@ scored AS (
   WHERE 1=1 {not_clause}
   GROUP BY tf.doc_id
   HAVING count(DISTINCT tf.term) >= {mm}
-)
+),
+{scored_src}
 {_topk_tail(k)}"""
 
 
 def bm25_phrase_sql(
-    phrase: list[str],
+    phrase: list,
     *,
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
     doc_table: str = "documents",
+    tokens_sql: str | None = None,
 ) -> str:
     """Oracle for the positional phrase filter: phrase tf = count of
-    positions where all terms appear consecutively in the kept-token
-    sequence; score = (Σ idf_term) · tfn(phrase_tf, dl) — matching the
-    engine kernel's eval_phrase ([up] core/search/phrase_filter.cpp)."""
+    positions where all slots match consecutively in the kept-token
+    sequence; score = (Σ slot idf) · tfn(phrase_tf, dl) — matching the
+    engine kernel's eval_phrase ([up] core/search/phrase_filter.cpp).
+
+    A slot is a plain term string, or a ("prefix", p) / ("cond", sql_cond,
+    idf_cond) tuple for multiterm phrase parts: the slot matches any term
+    satisfying the condition and contributes Σ idf over those terms."""
     n = len(phrase)
-    adj = " AND ".join(f"toks[i + {j}] = '{t}'" for j, t in enumerate(phrase))
-    idf_sum = " + ".join(
-        f"(SELECT ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) "
-        f"FROM df CROSS JOIN stats s WHERE df.term = '{t}')"
-        for t in phrase
-    )
-    return f"""{base_ctes(doc_table)},
+
+    def slot_match(j, s) -> str:
+        if isinstance(s, str):
+            return f"toks[i + {j}] = '{s}'"
+        if s[0] == "prefix":
+            import re as _re
+
+            esc = s[1].replace("%", "\\%").replace("_", "\\_")
+            return f"toks[i + {j}] LIKE '{esc}%'"
+        raise ValueError(s)
+
+    def slot_idf(s) -> str:
+        base = (
+            "ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))"
+        )
+        if isinstance(s, str):
+            return (
+                f"(SELECT {base} FROM df CROSS JOIN stats s "
+                f"WHERE df.term = '{s}')"
+            )
+        if s[0] == "prefix":
+            esc = s[1].replace("%", "\\%").replace("_", "\\_")
+            return (
+                f"(SELECT coalesce(sum({base}), 0.0) FROM df CROSS JOIN "
+                f"stats s WHERE df.term LIKE '{esc}%')"
+            )
+        raise ValueError(s)
+
+    adj = " AND ".join(slot_match(j, s) for j, s in enumerate(phrase))
+    idf_sum = " + ".join(slot_idf(s) for s in phrase)
+    return f"""{base_ctes(doc_table, tokens_sql)},
 hits AS (
   SELECT t.doc_id,
          len(list_filter(range(1, len(toks) - {n - 2}), i -> {adj})) AS htf

@@ -1,0 +1,142 @@
+"""Analyzer family (SURVEY.md §2b A1-A6): the vectorized batch kernels must
+agree token-for-token (and position-for-position) with the pure-Python
+reference spec, and the stem rule table must agree with its DuckDB SQL twin.
+No Spark needed — these are pure kernel tests (mirroring the per-analyzer
+suites of [up] tests/analysis/)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from iresearch_spark.analysis.analyzers import (
+    PIPE_STRIDE,
+    analyze_batch,
+    analyze_one,
+    stem_sql_expr,
+    stem_token,
+)
+
+VALUES = [
+    "Hello, World of data",
+    "cc-main-2024-10",
+    "",
+    None,
+    "ab",
+    "table scan hash join",
+    "a-b--c-",
+    "xyz",
+    "the quick brown ordering",
+    "ABBA abba",
+    "s",
+]
+
+SPECS = [
+    "text",
+    "identity",
+    "delimiter:-",
+    "delimiter: ",
+    "ngram:2,3",
+    "ngram:1,1",
+    "delimiter:-|ngram:2,2",
+    "delimiter: |stem",
+    "text|stem",
+    "delimiter: |identity",
+]
+
+
+def _regroup(flat, counts, pos):
+    out, k = [], 0
+    for c in counts:
+        out.append([(flat[k + i], int(pos[k + i])) for i in range(c)])
+        k += c
+    return out
+
+
+@pytest.mark.parametrize("spec", SPECS)
+def test_batch_matches_reference(spec):
+    flat, counts, pos = analyze_batch(pd.Series(VALUES, dtype=object), spec)
+    got = _regroup(flat, counts, pos)
+    for v, g in zip(VALUES, got):
+        ref = analyze_one(v, spec)
+        assert sorted(g) == sorted(ref), (spec, v, g, ref)
+
+
+def test_ngram_positions_are_start_offsets():
+    """A4: grams of different lengths starting at the same offset share the
+    position — the property by_same_position exploits over ngram fields."""
+    toks = analyze_one("abc", "ngram:2,3")
+    assert ("ab", 0) in toks and ("abc", 0) in toks and ("bc", 1) in toks
+
+
+def test_pipeline_positions_pack_parent_and_child():
+    toks = analyze_one("ab-cd", "delimiter:-|ngram:2,2")
+    assert ("ab", 0) in toks
+    assert ("cd", PIPE_STRIDE) in toks  # parent pos 1, child offset 0
+
+
+def test_singleton_stage_keeps_parent_positions():
+    """identity/stem emit one token per input -> positions pass through,
+    keeping "text|stem" phrase-compatible."""
+    toks = analyze_one("table ordering filter", "text|stem")
+    assert toks == [("table", 0), ("order", 1), ("filt", 2)]
+
+
+def test_stem_rules_examples():
+    assert stem_token("ordering") == "order"  # 'ing' rule, applied once
+    cases = {
+        "running": "runn",
+        "caresses": "caress",
+        "ponies": "poni",
+        "agreed": "agree",
+        "filter": "filt",
+        "order": "ord",
+        "table": "table",
+        # min-stem guards block the long-suffix rules; shorter ones apply
+        "sses": "sse",
+        "ness": "nes",
+    }
+    for w, want in cases.items():
+        assert stem_token(w) == want, w
+
+
+def test_stem_sql_twin_matches_python():
+    import duckdb
+
+    words = sorted(
+        {
+            w
+            for v in VALUES
+            if v
+            for w in v.lower().replace("-", " ").split()
+        }
+        | set(
+            "running caresses ponies agreed filter order table ordering "
+            "rational nationalization hopefulness happiness abatement "
+            "cats dogs es s a ab abc conditional".split()
+        )
+    )
+    con = duckdb.connect()
+    expr = stem_sql_expr("w")
+    got = dict(
+        con.execute(
+            f"SELECT w, {expr} FROM (SELECT unnest(?) AS w)", [words]
+        ).fetchall()
+    )
+    for w in words:
+        assert got[w] == stem_token(w), w
+
+
+def test_batch_ngram_empty_and_short():
+    flat, counts, pos = analyze_batch(
+        pd.Series(["", "a", None], dtype=object), "ngram:2,3"
+    )
+    assert counts.tolist() == [0, 0, 0] and len(flat) == 0
+
+
+def test_batch_is_vectorized_over_large_input():
+    vals = pd.Series([f"prefix-{i}-suffix" for i in range(5000)], dtype=object)
+    flat, counts, pos = analyze_batch(vals, "ngram:3,3")
+    assert counts.sum() == len(flat)
+    assert (counts == np.char.str_len(vals.to_numpy(str)) - 2).all()

@@ -13,7 +13,8 @@ def test_snapshot_committed(unit_index):
     snap = store.snapshot(sid)
     assert snap["snapshot_id"] == sid
     assert snap["stats"]["n_docs"] == oracle.n_docs
-    assert snap["stats"]["sum_dl"] == sum(oracle.doc_len.values())
+    assert snap["stats"]["sum_dl"] == sum(oracle.doc_len["text"].values())
+    assert snap["stats"]["field_sum_dl"]["text"] == snap["stats"]["sum_dl"]
     assert len(snap["segments"]) == 4
     assert snap["metrics"]["postings"] > 0
     assert snap["lineage"] and all("partition" in r for r in snap["lineage"])
@@ -26,7 +27,7 @@ def test_doc_table_matches_oracle(spark, unit_index):
     for r in docs:
         key = (r["seg_id"], r["doc_id"])
         assert oracle.doc_url[key] == r["url"]
-        assert oracle.doc_len[key] == r["dl"]
+        assert oracle.doc_len["text"][key] == r["dl"]
 
 
 def test_postings_match_oracle(spark, unit_index):
@@ -39,7 +40,7 @@ def test_postings_match_oracle(spark, unit_index):
     by_key = {(r["seg_id"], r["term"]): r for r in rows}
     # every oracle posting list is present and identical
     n_checked = 0
-    for term, by_seg in oracle.postings.items():
+    for (field, term), by_seg in oracle.postings.items():
         for seg, (docs, tfs, poss) in by_seg.items():
             r = by_key.pop((seg, term))
             pl = decode_postings(bytes(r["blob"]))
@@ -65,7 +66,7 @@ def test_df_cf_match_oracle(spark, unit_index):
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         .collect()
     )
-    got_df = {r["term"]: r["df"] for r in agg}
+    got_df = {("text", r["term"]): r["df"] for r in agg}
     assert got_df == oracle.df
 
 
@@ -117,7 +118,10 @@ def test_resume_from_checkpoint(spark, unit_corpus, tmp_path):
     # simulate an interrupted second build: stage dir with docs completed
     commit_dir = store.new_commit_dir()
     with open(os.path.join(root, "_staging.json"), "w") as f:
-        json.dump({"key": "r2|2|None|replace|0", "dir": commit_dir}, f)
+        json.dump(
+            {"key": "r2|2|None|replace|0|text=__text__:text", "dir": commit_dir},
+            f,
+        )
     docs_dir = os.path.join(commit_dir, "docs")
     # "complete" the docs stage by building it once via a throwaway store
     tmp_store = SnapshotStore(str(tmp_path / "throwaway"))

@@ -31,7 +31,7 @@ def test_bm25_exact_scores(k1, b):
     idx = OracleIndex(urls, texts, n_segments=1, k1=k1, b=b)
     n, df = 8, 6
     avgdl = sum(DLS) / n
-    assert idx.n_docs == n and idx.df["zz"] == df and idx.avgdl == avgdl
+    assert idx.n_docs == n and idx.df[("text", "zz")] == df and idx.avgdl == avgdl
     idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
     got = {doc: s for (_seg, doc), s in idx.evaluate(qf.Term("zz")).items()}
     # docIDs are 1-based in url order (urls sort in doc index order here)

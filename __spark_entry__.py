@@ -43,7 +43,7 @@ _LIFECYCLE: dict[str, IndexSearcher] = {}
 # one field per analyzer family — A1 identity, A3 delimiter, A4 ngram,
 # A5 pipeline (text|stem), A6 stem — all over the driver documents table.
 _MF_FIELDS = [
-    FieldSpec("text", "__text__", "text"),
+    FieldSpec("text", "__text__", "text", offsets=True),
     FieldSpec("srcid", "source", "identity"),
     FieldSpec("ws", "text", "delimiter: "),
     FieldSpec("srcng", "source", "ngram:2,3"),
@@ -375,6 +375,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lifecycle_stats"] = lifecycle_stats
     q["lifecycle_term"] = lifecycle_term
 
+    # A8 offsets: first occurrence span of a term per doc (highlighting
+    # surface; text field indexed with the offsets feature)
+    def term_spans(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        occ = s.occurrences("customer", "text")
+        docs = s.store.read_docs(spark, s.sid).select("seg_id", "doc_id", "url")
+        first = (
+            occ.groupBy("seg_id", "doc_id")
+            .agg(
+                F.min("pos").cast("int").alias("pos"),
+                F.min("start").cast("int").alias("start"),
+                F.min("length").cast("int").alias("length"),
+            )
+        )
+        return (
+            first.join(docs, ["seg_id", "doc_id"])
+            .select(
+                F.col("url").cast("long").alias("doc_id"),
+                "pos",
+                "start",
+                "length",
+            )
+            .orderBy("doc_id")
+            .limit(50)
+        )
+
+    q["term_spans"] = term_spans
+
     # training-data operators (SURVEY.md §2 extensions)
     q["token_stats"] = lambda s, d: quality.token_stats(_docs(s, d))
     q["quality_scores"] = lambda s, d: quality.quality_scores(_docs(s, d))
@@ -384,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_jaccard"] = lambda s, d: dedup.jaccard_pairs(_docs(s, d))
     q["minhash_signatures"] = lambda s, d: dedup.minhash_signatures(_docs(s, d))
     q["minhash_lsh_pairs"] = lambda s, d: dedup.lsh_pairs(_docs(s, d))
+    q["lsh_verified_pairs"] = lambda s, d: dedup.lsh_verified_pairs(_docs(s, d))
     q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
     q["embed_knn"] = lambda s, d: similarity.cosine_topk(_embs(s, d))
@@ -461,6 +490,7 @@ FROM documents GROUP BY lang ORDER BY lang"""
     o["dedup_jaccard"] = dedup.jaccard_pairs_sql()
     o["minhash_signatures"] = dedup.minhash_signatures_sql()
     o["minhash_lsh_pairs"] = dedup.lsh_pairs_sql()
+    o["lsh_verified_pairs"] = dedup.lsh_verified_pairs_sql()
     o["simhash"] = dedup.simhash_sql()
     o["simhash_pairs"] = dedup.simhash_pairs_sql()
     o["embed_knn"] = similarity.cosine_topk_sql()
@@ -473,5 +503,16 @@ WITH live AS (
 )
 SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS sum_dl FROM live"""
     o["lifecycle_term"] = bm25_topk_sql(["table"], doc_table=_LIVE_DOCS)
+    # A8: first occurrence of 'customer' — token index via list_position,
+    # char span via strpos (the corpus text is single-spaced ASCII and no
+    # vocabulary word contains 'customer' as a substring)
+    o["term_spans"] = f"""
+WITH t AS (SELECT doc_id, text, {tokens_expr()} AS toks FROM documents)
+SELECT doc_id,
+       (list_position(toks, 'customer') - 1)::INT AS pos,
+       (strpos(text, 'customer') - 1)::INT AS start,
+       8::INT AS length
+FROM t WHERE list_position(toks, 'customer') IS NOT NULL
+ORDER BY doc_id LIMIT 50"""
     # multimodal_features: decode stub is not SQL-expressible -> rows-only
     return o

@@ -39,7 +39,10 @@ def _mk_spark(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"iresearch_bench_{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # shuffle width is a DATA layout choice (like n_segments): keep it
+        # IDENTICAL across cluster sizes so N-vs-4N runs execute the same
+        # plan; 64 matches the segment count
+        .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

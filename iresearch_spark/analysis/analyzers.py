@@ -137,28 +137,46 @@ def parse_spec(spec: str) -> list[str]:
     return stages
 
 
-def _one_stage(value: str | None, stage: str) -> list[tuple[str, int]]:
+def _one_stage(value: str | None, stage: str) -> list[tuple[str, int, int, int]]:
+    """[(token, position, span start, span length)] for one stage.
+
+    Spans (A8 offset attribute) address the stage's INPUT string — for the
+    text stage, the NFKC-lowercased text (identical to the raw text for
+    ASCII input)."""
     if value is None:
         return []
     if stage == "text":
         norm = unicodedata.normalize("NFKC", value).lower()
-        toks = [t for t in _TOKEN_RE.findall(norm) if t not in STOPWORDS]
-        return list(zip(toks, range(len(toks))))
+        out = []
+        pos = 0
+        for m in _TOKEN_RE.finditer(norm):
+            if m.group(0) in STOPWORDS:
+                continue
+            out.append((m.group(0), pos, m.start(), m.end() - m.start()))
+            pos += 1
+        return out
     if stage == "identity":
-        return [(value, 0)]
+        return [(value, 0, 0, len(value))]
     if stage.startswith("delimiter:"):
         sep = stage[len("delimiter:") :]
-        toks = [t for t in value.split(sep) if t]
-        return list(zip(toks, range(len(toks))))
+        out = []
+        pos = 0
+        at = 0
+        for part in value.split(sep):
+            if part:
+                out.append((part, pos, at, len(part)))
+                pos += 1
+            at += len(part) + len(sep)
+        return out
     if stage.startswith("ngram:"):
         lo, hi = (int(x) for x in stage[len("ngram:") :].split(","))
         out = []
         for n in range(lo, hi + 1):
             for i in range(0, len(value) - n + 1):
-                out.append((value[i : i + n], i))
+                out.append((value[i : i + n], i, i, n))
         return out
     if stage == "stem":
-        return [(stem_token(value), 0)]
+        return [(stem_token(value), 0, 0, len(value))]
     raise ValueError(f"unknown analyzer stage: {stage!r}")
 
 
@@ -168,26 +186,45 @@ def _is_singleton_stage(stage: str) -> bool:
     return stage in ("identity", "stem")
 
 
-def analyze_one(value: str | None, spec: str) -> list[tuple[str, int]]:
-    """Reference implementation: [(token, position)] for one value."""
+def analyze_one_spans(
+    value: str | None, spec: str
+) -> list[tuple[str, int, int, int]]:
+    """Reference implementation: [(token, position, span start, span
+    length)] for one value. Spans address the top-level input value;
+    pipeline stages compose child start + parent start, singleton stages
+    keep the parent's span."""
     stages = parse_spec(spec)
-    stream: list[tuple[str, int]] = [(value, 0)] if value is not None else []
+    stream: list[tuple[str, int, int, int]] = (
+        [(value, 0, 0, len(value))] if value is not None else []
+    )
     first = True
     for stage in stages:
         singleton = _is_singleton_stage(stage)
-        nxt: list[tuple[str, int]] = []
-        for tok, pos in stream:
+        nxt: list[tuple[str, int, int, int]] = []
+        for tok, pos, start, length in stream:
             children = _one_stage(tok, stage)
             if first:
                 nxt.extend(children)
             elif singleton:
-                nxt.extend((ctok, pos) for ctok, _ in children)
+                nxt.extend((ctok, pos, start, length) for ctok, _p, _s, _l in children)
             else:
-                for ctok, cpos in children:
-                    nxt.append((ctok, pos * PIPE_STRIDE + min(cpos, PIPE_STRIDE - 1)))
+                for ctok, cpos, cstart, clen in children:
+                    nxt.append(
+                        (
+                            ctok,
+                            pos * PIPE_STRIDE + min(cpos, PIPE_STRIDE - 1),
+                            start + cstart,
+                            clen,
+                        )
+                    )
         stream = nxt
         first = False
     return stream
+
+
+def analyze_one(value: str | None, spec: str) -> list[tuple[str, int]]:
+    """Reference implementation: [(token, position)] for one value."""
+    return [(t, p) for t, p, _s, _l in analyze_one_spans(value, spec)]
 
 
 # ------------------------------------------------------- vectorized kernels
@@ -205,10 +242,29 @@ def _flatten_lists(lists: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return flat, counts
 
 
-def _batch_text(values: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _batch_text(values: pd.Series, with_spans: bool = True):
     norm = values.fillna("").astype(str).str.normalize("NFKC").str.lower()
     tok_lists = norm.str.findall(_TOKEN_RE)
     flat, counts = _flatten_lists(tok_lists)
+    if with_spans and len(flat):
+        # spans via a char-class mask over the concatenated UTF-32 buffer;
+        # rows joined with '\n' (never a token char) so runs cannot cross
+        # row boundaries. Run order == findall order.
+        joined = "\n".join(norm.tolist())
+        buf = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        is_tok = ((buf >= 0x61) & (buf <= 0x7A)) | ((buf >= 0x30) & (buf <= 0x39))
+        prev = np.concatenate(([False], is_tok[:-1]))
+        nxt = np.concatenate((is_tok[1:], [False]))
+        run_s = np.flatnonzero(is_tok & ~prev)
+        run_e = np.flatnonzero(is_tok & ~nxt) + 1
+        row_lens = norm.str.len().to_numpy(np.int64)
+        row_starts = np.cumsum(row_lens + 1) - (row_lens + 1)
+        owner_r = np.searchsorted(row_starts, run_s, side="right") - 1
+        all_starts = run_s - row_starts[owner_r]
+        all_lens = run_e - run_s
+    else:
+        all_starts = np.zeros(len(flat), dtype=np.int64)
+        all_lens = np.zeros(len(flat), dtype=np.int64)
     # stopword filter via factorize: one membership test per UNIQUE token
     codes, uniq = pd.factorize(flat, sort=False)
     stop = STOPWORDS
@@ -220,49 +276,58 @@ def _batch_text(values: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     keep = ~is_stop_u[codes] if len(codes) else np.empty(0, bool)
     owner = np.repeat(np.arange(len(values), dtype=np.int64), counts)[keep]
     flat = flat[keep]
+    starts, lens = all_starts[keep], all_lens[keep]
     kcounts = np.bincount(owner, minlength=len(values)).astype(np.int64)
     kstarts = np.cumsum(kcounts) - kcounts
     pos = np.arange(len(flat), dtype=np.int64) - np.repeat(kstarts, kcounts)
-    return flat, kcounts, pos
+    return flat, kcounts, pos, starts, lens
 
 
-def _batch_identity(values: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _batch_identity(values: pd.Series):
     notna = values.notna().to_numpy()
     flat = values.to_numpy(dtype=object)[notna]
     counts = notna.astype(np.int64)
-    return flat, counts, np.zeros(len(flat), dtype=np.int64)
+    lens = np.fromiter((len(v) for v in flat), count=len(flat), dtype=np.int64)
+    z = np.zeros(len(flat), dtype=np.int64)
+    return flat, counts, z, z.copy(), lens
 
 
-def _batch_delimiter(
-    values: pd.Series, sep: str
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _batch_delimiter(values: pd.Series, sep: str):
     lists = values.fillna("").astype(str).str.split(re.escape(sep), regex=True)
-    flat, counts = _flatten_lists(lists)
+    flat, counts = _flatten_lists(lists)  # includes empty parts
+    if len(flat):
+        part_lens = np.fromiter((len(v) for v in flat), count=len(flat), dtype=np.int64)
+        idx_in_row = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        cum = np.cumsum(part_lens)
+        row_first = np.cumsum(counts) - counts
+        base = np.repeat(cum[row_first] - part_lens[row_first], counts)
+        all_starts = (cum - part_lens - base) + idx_in_row * len(sep)
+    else:
+        part_lens = all_starts = np.empty(0, dtype=np.int64)
     nonempty = flat != "" if len(flat) else np.empty(0, bool)
     owner = np.repeat(np.arange(len(values), dtype=np.int64), counts)[nonempty]
     flat = flat[nonempty]
+    starts, lens = all_starts[nonempty], part_lens[nonempty]
     kcounts = np.bincount(owner, minlength=len(values)).astype(np.int64)
     kstarts = np.cumsum(kcounts) - kcounts
     pos = np.arange(len(flat), dtype=np.int64) - np.repeat(kstarts, kcounts)
-    return flat, kcounts, pos
+    return flat, kcounts, pos, starts, lens
 
 
-def _batch_ngram(
-    values: pd.Series, lo: int, hi: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _batch_ngram(values: pd.Series, lo: int, hi: int):
     """All char n-grams per value, fully vectorized: the batch's values are
     concatenated into one UTF-32 buffer; each gram length is a stride-
     tricks window over it, materialized as fixed-width numpy strings —
-    no per-row Python."""
+    no per-row Python. Span = (start offset, n)."""
     s = values.fillna("").astype(str)
     lens = s.str.len().to_numpy(np.int64)
     joined = "".join(s.tolist())
     buf = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
     starts = np.cumsum(lens) - lens
     n_rows = len(s)
-    flat_parts: list[np.ndarray] = []
-    pos_parts: list[np.ndarray] = []
-    owner_parts: list[np.ndarray] = []
+    flat_parts, pos_parts, owner_parts, len_parts = [], [], [], []
     for n in range(lo, hi + 1):
         cnt_n = np.maximum(lens - n + 1, 0)
         if cnt_n.sum() == 0 or len(buf) < n:
@@ -280,27 +345,28 @@ def _batch_ngram(
         flat_parts.append(grams)
         pos_parts.append(w_idx - np.repeat(starts, cnt_n))
         owner_parts.append(np.repeat(np.arange(n_rows, dtype=np.int64), cnt_n))
+        len_parts.append(np.full(len(grams), n, dtype=np.int64))
     if not flat_parts:
+        z = np.empty(0, dtype=np.int64)
         return (
             np.empty(0, dtype=object),
             np.zeros(n_rows, dtype=np.int64),
-            np.empty(0, dtype=np.int64),
+            z, z.copy(), z.copy(),
         )
     flat = np.concatenate(flat_parts)
     pos = np.concatenate(pos_parts)
     owner = np.concatenate(owner_parts)
+    glens = np.concatenate(len_parts)
     # canonical emission order: by (owner, then length-major as appended) —
     # order is irrelevant downstream (the build lexsorts), but counts must
     # be per owner
     order = np.argsort(owner, kind="stable")
-    flat, pos, owner = flat[order], pos[order], owner[order]
+    flat, pos, owner, glens = flat[order], pos[order], owner[order], glens[order]
     counts = np.bincount(owner, minlength=n_rows).astype(np.int64)
-    return flat, counts, pos
+    return flat, counts, pos, pos.copy(), glens
 
 
-def _batch_stage(
-    values: pd.Series, stage: str
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _batch_stage(values: pd.Series, stage: str):
     if stage == "text":
         return _batch_text(values)
     if stage == "identity":
@@ -311,29 +377,35 @@ def _batch_stage(
         lo, hi = (int(x) for x in stage[len("ngram:") :].split(","))
         return _batch_ngram(values, lo, hi)
     if stage == "stem":
-        flat, counts, pos = _batch_identity(values)
-        return _stem_series(pd.Series(flat, dtype=object)).to_numpy(object), counts, pos
+        flat, counts, pos, starts, lens = _batch_identity(values)
+        stemmed = _stem_series(pd.Series(flat, dtype=object)).to_numpy(object)
+        return stemmed, counts, pos, starts, lens
     raise ValueError(f"unknown analyzer stage: {stage!r}")
 
 
-def analyze_batch(
-    values: pd.Series, spec: str
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized analyzer: (flat tokens, per-row counts, positions)."""
+def analyze_batch_spans(values: pd.Series, spec: str):
+    """Vectorized analyzer with A8 spans: (flat tokens, per-row counts,
+    positions, span starts, span lengths). Spans address the top-level
+    input value (pipeline stages compose: child start + parent start;
+    singleton stages keep the parent's span)."""
     stages = parse_spec(spec)
-    flat, counts, pos = _batch_stage(values, stages[0])
+    flat, counts, pos, starts, lens = _batch_stage(values, stages[0])
     for stage in stages[1:]:
         # feed each token of the previous stage through the next one;
         # vectorization carries over because the flattened token array is
         # just another series
-        c_flat, c_counts, c_pos = _batch_stage(
+        c_flat, c_counts, c_pos, c_start, c_len = _batch_stage(
             pd.Series(flat, dtype=object), stage
         )
         parent_pos = np.repeat(pos, c_counts)
+        parent_start = np.repeat(starts, c_counts)
+        parent_len = np.repeat(lens, c_counts)
         if _is_singleton_stage(stage):
-            new_pos = parent_pos
+            new_pos, new_start, new_len = parent_pos, parent_start, parent_len
         else:
             new_pos = parent_pos * PIPE_STRIDE + np.minimum(c_pos, PIPE_STRIDE - 1)
+            new_start = parent_start + c_start
+            new_len = c_len
         # regroup child counts to original rows
         owner_tok = np.repeat(
             np.arange(len(flat), dtype=np.int64), c_counts
@@ -346,5 +418,100 @@ def analyze_batch(
             if len(owner_tok)
             else np.zeros(len(counts), dtype=np.int64)
         )
-        flat, counts, pos = c_flat, new_counts, new_pos
+        flat, counts = c_flat, new_counts
+        pos, starts, lens = new_pos, new_start, new_len
+    return flat, counts, pos, starts, lens
+
+
+def analyze_batch(values: pd.Series, spec: str):
+    """Vectorized analyzer: (flat tokens, per-row counts, positions)."""
+    flat, counts, pos, _s, _l = analyze_batch_spans(values, spec)
     return flat, counts, pos
+
+
+# ------------------------------------------------- arrow-native text path
+
+
+def text_tokenize_arrow(arr, with_spans: bool = False):
+    """The build-pipeline fast path for the plain "text" analyzer: token
+    extraction stays entirely in Arrow C++ (utf8_lower +
+    split_pattern_regex + dictionary_encode + filter) — no per-token
+    Python objects, which is what makes 32 concurrent workers scale on
+    memory bandwidth instead of allocator churn. Falls back to the pandas
+    kernel when the batch contains non-ASCII (NFKC needed).
+
+    Returns (flat: pa.StringArray, counts, pos, starts, lens) — spans are
+    zero arrays unless with_spans.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(arr, "")
+    n = len(arr)
+    if not pc.all(pc.string_is_ascii(arr)).as_py():
+        s = arr.to_pandas()
+        flat, counts, pos, starts, lens = _batch_text(s, with_spans)
+        return pa.array(flat, pa.string()), counts, pos, starts, lens
+    low = pc.utf8_lower(arr)
+    splits = pc.split_pattern_regex(low, "[^a-z0-9]+")
+    flat_all = splits.values
+    if isinstance(flat_all, pa.ChunkedArray):  # pragma: no cover
+        flat_all = flat_all.combine_chunks()
+    offs = np.frombuffer(splits.buffers()[1], dtype=np.int32)[
+        splits.offset : splits.offset + n + 1
+    ].astype(np.int64)
+    counts_all = np.diff(offs)
+    # stopword + empty filter: one Python membership test per UNIQUE token
+    denc = flat_all.dictionary_encode()
+    codes = denc.indices.to_numpy()
+    uniq = denc.dictionary.to_pylist()
+    stop = STOPWORDS
+    keep_u = np.fromiter(
+        ((u != "") and (u not in stop) for u in uniq), count=len(uniq), dtype=bool
+    )
+    keep = keep_u[codes] if len(codes) else np.empty(0, bool)
+    owner = np.repeat(np.arange(n, dtype=np.int64), counts_all)[keep]
+    kept = flat_all.filter(pa.array(keep))
+    kcounts = np.bincount(owner, minlength=n).astype(np.int64)
+    kstarts = np.cumsum(kcounts) - kcounts
+    pos = np.arange(len(kept), dtype=np.int64) - np.repeat(kstarts, kcounts)
+    if with_spans and len(kept):
+        # ASCII: utf8 byte offsets == char offsets. Runs over the value
+        # buffer, broken at row boundaries.
+        lbuf = low.combine_chunks() if isinstance(low, pa.ChunkedArray) else low
+        v_off = np.frombuffer(lbuf.buffers()[1], dtype=np.int32)[
+            lbuf.offset : lbuf.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(lbuf.buffers()[2] or b"", dtype=np.uint8)[
+            v_off[0] : v_off[-1]
+        ]
+        v_off = v_off - v_off[0]
+        is_tok = ((data >= 0x61) & (data <= 0x7A)) | (
+            (data >= 0x30) & (data <= 0x39)
+        )
+        at_row_start = np.zeros(len(data) + 1, dtype=bool)
+        at_row_start[v_off[:-1]] = True
+        prev = np.concatenate(([False], is_tok[:-1]))
+        prev[at_row_start[: len(data)]] = False
+        nxt = np.concatenate((is_tok[1:], [False]))
+        nxt[at_row_start[1 : len(data) + 1]] = False
+        run_s = np.flatnonzero(is_tok & ~prev)
+        run_e = np.flatnonzero(is_tok & ~nxt) + 1
+        owner_r = np.searchsorted(v_off, run_s, side="right") - 1
+        all_starts = run_s - v_off[owner_r]
+        all_lens = run_e - run_s
+        # runs correspond 1:1 (in order) to the NON-EMPTY split tokens;
+        # apply the stopword keep mask restricted to those
+        nonempty_u = np.fromiter(
+            (u != "" for u in uniq), count=len(uniq), dtype=bool
+        )
+        ne_idx = np.flatnonzero(nonempty_u[codes])
+        assert len(ne_idx) == len(all_starts), (len(ne_idx), len(all_starts))
+        sel = keep[ne_idx]
+        starts, lens = all_starts[sel], all_lens[sel]
+    else:
+        starts = np.zeros(len(kept), dtype=np.int64)
+        lens = np.zeros(len(kept), dtype=np.int64)
+    return kept, kcounts, pos, starts, lens

@@ -149,16 +149,18 @@ def build_index(
             src = src.withColumn("warc_ts", F.lit(None).cast("timestamp"))
         if "lang" not in corpus_cols:
             src = src.withColumn("lang", F.lit(None).cast("string"))
-        # round-robin repartition BEFORE tokenize: the corpus may arrive in
-        # few splits, and tokenization is the CPU-heavy narrow stage — it
-        # must run at full cluster width, not at source-file width
-        tokenized = (
-            src.select(*cols)
-            .repartition(parts)
-            .mapInArrow(
-                kernels.make_tokenize_kernel(field_specs),
-                kernels.TOKENIZED_SCHEMA,
-            )
+        # widen BEFORE tokenize only when the corpus arrives in too few
+        # splits — a round-robin repartition here moves the RAW corpus
+        # (html bytes) through a full shuffle, which is pure memory/IO
+        # bandwidth; when the source is already wide, tokenizing in place
+        # and shuffling only the (much smaller) token table is strictly
+        # better at any scale
+        sel = src.select(*cols)
+        if sel.rdd.getNumPartitions() < max(parts // 2, 1):
+            sel = sel.repartition(parts)
+        tokenized = sel.mapInArrow(
+            kernels.make_tokenize_kernel(field_specs),
+            kernels.TOKENIZED_SCHEMA,
         )
         (
             tokenized.repartition(n_segments, "seg_id")
@@ -191,10 +193,15 @@ def build_index(
 
     # ---- postings build
     t0 = time.time()
+    offs_flags = [f.offsets for f in field_specs]
     if not post_done:
         partials = assigned.select(
-            "seg_id", "doc_id", "fdls", "terms", "tfids", "tfs", "positions"
-        ).mapInArrow(kernels.make_partials_kernel(band_bits or 16), kernels.PARTIAL_SCHEMA)
+            "seg_id", "doc_id", "fdls", "terms", "tfids", "tfs",
+            "positions", "ostarts", "olens",
+        ).mapInArrow(
+            kernels.make_partials_kernel(band_bits or 16, offs_flags),
+            kernels.PARTIAL_SCHEMA,
+        )
         if band_bits is not None:
             # two-level salted path: hot terms' partials are pre-merged per
             # doc-range band so no single reducer concatenates a whole
@@ -220,7 +227,8 @@ def build_index(
             partials.repartition(n_segments, "seg_id")
             .sortWithinPartitions("seg_id", "fidx", "term", "min_doc")
             .mapInArrow(
-                kernels.make_encode_kernel(field_names), kernels.POSTING_SCHEMA
+                kernels.make_encode_kernel(field_names, offs_flags),
+                kernels.POSTING_SCHEMA,
             )
         )
         final.withColumn("seg_part", F.col("seg_id")).write.partitionBy(
@@ -231,45 +239,49 @@ def build_index(
     # ---- norms table (per-segment dense doc-length array)
     t0 = time.time()
     if not norms_done:
+        # the norms table is tiny (n_segments × n_fields rows of packed
+        # blobs) — ONE un-partitioned parquet dir, no per-segment
+        # partitionBy overhead; readers filter to the snapshot's live
+        # segments (store.read_norms)
         (
             spark.read.parquet(docs_dir)
             .select("seg_id", "doc_id", "fdls")
             .groupBy("seg_id")
             .applyInPandas(kernels.norms_builder, kernels.NORMS_SCHEMA)
-            .withColumn("seg_part", F.col("seg_id"))
-            .write.partitionBy("seg_part")
-            .parquet(norms_dir, mode="overwrite")
+            .write.parquet(norms_dir, mode="overwrite")
         )
     timings["norms_write_s"] = time.time() - t0
 
-    # ---- per-segment stats + lineage (norms rows already carry doc
-    # stats — no second docs scan). n_segments × n_fields tiny rows.
+    # ---- per-segment stats + lineage. Norms stats: a driver-side pyarrow
+    # read of the tiny norms table (no Spark job). Postings stats: ONE
+    # light columnar scan over the int columns the encode kernel emitted
+    # (seg_id/df/blob_bytes/pos_bytes) — the blobs are never re-read.
     t0 = time.time()
-    norm_rows = (
-        spark.read.parquet(norms_dir)
-        .select("seg_id", "fidx", "n_docs", "sum_dl")
-        .collect()
-    )
+    import pyarrow.parquet as pq
+
+    norm_tbl = pq.read_table(
+        norms_dir, columns=["seg_id", "fidx", "n_docs", "sum_dl"]
+    ).to_pylist()
     doc_stats = {
         int(r["seg_id"]): (int(r["n_docs"]), int(r["sum_dl"]))
-        for r in norm_rows
+        for r in norm_tbl
         if int(r["fidx"]) == 0
     }
     field_sums = {name: 0 for name in field_names}
     seg_field_sums: dict[int, dict[str, int]] = {}
-    for r in norm_rows:
+    for r in norm_tbl:
         name = field_names[int(r["fidx"])]
         field_sums[name] += int(r["sum_dl"])
         seg_field_sums.setdefault(int(r["seg_id"]), {})[name] = int(r["sum_dl"])
-    post_df = spark.read.parquet(post_dir)
     post_stats = {
         int(r["seg_id"]): r.asDict()
-        for r in post_df.groupBy("seg_id")
+        for r in spark.read.parquet(post_dir)
+        .groupBy("seg_id")
         .agg(
             F.count("*").alias("n_terms"),
             F.sum("df").alias("postings"),
-            F.sum(F.length("blob")).alias("blob_bytes"),
-            F.sum(F.length("pos_pay") + F.length("pos_off")).alias("pos_bytes"),
+            F.sum("blob_bytes").alias("blob_bytes"),
+            F.sum("pos_bytes").alias("pos_bytes"),
         )
         .collect()
     }
@@ -284,7 +296,7 @@ def build_index(
             "seg_id": seg_id,
             "docs_path": f"{rel}/docs/seg_part={seg_id}",
             "postings_path": f"{rel}/postings/seg_part={seg_id}",
-            "norms_path": f"{rel}/norms/seg_part={seg_id}",
+            "norms_path": f"{rel}/norms",
             "n_docs": n,
             "sum_dl": sum_dl,
             "n_terms": int(ps.get("n_terms", 0)),

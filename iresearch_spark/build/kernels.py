@@ -35,26 +35,31 @@ from iresearch_spark.analysis.extract import extract_series
 from iresearch_spark.codec.postings import (
     encode_positions_batch,
     encode_postings_batch,
+    encode_raw_batch,
 )
 
 TOKENIZED_SCHEMA = (
     "seg_id int, url string, warc_ts timestamp, lang string, dl int, "
     "fdls array<int>, terms array<string>, tfids array<int>, "
-    "tfs array<int>, positions array<int>"
+    "tfs array<int>, positions array<int>, ostarts array<int>, "
+    "olens array<int>"
 )
 ASSIGNED_SCHEMA = (
     "seg_id int, doc_id bigint, url string, warc_ts timestamp, lang string, "
     "dl int, fdls array<int>, terms array<string>, tfids array<int>, "
-    "tfs array<int>, positions array<int>"
+    "tfs array<int>, positions array<int>, ostarts array<int>, "
+    "olens array<int>"
 )
 PARTIAL_SCHEMA = (
     "seg_id int, fidx int, term string, band int, min_doc bigint, n bigint, "
-    "docs_bin binary, tfs_bin binary, dls_bin binary, pos_bin binary"
+    "docs_bin binary, tfs_bin binary, dls_bin binary, pos_bin binary, "
+    "span_bin binary"
 )
 POSTING_SCHEMA = (
     "seg_id int, field string, term string, df bigint, cf bigint, "
     "max_tf int, blob binary, skip binary, bmax binary, pos_off binary, "
-    "pos_pay binary"
+    "pos_pay binary, span_off binary, span_pay binary, blob_bytes bigint, "
+    "pos_bytes bigint"
 )
 NORMS_SCHEMA = (
     "seg_id int, fidx int, n_docs bigint, sum_dl bigint, dls_bin binary"
@@ -126,60 +131,119 @@ def make_tokenize_kernel(field_specs):
     """corpus (seg_id, url, warc_ts, lang, html, text[, extra sources]) ->
     TOKENIZED_SCHEMA, for an arbitrary field-spec list.
 
-    Per field: run its analyzer (vectorized, analysis.analyzers) over the
-    source column — the "__text__" source is html -> frozen extraction
-    with `text` fallback for null html. Then ONE combined aggregation
-    builds the per-doc inverted entries: terms sorted (field idx asc, term
-    asc), tf per (field, term), positions flat in entry order (ascending
-    within each entry), and per-field dl vector `fdls`.
+    Per field: run its analyzer over the source column — the "__text__"
+    source is html -> frozen extraction with `text` fallback for null
+    html. The plain "text" analyzer takes the Arrow-native fast path
+    (analysis.analyzers.text_tokenize_arrow): token extraction stays in
+    Arrow C++ with no per-token Python objects, which is what keeps many
+    concurrent workers memory-bandwidth-bound instead of allocator-bound.
+    Then ONE combined aggregation builds the per-doc inverted entries:
+    terms sorted (field idx asc, term asc), tf per (field, term),
+    positions (and, for offsets-enabled fields, A8 spans) flat in entry
+    order, and per-field dl vector `fdls`.
     """
     import pandas as pd
 
-    from iresearch_spark.analysis.analyzers import analyze_batch
+    from iresearch_spark.analysis.analyzers import (
+        analyze_batch_spans,
+        text_tokenize_arrow,
+    )
 
     specs = list(field_specs)
 
     def kernel(batches):
         for batch in batches:
-            tbl = batch.to_pandas()
-            n = len(tbl)
+            n = batch.num_rows
             if n == 0:
                 continue
-            flat_parts, fidx_parts, owner_parts, pos_parts = [], [], [], []
+            flat_parts, fidx_parts, owner_parts = [], [], []
+            pos_parts, start_parts, len_parts = [], [], []
             fdls = np.zeros((n, len(specs)), dtype=np.int64)
+            pdf_cache: dict[str, pd.Series] = {}
+
+            def as_series(name):
+                if name not in pdf_cache:
+                    pdf_cache[name] = batch.column(name).to_pandas()
+                return pdf_cache[name]
+
             for fi, fs in enumerate(specs):
-                if fs.source == "__text__":
-                    vals = extract_series(tbl["html"])
-                    if tbl["html"].isna().any():
-                        na = tbl["html"].isna()
-                        vals.loc[na] = tbl["text"].fillna("")[na]
+                if fs.analyzer == "text" and fs.source != "__text__":
+                    flat, counts, pos, sts, lns = text_tokenize_arrow(
+                        batch.column(fs.source), with_spans=fs.offsets
+                    )
+                elif fs.source == "__text__":
+                    html = as_series("html")
+                    if html.isna().all():
+                        # pure-text corpus: keep the Arrow fast path
+                        if fs.analyzer == "text":
+                            flat, counts, pos, sts, lns = text_tokenize_arrow(
+                                batch.column("text"), with_spans=fs.offsets
+                            )
+                        else:
+                            f_, counts, pos, sts, lns = analyze_batch_spans(
+                                as_series("text"), fs.analyzer
+                            )
+                            flat = pa.array(f_, pa.string())
+                    else:
+                        vals = extract_series(html)
+                        if html.isna().any():
+                            na = html.isna()
+                            vals.loc[na] = as_series("text").fillna("")[na]
+                        if fs.analyzer == "text":
+                            flat, counts, pos, sts, lns = text_tokenize_arrow(
+                                pa.array(vals, pa.string()), with_spans=fs.offsets
+                            )
+                        else:
+                            f_, counts, pos, sts, lns = analyze_batch_spans(
+                                vals, fs.analyzer
+                            )
+                            flat = pa.array(f_, pa.string())
                 else:
-                    vals = tbl[fs.source]
-                flat, counts, pos = analyze_batch(vals, fs.analyzer)
+                    f_, counts, pos, sts, lns = analyze_batch_spans(
+                        as_series(fs.source), fs.analyzer
+                    )
+                    flat = pa.array(f_, pa.string())
                 fdls[:, fi] = counts
                 if len(flat) == 0:
                     continue
+                if not fs.offsets:
+                    sts = np.zeros(len(flat), dtype=np.int64)
+                    lns = np.zeros(len(flat), dtype=np.int64)
                 flat_parts.append(flat)
                 pos_parts.append(pos)
+                start_parts.append(sts)
+                len_parts.append(lns)
                 owner_parts.append(np.repeat(np.arange(n, dtype=np.int64), counts))
                 fidx_parts.append(np.full(len(flat), fi, dtype=np.int64))
             if flat_parts:
-                flat = np.concatenate(flat_parts)
+                flat_arr = (
+                    flat_parts[0]
+                    if len(flat_parts) == 1
+                    else pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in flat_parts])
+                )
                 pos = np.concatenate(pos_parts)
+                sts = np.concatenate(start_parts)
+                lns = np.concatenate(len_parts)
                 owner = np.concatenate(owner_parts)
                 fidx = np.concatenate(fidx_parts)
             else:
-                flat = np.empty(0, dtype=object)
-                pos = owner = fidx = np.empty(0, dtype=np.int64)
-            # hash-factorize once; every per-token op below is integer-based
-            codes, uniq = pd.factorize(flat, sort=False)
-            uniq_obj = np.asarray(uniq, dtype=object)
+                flat_arr = pa.array([], pa.string())
+                pos = sts = lns = owner = fidx = np.empty(0, dtype=np.int64)
+            # dictionary-encode once (Arrow C++); every per-token op below
+            # is integer-based, and lexicographic rank touches only the
+            # (small) unique vocab
+            denc = flat_arr.dictionary_encode()
+            codes = denc.indices.to_numpy() if len(flat_arr) else np.empty(0, np.int64)
+            codes = codes.astype(np.int64)
+            uniq_arr = denc.dictionary
+            uniq_obj = np.asarray(uniq_arr.to_pylist(), dtype=object)
             rank = np.empty(len(uniq_obj), dtype=np.int64)
             rank[np.argsort(uniq_obj, kind="stable")] = np.arange(len(uniq_obj))
             # per-doc (field asc, term asc, position asc) order
             order = np.lexsort((pos, rank[codes], fidx, owner))
             o_owner, o_fidx = owner[order], fidx[order]
             o_term, o_pos = codes[order], pos[order]
+            o_sts, o_lns = sts[order], lns[order]
             if len(order):
                 newgrp = np.empty(len(order), dtype=bool)
                 newgrp[0] = True
@@ -190,12 +254,12 @@ def make_tokenize_kernel(field_specs):
                 )
                 gstart = np.flatnonzero(newgrp)
                 tf = np.diff(np.append(gstart, len(order)))
-                gterm = uniq_obj[o_term[gstart]]
+                gterm = pc.take(uniq_arr, pa.array(o_term[gstart]))
                 gfidx = o_fidx[gstart]
                 gowner = o_owner[gstart]
             else:
                 tf = np.empty(0, np.int64)
-                gterm = np.empty(0, object)
+                gterm = pa.array([], pa.string())
                 gfidx = np.empty(0, np.int64)
                 gowner = np.empty(0, np.int64)
             terms_per_doc = np.bincount(gowner, minlength=n).astype(np.int64)
@@ -215,8 +279,7 @@ def make_tokenize_kernel(field_specs):
                         pa.array(fdls.reshape(-1).astype(np.int32)),
                     ),
                     pa.ListArray.from_arrays(
-                        pa.array(term_off, pa.int32()),
-                        pa.array(gterm, pa.string()),
+                        pa.array(term_off, pa.int32()), gterm
                     ),
                     pa.ListArray.from_arrays(
                         pa.array(term_off, pa.int32()),
@@ -227,6 +290,12 @@ def make_tokenize_kernel(field_specs):
                     ),
                     pa.ListArray.from_arrays(
                         pa.array(pos_off, pa.int32()), pa.array(o_pos, pa.int32())
+                    ),
+                    pa.ListArray.from_arrays(
+                        pa.array(pos_off, pa.int32()), pa.array(o_sts, pa.int32())
+                    ),
+                    pa.ListArray.from_arrays(
+                        pa.array(pos_off, pa.int32()), pa.array(o_lns, pa.int32())
                     ),
                 ],
                 names=[
@@ -240,6 +309,8 @@ def make_tokenize_kernel(field_specs):
                     "tfids",
                     "tfs",
                     "positions",
+                    "ostarts",
+                    "olens",
                 ],
             )
 
@@ -279,9 +350,9 @@ def assign_kernel(batches):
 # ------------------------------------------------------------ raw partials
 
 
-def make_partials_kernel(band_bits: int = 16):
-    """(seg_id, doc_id, fdls, terms, tfids, tfs, positions) ->
-    PARTIAL_SCHEMA rows.
+def make_partials_kernel(band_bits: int = 16, offsets_enabled=None):
+    """(seg_id, doc_id, fdls, terms, tfids, tfs, positions, ostarts,
+    olens) -> PARTIAL_SCHEMA rows.
 
     Explodes each batch's token lists into (seg, field, term, band)
     posting runs with raw uint32 payloads. The per-entry dl is the entry's
@@ -289,7 +360,11 @@ def make_partials_kernel(band_bits: int = 16):
     (doc_id-1) >> band_bits splits a hot term's postings into doc-range
     bands so the level-1 merge shuffle spreads the term over multiple
     reducers — the salted-shuffle skew defusal mandated by BASELINE.json:6.
+    For fields with the A8 offsets feature, span_bin carries interleaved
+    (start, length) u32 pairs per occurrence; other fields' runs carry
+    empty span slices, so disabled fields shuffle zero extra bytes.
     """
+    enabled = np.asarray(offsets_enabled or [], dtype=bool)
 
     def kernel(batches):
         for batch in batches:
@@ -313,6 +388,10 @@ def make_partials_kernel(band_bits: int = 16):
             e_fid = batch.column("tfids").values.to_numpy().astype(np.int64)
             tf_vals = batch.column("tfs").values.to_numpy().astype(np.int64)
             pos_vals = batch.column("positions").values.to_numpy().astype(np.int64)
+            any_spans = bool(enabled.any())
+            if any_spans:
+                st_vals = batch.column("ostarts").values.to_numpy().astype(np.int64)
+                ln_vals = batch.column("olens").values.to_numpy().astype(np.int64)
             ntpd = np.diff(t_off)
             if ntpd.sum() == 0:
                 continue
@@ -337,6 +416,18 @@ def make_partials_kernel(band_bits: int = 16):
                 np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(ns) - ns, ns)
             )
             s_pos = pos_vals[gidx]
+            if any_spans:
+                # interleaved (start, len) pairs, occurrences of enabled
+                # fields only (others contribute empty slices)
+                occ_en = np.repeat(enabled[s_fid], ns)
+                g_en = gidx[occ_en]
+                inter = np.empty(2 * len(g_en), dtype=np.int64)
+                inter[0::2] = st_vals[g_en]
+                inter[1::2] = ln_vals[g_en]
+                span_counts = np.where(enabled[s_fid], ns, 0) * 2
+            else:
+                inter = np.empty(0, dtype=np.int64)
+                span_counts = np.zeros(len(order), dtype=np.int64)
             # run boundaries on (seg, field, term, band)
             m = len(order)
             newrun = np.empty(m, dtype=bool)
@@ -350,9 +441,11 @@ def make_partials_kernel(band_bits: int = 16):
             rstart = np.flatnonzero(newrun)
             rlen = np.diff(np.append(rstart, m))
             run_tf = np.add.reduceat(ns, rstart)
+            run_span = np.add.reduceat(span_counts, rstart)
             # zero-copy binary columns: one contiguous buffer + offsets
             entry_off4 = np.concatenate(([0], np.cumsum(rlen))) * 4
             pos_off4 = np.concatenate(([0], np.cumsum(run_tf))) * 4
+            span_off4 = np.concatenate(([0], np.cumsum(run_span))) * 4
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(s_seg[rstart].astype(np.int32)),
@@ -365,6 +458,7 @@ def make_partials_kernel(band_bits: int = 16):
                     _binary_array(s_tf.astype("<u4").tobytes(), entry_off4),
                     _binary_array(s_dl.astype("<u4").tobytes(), entry_off4),
                     _binary_array(s_pos.astype("<u4").tobytes(), pos_off4),
+                    _binary_array(inter.astype("<u4").tobytes(), span_off4),
                 ],
                 names=[
                     "seg_id",
@@ -377,13 +471,14 @@ def make_partials_kernel(band_bits: int = 16):
                     "tfs_bin",
                     "dls_bin",
                     "pos_bin",
+                    "span_bin",
                 ],
             )
 
     return kernel
 
 
-_BIN_COLS = ("docs_bin", "tfs_bin", "dls_bin", "pos_bin")
+_BIN_COLS = ("docs_bin", "tfs_bin", "dls_bin", "pos_bin", "span_bin")
 
 
 class _SortedRuns:
@@ -501,11 +596,12 @@ def merge_kernel(batches):
                 "tfs_bin",
                 "dls_bin",
                 "pos_bin",
+                "span_bin",
             ],
         )
 
 
-def make_encode_kernel(field_names):
+def make_encode_kernel(field_names, offsets_enabled=None):
     """Final merge + encode: one output row per (seg, field, term) with the
     block blob, skip list, blockmax metadata and position blobs (SURVEY.md
     S6/SC4). Input sorted by (seg_id, fidx, term, min_doc). Group assembly
@@ -513,6 +609,9 @@ def make_encode_kernel(field_names):
     groups (per-group Python survives only for the rare >128-doc hot
     terms); the fidx -> field-name mapping is a take on a tiny vocab."""
     names_arr = pa.array(list(field_names), pa.string())
+    enabled = np.asarray(
+        offsets_enabled or [False] * len(list(field_names)), dtype=bool
+    )
 
     def kernel(batches):
         runs = _SortedRuns(with_band=False)
@@ -522,10 +621,12 @@ def make_encode_kernel(field_names):
             t_data, t_off = w["tfs_bin"]
             l_data, l_off = w["dls_bin"]
             p_data, p_off = w["pos_bin"]
+            s_data, s_off = w["span_bin"]
             docs_all = d_data[: d_off[cut]].view("<u4")
             tfs_all = t_data[: t_off[cut]].view("<u4")
             dls_all = l_data[: l_off[cut]].view("<u4")
             pos_all = p_data[: p_off[cut]].view("<u4")
+            span_all = s_data[: s_off[cut]].view("<u4")
             db = (d_off[bounds] // 4).astype(np.int64)
             dfs = np.diff(db)
             cfs = np.add.reduceat(tfs_all.astype(np.int64), db[:-1])
@@ -535,6 +636,19 @@ def make_encode_kernel(field_names):
             )
             po_buf, po_off, pay_buf, pay_off = encode_positions_batch(
                 pos_all.astype(np.int64), tfs_all.astype(np.int64), db
+            )
+            # A8 spans: raw-VByte of interleaved (start, len) per
+            # occurrence; per-doc counts = 2*tf on offsets-enabled fields
+            en_doc = np.repeat(enabled[w["fidx"][gstart]], dfs)
+            span_counts = np.where(en_doc, 2 * tfs_all.astype(np.int64), 0)
+            so_buf, so_off, sp_buf, sp_off = encode_raw_batch(
+                span_all, span_counts, db
+            )
+            # per-row blob byte sizes as plain columns: build metrics come
+            # from a light columnar scan, never from re-reading the blobs
+            blob_sz = np.diff(blob_off) + np.diff(skip_off) + np.diff(bmax_off)
+            pos_sz = (
+                np.diff(po_off) + np.diff(pay_off) + np.diff(so_off) + np.diff(sp_off)
             )
             yield pa.RecordBatch.from_arrays(
                 [
@@ -549,6 +663,10 @@ def make_encode_kernel(field_names):
                     _binary_array(bmax_buf, bmax_off),
                     _binary_array(po_buf, po_off),
                     _binary_array(pay_buf, pay_off),
+                    _binary_array(so_buf, so_off),
+                    _binary_array(sp_buf, sp_off),
+                    pa.array(blob_sz.astype(np.int64)),
+                    pa.array(pos_sz.astype(np.int64)),
                 ],
                 names=[
                     "seg_id",
@@ -562,6 +680,10 @@ def make_encode_kernel(field_names):
                     "bmax",
                     "pos_off",
                     "pos_pay",
+                    "span_off",
+                    "span_pay",
+                    "blob_bytes",
+                    "pos_bytes",
                 ],
             )
 

@@ -44,8 +44,10 @@ from iresearch_spark.build import kernels
 from iresearch_spark.codec.postings import (
     decode_positions_for,
     decode_postings,
+    decode_values_for,
     encode_positions,
     encode_postings,
+    encode_raw_batch,
 )
 from iresearch_spark.store import SnapshotStore
 
@@ -177,7 +179,8 @@ def merge_segments(
         field, term = key[0], key[1]
         pdf = pdf.sort_values("seg_id")
         remap = bc_remap.value
-        all_docs, all_tfs, all_pos = [], [], []
+        all_docs, all_tfs, all_pos, all_spans = [], [], [], []
+        has_spans = False
         for row in pdf.itertuples():
             pl = decode_postings(bytes(row.blob))
             docs_a = pl.doc_ids.astype(np.int64)
@@ -192,6 +195,18 @@ def merge_segments(
             all_docs.append(docs_a)
             all_tfs.append(tfs_a)
             all_pos.extend(p for p in pos_flat)
+            if row.span_pay is not None and len(row.span_pay):
+                has_spans = True
+                sp = decode_values_for(
+                    bytes(row.span_off), bytes(row.span_pay), sel, tfs_a * 2
+                )
+                all_spans.extend(
+                    np.split(sp, np.cumsum(2 * tfs_a)[:-1]) if len(tfs_a) else []
+                )
+            else:
+                all_spans.extend(
+                    np.empty(0, np.int64) for _ in range(len(docs_a))
+                )
         docs_m = np.concatenate(all_docs) if all_docs else np.empty(0, np.int64)
         if len(docs_m) == 0:
             return pd.DataFrame(
@@ -200,10 +215,11 @@ def merge_segments(
         tfs_m = np.concatenate(all_tfs)
         # new docIDs interleave across source segments (global url sort):
         # re-sort the concatenated entries, permuting per-doc position
-        # lists with them
+        # lists (and spans) with them
         order = np.argsort(docs_m, kind="stable")
         docs_m, tfs_m = docs_m[order], tfs_m[order]
         all_pos = [all_pos[i] for i in order]
+        all_spans = [all_spans[i] for i in order]
         pos_m = (
             np.concatenate(all_pos) if all_pos else np.empty(0, np.int64)
         )
@@ -212,6 +228,18 @@ def merge_segments(
             docs_m.astype("<u4"), tfs_m.astype("<u4"), dls_m.astype("<u4")
         )
         pos_off, pos_pay = encode_positions(pos_m.astype(np.int64), tfs_m)
+        if has_spans:
+            sp_flat = (
+                np.concatenate(all_spans) if all_spans else np.empty(0, np.int64)
+            )
+            so_buf, _so_off, sp_buf, _sp_off = encode_raw_batch(
+                sp_flat,
+                2 * tfs_m,
+                np.array([0, len(docs_m)], dtype=np.int64),
+            )
+            span_off, span_pay = so_buf.tobytes(), sp_buf.tobytes()
+        else:
+            span_off, span_pay = b"", b""
         return pd.DataFrame(
             {
                 "seg_id": [np.int32(new_seg_id)],
@@ -225,6 +253,12 @@ def merge_segments(
                 "bmax": [bmax],
                 "pos_off": [pos_off],
                 "pos_pay": [pos_pay],
+                "span_off": [span_off],
+                "span_pay": [span_pay],
+                "blob_bytes": [len(blob) + len(skip) + len(bmax)],
+                "pos_bytes": [
+                    len(pos_off) + len(pos_pay) + len(span_off) + len(span_pay)
+                ],
             }
         )
 
@@ -237,9 +271,7 @@ def merge_segments(
         .select("seg_id", "doc_id", "fdls")
         .groupBy("seg_id")
         .applyInPandas(kernels.norms_builder, kernels.NORMS_SCHEMA)
-        .withColumn("seg_part", F.col("seg_id"))
-        .write.partitionBy("seg_part")
-        .parquet(norms_dir, mode="overwrite")
+        .write.parquet(norms_dir, mode="overwrite")
     )
     import pyarrow.parquet as pq
 
@@ -284,7 +316,7 @@ def merge_segments(
         "seg_id": new_seg_id,
         "docs_path": f"{rel}/docs/seg_part={new_seg_id}",
         "postings_path": f"{rel}/postings/seg_part={new_seg_id}",
-        "norms_path": f"{rel}/norms/seg_part={new_seg_id}",
+        "norms_path": f"{rel}/norms",
         "n_docs": n_docs_new,
         "sum_dl": sum_dl_new,
         "n_terms": n_terms_new,

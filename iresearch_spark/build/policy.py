@@ -6,6 +6,12 @@ over segment metadata, mirroring [up] core/utils/index_utils.cpp:
                           size-sorted live segment list, skew-scored)
   consolidate_count       merge when the live segment count exceeds a cap
   consolidate_bytes_accum accumulate smallest segments up to a byte budget
+  consolidate_bytes       segments smaller than threshold x the per-segment
+                          average byte size
+  consolidate_docs_live   segments whose live-doc count is below threshold
+                          x the per-segment average
+  consolidate_docs_fill   segments whose live/total doc fill ratio dropped
+                          below threshold (delete-heavy segments)
 
 Each policy is a pure function: (segment metas) -> list of seg_ids to merge
 (empty = nothing to do). `consolidate()` drives policy -> merge_segments
@@ -112,6 +118,72 @@ def consolidate_bytes_accum(
     return out if len(out) >= 2 else []
 
 
+def consolidate_bytes(
+    segments: list[dict],
+    sizes: dict[int, int],
+    *,
+    threshold: float = 0.5,
+) -> list[int]:
+    """Merge every segment smaller than threshold × the average segment
+    byte size ([up] index_utils :: consolidate_bytes)."""
+    if len(segments) < 2:
+        return []
+    ids = [int(s["seg_id"]) for s in segments]
+    avg = sum(sizes.get(i, 0) for i in ids) / len(ids)
+    out = sorted(i for i in ids if sizes.get(i, 0) <= threshold * avg)
+    return out if len(out) >= 2 else []
+
+
+def consolidate_docs_live(
+    segments: list[dict],
+    sizes: dict[int, int],
+    *,
+    threshold: float = 0.5,
+    masked: dict[int, int] | None = None,
+) -> list[int]:
+    """Merge every segment whose LIVE doc count (total minus tombstoned)
+    is below threshold × the average live count
+    ([up] index_utils :: consolidate_docs_live)."""
+    if len(segments) < 2:
+        return []
+    masked = masked or {}
+    live = {
+        int(s["seg_id"]): int(s["n_docs"]) - masked.get(int(s["seg_id"]), 0)
+        for s in segments
+    }
+    avg = sum(live.values()) / len(live)
+    out = sorted(i for i, n in live.items() if n <= threshold * avg)
+    return out if len(out) >= 2 else []
+
+
+def consolidate_docs_fill(
+    segments: list[dict],
+    sizes: dict[int, int],
+    *,
+    threshold: float = 0.8,
+    masked: dict[int, int] | None = None,
+) -> list[int]:
+    """Merge every segment whose fill ratio live/total fell below
+    `threshold` — compacts delete-heavy segments
+    ([up] index_utils :: consolidate_docs_fill)."""
+    masked = masked or {}
+    out = []
+    for s in segments:
+        sid_ = int(s["seg_id"])
+        n = int(s["n_docs"])
+        if n and (n - masked.get(sid_, 0)) / n < threshold:
+            out.append(sid_)
+    return sorted(out)
+
+
+def masked_counts(store: SnapshotStore, snap: dict) -> dict[int, int]:
+    """seg_id -> tombstoned-doc count, from the snapshot's mask files
+    (for the docs_live / docs_fill policies)."""
+    from iresearch_spark.build.merge import _load_masks
+
+    return {sid_: len(arr) for sid_, arr in _load_masks(store, snap).items()}
+
+
 def consolidate(
     spark,
     store: SnapshotStore,
@@ -122,7 +194,10 @@ def consolidate(
 ) -> list[int]:
     """Run policy->merge rounds until the policy returns no candidates.
     Returns the snapshot ids committed (one per merge round)."""
+    import inspect
+
     committed: list[int] = []
+    wants_masked = "masked" in inspect.signature(policy).parameters
     for _ in range(max_rounds):
         snap = store.snapshot()
         if snap is None or len(snap["segments"]) < 2:
@@ -130,8 +205,14 @@ def consolidate(
         sizes = {
             int(s["seg_id"]): segment_bytes(store, s) for s in snap["segments"]
         }
-        cand = policy(snap["segments"], sizes, **policy_kwargs)
-        if not cand or len(cand) < 2:
+        kwargs = dict(policy_kwargs)
+        if wants_masked and "masked" not in kwargs:
+            kwargs["masked"] = masked_counts(store, snap)
+        cand = policy(snap["segments"], sizes, **kwargs)
+        if not cand:
             break
+        # a single-segment candidate is a compaction rewrite (docs_fill on
+        # a delete-heavy segment) — valid, and terminates because the
+        # rewritten segment carries no tombstones
         committed.append(merge_segments(spark, store, cand))
     return committed

@@ -356,6 +356,65 @@ def encode_positions_batch(
     return off_buf, off_off, payload, pay_off
 
 
+def encode_raw_batch(
+    vals: np.ndarray, counts: np.ndarray, go: np.ndarray
+) -> tuple[np.ndarray, ...]:
+    """Raw-VByte multi-group encoder (NO delta): used for the A8 offset
+    spans, whose interleaved (start, length) stream is not monotonic.
+    `vals` holds the concatenated u32 values, `counts` the value count per
+    posting row, `go` the row offsets per group. Returns (off_buf,
+    off_off, pay_buf, pay_off) with the same shape contract as
+    encode_positions_batch: the offsets blob stores the byte END of each
+    row's slice (u32)."""
+    from iresearch_spark.codec.vbyte import _byte_lengths
+
+    go = np.asarray(go, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    vals32 = np.ascontiguousarray(vals, dtype=np.uint32)
+    n_g = np.diff(go)
+    if len(counts) == 0:
+        z = np.zeros(0, np.uint8)
+        zo = np.zeros(len(go), np.int64)
+        return z, zo, z, zo
+    payload = np.frombuffer(vbyte_encode(vals32), dtype=np.uint8)
+    lens = _byte_lengths(vals32.astype(np.uint64))
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    ends = np.cumsum(counts)
+    byte_ends_rows = cum[ends]
+    pay_off = np.concatenate(([0], byte_ends_rows[go[1:] - 1]))
+    rebased = (byte_ends_rows - np.repeat(pay_off[:-1], n_g)).astype("<u4")
+    off_buf = np.frombuffer(rebased.tobytes(), dtype=np.uint8)
+    off_off = go * 4
+    return off_buf, off_off, payload, pay_off
+
+
+def decode_values_for(
+    offsets_blob: bytes,
+    payload_blob: bytes,
+    doc_indices: np.ndarray,
+    counts: np.ndarray,
+) -> np.ndarray:
+    """Decode raw-VByte value runs for selected posting rows (no delta
+    reconstruction — the inverse of encode_raw_batch). Returns ONE flat
+    array of counts.sum() values in row order."""
+    doc_indices = np.asarray(doc_indices, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if len(doc_indices) == 0 or len(payload_blob) == 0:
+        return np.empty(0, np.int64)
+    ends_all = np.frombuffer(offsets_blob, dtype="<u4").astype(np.int64)
+    payload = np.frombuffer(payload_blob, dtype=np.uint8)
+    starts_all = np.empty_like(ends_all)
+    starts_all[0] = 0
+    starts_all[1:] = ends_all[:-1]
+    sel_starts = starts_all[doc_indices]
+    sel_lens = ends_all[doc_indices] - sel_starts
+    gather_idx = np.repeat(sel_starts, sel_lens) + (
+        np.arange(int(sel_lens.sum()), dtype=np.int64)
+        - np.repeat(np.cumsum(sel_lens) - sel_lens, sel_lens)
+    )
+    return vbyte_decode(payload[gather_idx], int(counts.sum())).astype(np.int64)
+
+
 # ---------------------------------------------------------------- positions
 
 

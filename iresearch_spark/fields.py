@@ -21,13 +21,25 @@ class FieldSpec:
     name: str
     source: str = "__text__"
     analyzer: str = "text"
+    # A8 index feature flag ([up] core/analysis/token_attributes.hpp ::
+    # offset): store per-occurrence (start char, length) spans alongside
+    # positions — enables offset-based highlighting. Opt-in per field,
+    # exactly like the reference's per-field index features.
+    offsets: bool = False
 
     def to_json(self) -> dict:
-        return {"name": self.name, "source": self.source, "analyzer": self.analyzer}
+        return {
+            "name": self.name,
+            "source": self.source,
+            "analyzer": self.analyzer,
+            "offsets": self.offsets,
+        }
 
     @classmethod
     def from_json(cls, d: dict) -> "FieldSpec":
-        return cls(d["name"], d["source"], d["analyzer"])
+        return cls(
+            d["name"], d["source"], d["analyzer"], bool(d.get("offsets", False))
+        )
 
 
 DEFAULT_FIELDS: tuple[FieldSpec, ...] = (FieldSpec("text", "__text__", "text"),)

@@ -491,6 +491,61 @@ class IndexSearcher:
     def search(self, flt: qf.Filter, k: int = 10, with_urls: bool = True) -> DataFrame:
         return self.search_batch({0: flt}, k=k, with_urls=with_urls).drop("qid")
 
+    def occurrences(self, term: str, field: str = "text") -> DataFrame:
+        """Every occurrence of one term as (seg_id, doc_id, pos, start,
+        length) — the A8 offset surface ([up] core/analysis/
+        token_attributes.hpp :: offset) for highlighting/snippets.
+        start/length are -1 when the field was indexed without the offsets
+        feature. Distributed: posting rows explode inside mapInArrow; no
+        driver materialization."""
+        rows = self._postings.filter(
+            (F.col("field") == field) & (F.col("term") == term)
+        ).select("seg_id", "blob", "pos_off", "pos_pay", "span_off", "span_pay")
+
+        def explode(batches):
+            import pyarrow as pa
+
+            from iresearch_spark.codec.postings import decode_values_for
+
+            for b in batches:
+                pdf = b.to_pandas()
+                for r in pdf.itertuples():
+                    pl = decode_postings(bytes(r.blob))
+                    docs = pl.doc_ids.astype(np.int64)
+                    tfs = pl.tfs.astype(np.int64)
+                    sel = np.arange(len(docs))
+                    pls = decode_positions_for(
+                        bytes(r.pos_off), bytes(r.pos_pay), sel, tfs
+                    )
+                    pos_flat = (
+                        np.concatenate(pls) if pls else np.empty(0, np.int64)
+                    )
+                    doc_rep = np.repeat(docs, tfs)
+                    if r.span_pay is not None and len(r.span_pay):
+                        sp = decode_values_for(
+                            bytes(r.span_off), bytes(r.span_pay), sel, tfs * 2
+                        )
+                        starts, lens_ = sp[0::2], sp[1::2]
+                    else:
+                        starts = np.full(len(doc_rep), -1, dtype=np.int64)
+                        lens_ = starts
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(
+                                np.full(len(doc_rep), r.seg_id, dtype=np.int32)
+                            ),
+                            pa.array(doc_rep),
+                            pa.array(pos_flat.astype(np.int32)),
+                            pa.array(starts.astype(np.int32)),
+                            pa.array(lens_.astype(np.int32)),
+                        ],
+                        names=["seg_id", "doc_id", "pos", "start", "length"],
+                    )
+
+        return rows.mapInArrow(
+            explode, "seg_id int, doc_id bigint, pos int, start int, length int"
+        )
+
     def match_docs(self, flt: qf.Filter) -> DataFrame:
         """Match-only execution: every (seg_id, doc_id) the filter matches,
         straight from the per-segment kernel — no scoring pass, no

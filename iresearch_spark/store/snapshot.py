@@ -132,11 +132,15 @@ class SnapshotStore:
 
     def read_norms(self, spark, snapshot_id: int | None = None):
         """Norms rows + per-segment tombstone mask blob (mask_bin, null when
-        the segment has no deletes — [up] formats.hpp document_mask)."""
+        the segment has no deletes — [up] formats.hpp document_mask).
+        Norms live in per-commit shared tables which may contain retired
+        segments; the result is filtered to the snapshot's LIVE seg_ids."""
         from pyspark.sql import functions as F
 
         norms = self._read(spark, "norms_path", snapshot_id)
         snap = self.snapshot(snapshot_id)
+        live = [int(s["seg_id"]) for s in snap["segments"]]
+        norms = norms.filter(F.col("seg_id").isin(live))
         mask_paths = sorted(
             {
                 self.abs_path(s["mask_path"])

@@ -188,6 +188,54 @@ def lsh_pairs_sql(n_hashes: int = 8, n_bands: int = 2) -> str:
     )
 
 
+def lsh_verified_pairs(
+    docs: DataFrame, threshold: float = 0.5, n_hashes: int = 8, n_bands: int = 2
+) -> DataFrame:
+    """The PRODUCTION near-dup path: MinHash-LSH candidates, then exact
+    shingle-Jaccard verification on candidates only. Work is bounded by
+    the candidate count (bucket equijoin), never O(block²) — this is the
+    path that holds at 10^12 docs; `jaccard_pairs` is the small-scale
+    verification oracle."""
+    cand = lsh_pairs(docs, n_hashes, n_bands)
+    d = docs.select(
+        "doc_id", shingles_col(tokens_col(F.col("text"))).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def lsh_verified_pairs_sql(
+    threshold: float = 0.5, n_hashes: int = 8, n_bands: int = 2
+) -> str:
+    unions = "\nUNION\n".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+        f"JOIN bands b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(n_bands)
+    )
+    return (
+        _minhash_sig_sql(n_hashes, n_bands)
+        + f""",
+cand AS (SELECT DISTINCT doc_a, doc_b FROM ({unions})),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(da.sh, db.sh))::DOUBLE
+               / len(list_distinct(da.sh || db.sh)), 6) AS jaccard
+  FROM cand c JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b
+)
+SELECT * FROM verified WHERE jaccard >= {threshold} ORDER BY doc_a, doc_b"""
+    )
+
+
 # -------------------------------------------------------------- simhash
 
 SIM_BITS = 48

@@ -2,13 +2,16 @@
 
 Brute-force cosine top-k is the correctness baseline (a single narrow scan
 + global top-k — at 100 TB it is one pass, no shuffle until the tiny final
-limit). The scale path is hyperplane-LSH: bucket every vector by the sign
-pattern of its dot products with P fixed hyperplanes, then search only the
-query's bucket. Hyperplanes are taken deterministically from the table
-itself (vec_id 1..P) so the DuckDB oracle can reproduce them exactly —
-on a real cluster they'd be seeded Gaussian vectors broadcast to executors,
-and the bucket column becomes the table's partition key so each query
-touches one partition (partition pruning).
+limit). The scale path is hyperplane-LSH with multi-probe: bucket every
+vector by the sign pattern of its dot products with P seeded hyperplanes,
+then search the query's bucket plus every bucket within Hamming distance
+`probe_hamming` of it (multi-probe widens recall without touching the
+rest of the corpus). Hyperplane components are derived from the shared
+md5_long hash (uniform in [-1, 1)), so the planes are a pure function of
+(seed, plane, component) — broadcastable on a real cluster, and byte-
+reproducible by the DuckDB oracle. At scale the bucket column is the
+table's partition key, so a query touches P·probe+1 partitions
+(partition pruning), never the full corpus.
 
 All arithmetic is float64 elementwise with sequential accumulation and
 results rounded to 6 dp before ranking, making numpy/JVM/DuckDB agree.
@@ -18,6 +21,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
+
+from iresearch_spark.textops.common import md5_long
+
+_U60 = float(1 << 60)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -79,6 +86,31 @@ SELECT CAST(rank AS INT) AS rank, vec_id, label, cos FROM (
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def seeded_planes(spark, dim: int, n_planes: int, seed: str = "plane") -> DataFrame:
+    """P hyperplanes with components uniform in [-1, 1), derived from the
+    shared md5_long hash of (seed, plane, component) — identical in the
+    DuckDB oracle, broadcastable on a cluster."""
+    return spark.range(n_planes).select(
+        F.col("id").cast("int").alias("p"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                md5_long(
+                    F.concat(
+                        F.lit(seed + ":"),
+                        F.col("id").cast("string"),
+                        F.lit(":"),
+                        i.cast("string"),
+                    )
+                )
+                / F.lit(_U60)
+            )
+            * 2.0
+            - 1.0,
+        ).alias("pv"),
+    )
+
+
 def _bucket(emb: DataFrame, planes: DataFrame) -> DataFrame:
     """LSH bucket id per vector: bit p = (dot(v, plane_p) >= 0)."""
     d = emb.crossJoin(F.broadcast(planes)).select(
@@ -94,12 +126,16 @@ def _bucket(emb: DataFrame, planes: DataFrame) -> DataFrame:
 
 
 def lsh_ann_topk(
-    emb: DataFrame, query_vec_id: int = 0, n_planes: int = 4, k: int = 5
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    n_planes: int = 8,
+    k: int = 5,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """ANN top-k: exact cosine, restricted to the query's LSH bucket."""
-    planes = emb.filter(
-        (F.col("vec_id") >= 1) & (F.col("vec_id") <= n_planes)
-    ).select((F.col("vec_id") - 1).cast("int").alias("p"), F.col("embedding").alias("pv"))
+    """ANN top-k: exact cosine restricted to the query's LSH bucket plus
+    every bucket within `probe_hamming` bit flips (multi-probe)."""
+    dim = int(emb.select(F.size("embedding")).first()[0])
+    planes = seeded_planes(emb.sparkSession, dim, n_planes)
     bucketed = _bucket(emb, planes)
     qb = bucketed.filter(F.col("vec_id") == query_vec_id).select(
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("qv")
@@ -109,7 +145,15 @@ def lsh_ann_topk(
     )
     scored = (
         bucketed.crossJoin(F.broadcast(qb))
-        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != query_vec_id))
+        .filter(
+            (
+                F.bit_count(
+                    F.col("bucket").bitwiseXOR(F.col("qbucket"))
+                )
+                <= probe_hamming
+            )
+            & (F.col("vec_id") != query_vec_id)
+        )
         .select("vec_id", "label", F.round(cos, 6).alias("cos"))
     )
     return (
@@ -123,14 +167,24 @@ def lsh_ann_topk(
     )
 
 
-def lsh_ann_topk_sql(query_vec_id: int = 0, n_planes: int = 4, k: int = 5) -> str:
-    dot_pv = (
-        "list_dot_product(e.embedding::DOUBLE[], p.pv::DOUBLE[])"
+def lsh_ann_topk_sql(
+    query_vec_id: int = 0,
+    n_planes: int = 8,
+    k: int = 5,
+    probe_hamming: int = 1,
+    seed: str = "plane",
+) -> str:
+    dot_pv = "list_dot_product(e.embedding::DOUBLE[], p.pv::DOUBLE[])"
+    comp = (
+        f"((('0x' || substr(md5('{seed}:' || p || ':' || i), 1, 15))::BIGINT"
+        f" / {1 << 60}.0) * 2.0 - 1.0)"
     )
     return f"""
-WITH planes AS (
-  SELECT (vec_id - 1)::INT AS p, embedding AS pv FROM embeddings
-  WHERE vec_id BETWEEN 1 AND {n_planes}
+WITH dim AS (SELECT len(embedding) AS d FROM embeddings WHERE vec_id = {query_vec_id}),
+planes AS (
+  SELECT t.p::INT AS p,
+         list_transform(range(0, (SELECT d FROM dim)), i -> {comp}) AS pv
+  FROM range(0, {n_planes}) t(p)
 ),
 bucketed AS (
   SELECT e.vec_id, e.label, e.embedding,
@@ -143,5 +197,6 @@ SELECT CAST(rank AS INT) AS rank, vec_id, label, cos FROM (
   SELECT e.vec_id, e.label, round({_COS_SQL}, 6) AS cos,
          row_number() OVER (ORDER BY round({_COS_SQL}, 6) DESC, e.vec_id ASC) AS rank
   FROM bucketed e CROSS JOIN q
-  WHERE e.bucket = q.qbucket AND e.vec_id <> {query_vec_id}
+  WHERE bit_count(xor(e.bucket, q.qbucket)) <= {probe_hamming}
+        AND e.vec_id <> {query_vec_id}
 ) WHERE rank <= {k} ORDER BY rank"""

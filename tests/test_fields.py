@@ -24,7 +24,7 @@ CORPUS_SCHEMA = (
 )
 
 FIELDS = [
-    FieldSpec("text", "__text__", "text"),
+    FieldSpec("text", "__text__", "text", offsets=True),
     FieldSpec("src", "source", "delimiter:-"),
     FieldSpec("srcng", "source", "ngram:2,3"),
     FieldSpec("stem", "text", "text|stem"),
@@ -153,6 +153,59 @@ def test_matched_unscored_expansion(spark, mf_index):
     n_full = s.match_docs(full).count()
     assert n_capped == n_full == oracle.n_docs  # every doc has a year term
     _compare(spark, store, oracle, {0: capped, 1: qf.And(qf.Term("table"), capped)})
+
+
+def test_offsets_spans(spark, mf_index):
+    """A8: occurrences() returns exact (pos, start, length) spans for the
+    offsets-enabled field, and -1 sentinels for fields without the
+    feature."""
+    from iresearch_spark.analysis.analyzers import analyze_one_spans
+
+    store, oracle, pdf = mf_index
+    s = IndexSearcher(spark, store)
+    texts = dict(zip(pdf["url"], pdf["text"]))
+    docs = {
+        (r["seg_id"], r["doc_id"]): r["url"]
+        for r in store.read_docs(spark).select("seg_id", "doc_id", "url").collect()
+    }
+    occ = s.occurrences("table", "text").collect()
+    assert occ
+    for r in occ:
+        text = texts[docs[(r["seg_id"], r["doc_id"])]]
+        spans = {
+            p: (st, ln)
+            for t, p, st, ln in analyze_one_spans(text, "text")
+            if t == "table"
+        }
+        assert spans[r["pos"]] == (r["start"], r["length"])
+        assert text[r["start"] : r["start"] + r["length"]] == "table"
+    # src field was indexed without offsets -> -1 sentinels
+    occ2 = s.occurrences("main", "src").limit(5).collect()
+    assert occ2 and all(r["start"] == -1 and r["length"] == -1 for r in occ2)
+
+
+def test_offsets_survive_merge(spark, mf_index, tmp_path):
+    """Spans must be remapped and preserved through delete + merge."""
+    import shutil
+
+    store, _oracle, pdf = mf_index
+    work = str(tmp_path / "mf_span_copy")
+    shutil.copytree(store.root, work)
+    wstore = SnapshotStore(work)
+    delete_by_query(spark, wstore, qf.Term("2020", field="src"))
+    seg_ids = [int(x["seg_id"]) for x in wstore.snapshot()["segments"]]
+    merge_segments(spark, wstore, seg_ids)
+    s = IndexSearcher(spark, wstore)
+    texts = dict(zip(pdf["url"], pdf["text"]))
+    docs = {
+        (r["seg_id"], r["doc_id"]): r["url"]
+        for r in wstore.read_docs(spark).select("seg_id", "doc_id", "url").collect()
+    }
+    occ = s.occurrences("table", "text").collect()
+    assert occ
+    for r in occ:
+        text = texts[docs[(r["seg_id"], r["doc_id"])]]
+        assert text[r["start"] : r["start"] + r["length"]] == "table"
 
 
 def test_multifield_maintenance_roundtrip(spark, mf_index, tmp_path):

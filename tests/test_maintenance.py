@@ -192,6 +192,53 @@ def test_tier_policy_pure():
     assert acc == [0, 1]
 
 
+def test_policy_variants_pure():
+    """M2 completion: bytes / docs_live / docs_fill policy selection
+    ([up] core/utils/index_utils.cpp consolidate_bytes,
+    consolidate_docs_live, consolidate_docs_fill)."""
+    from iresearch_spark.build.policy import (
+        consolidate_bytes,
+        consolidate_docs_fill,
+        consolidate_docs_live,
+    )
+
+    def seg(i, n_docs=100):
+        return {"seg_id": i, "n_docs": n_docs, "sum_dl": n_docs * 10}
+
+    # bytes: two tiny + one huge -> merge the tiny pair
+    segs = [seg(0), seg(1), seg(2)]
+    sizes = {0: 10, 1: 20, 2: 10_000}
+    assert consolidate_bytes(segs, sizes, threshold=0.5) == [0, 1]
+    # all equal -> nothing below threshold x avg
+    assert consolidate_bytes(segs, {0: 100, 1: 100, 2: 100}, threshold=0.5) == []
+    # docs_live: masked docs shrink the live count
+    segs2 = [seg(0, 1000), seg(1, 1000), seg(2, 1000)]
+    masked = {0: 900, 1: 880}
+    assert consolidate_docs_live(segs2, {}, threshold=0.5, masked=masked) == [0, 1]
+    assert consolidate_docs_live(segs2, {}, threshold=0.5, masked={}) == []
+    # docs_fill: fill ratio below threshold regardless of absolute size
+    assert consolidate_docs_fill(segs2, {}, threshold=0.8, masked={1: 300}) == [1]
+    assert consolidate_docs_fill(segs2, {}, threshold=0.8, masked={1: 100}) == []
+
+
+def test_consolidate_docs_fill_end_to_end(spark, split_store, tmp_path):
+    """Delete-heavy segments get compacted by the docs_fill-driven loop,
+    and results stay identical to the pre-delete index minus victims."""
+    from iresearch_spark.build.policy import consolidate, consolidate_docs_fill
+
+    store = _copy_store(split_store, tmp_path)
+    delete_by_query(spark, store, qf.Term("w3"))
+    n_before = len(store.snapshot()["segments"])
+    sids = consolidate(spark, store, consolidate_docs_fill, threshold=0.99)
+    assert sids, "docs_fill should trigger at threshold 0.99"
+    snap = store.snapshot()
+    # the delete-heavy segments were merged away and tombstones compacted
+    assert len(snap["segments"]) < n_before
+    assert not any(s.get("mask_path") for s in snap["segments"])
+    after = _results(spark, store, k=10)
+    assert not [t for t in after if t[0] == 0]  # w3 gone
+
+
 def test_consolidate_loop(spark, unit_index, split_store, tmp_path):
     store = _copy_store(split_store, tmp_path)
     sids = consolidate(

@@ -512,7 +512,7 @@ SELECT doc_id,
        (list_position(toks, 'customer') - 1)::INT AS pos,
        (strpos(text, 'customer') - 1)::INT AS start,
        8::INT AS length
-FROM t WHERE list_position(toks, 'customer') IS NOT NULL
+FROM t WHERE list_position(toks, 'customer') > 0
 ORDER BY doc_id LIMIT 50"""
     # multimodal_features: decode stub is not SQL-expressible -> rows-only
     return o

@@ -8,7 +8,7 @@ Dataflow (one wide shuffle of documents, one compact shuffle of partials):
     | repartition(parts)                             [full-width tokenize]
     | mapInArrow tokenize_kernel                     [narrow: extract+tokenize]
     | repartition(seg_id) + sortWithinPartitions(seg_id, url)
-    | mapInArrow assign_kernel                       [per-segment docIDs]
+    | row_number over (seg_id, url)                  [JVM docID assignment]
     |--- assigned checkpoint (parquet; intra-build resume point)
     |--- docs table write (columnstore role, [up] core/formats/columnstore2)
     | mapInArrow partials_kernel                     [map-side combine -> raw
@@ -162,10 +162,23 @@ def build_index(
             kernels.make_tokenize_kernel(field_specs),
             kernels.TOKENIZED_SCHEMA,
         )
+        # docID assignment stays JVM-side (whole-stage codegen): the hash
+        # repartition co-locates each segment, and row_number over
+        # (seg_id, url) IS the per-segment url-sorted sequential id —
+        # deterministic under any parallelism, and the token table never
+        # takes a second JVM->Python->JVM round trip
+        from pyspark.sql import Window as W
+
+        w_assign = W.partitionBy("seg_id").orderBy("url")
         (
             tokenized.repartition(n_segments, "seg_id")
-            .sortWithinPartitions("seg_id", "url")
-            .mapInArrow(kernels.assign_kernel, kernels.ASSIGNED_SCHEMA)
+            .withColumn(
+                "doc_id", F.row_number().over(w_assign).cast("bigint")
+            )
+            .select(
+                "seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls",
+                "terms", "tfids", "tfs", "positions", "ostarts", "olens",
+            )
             .withColumn("seg_part", F.col("seg_id"))
             .write.partitionBy("seg_part")
             .parquet(tok_dir, mode="overwrite")

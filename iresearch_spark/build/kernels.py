@@ -10,7 +10,8 @@ sequence of vectorized map stages + compact shuffles:
   make_tokenize_kernel(fields)
                     corpus rows -> (seg, url, meta, per-field dls, terms,
                     field ids, tfs, positions) — one analyzer per field
-  assign_kernel     (sorted by seg,url)   -> + per-segment sequential doc_id
+  (docID assignment is JVM-side: row_number over (seg_id, url) — see
+   build/indexer.py)
   partials_kernel   token lists -> per-(seg,field,term,band) raw partials
   merge_kernel      (sorted partials)     -> concatenated band partials
   make_encode_kernel(names)
@@ -267,6 +268,20 @@ def make_tokenize_kernel(field_specs):
             term_off = np.concatenate(([0], np.cumsum(terms_per_doc)))
             pos_off = np.concatenate(([0], np.cumsum(toks_per_doc)))
             fdl_off = np.arange(n + 1, dtype=np.int64) * len(specs)
+            # spans are all-zero when NO field has the offsets feature —
+            # store empty lists instead of zero-filled ones (the partials
+            # kernel never reads them in that case), saving 8 bytes/token
+            # of checkpoint + shuffle traffic on default builds
+            if any(fs.offsets for fs in specs):
+                span_off_arr = pa.array(pos_off, pa.int32())
+                sts_arr = pa.array(o_sts, pa.int32())
+                lns_arr = pa.array(o_lns, pa.int32())
+            else:
+                span_off_arr = pa.array(
+                    np.zeros(n + 1, dtype=np.int64), pa.int32()
+                )
+                sts_arr = pa.array([], pa.int32())
+                lns_arr = pa.array([], pa.int32())
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("seg_id"),
@@ -291,12 +306,8 @@ def make_tokenize_kernel(field_specs):
                     pa.ListArray.from_arrays(
                         pa.array(pos_off, pa.int32()), pa.array(o_pos, pa.int32())
                     ),
-                    pa.ListArray.from_arrays(
-                        pa.array(pos_off, pa.int32()), pa.array(o_sts, pa.int32())
-                    ),
-                    pa.ListArray.from_arrays(
-                        pa.array(pos_off, pa.int32()), pa.array(o_lns, pa.int32())
-                    ),
+                    pa.ListArray.from_arrays(span_off_arr, sts_arr),
+                    pa.ListArray.from_arrays(span_off_arr, lns_arr),
                 ],
                 names=[
                     "seg_id",
@@ -315,39 +326,6 @@ def make_tokenize_kernel(field_specs):
             )
 
     return kernel
-
-
-# --------------------------------------------------------- docID assignment
-
-
-def assign_kernel(batches):
-    """Assign per-segment sequential docIDs (1-based, [up] core/shared.hpp
-    doc_limits). Input MUST be partitioned by seg_id and sorted by
-    (seg_id, url) — the counter state is partition-scoped and deterministic
-    because each segment lives wholly inside one partition."""
-    counters: dict[int, int] = {}
-    for batch in batches:
-        seg = batch.column("seg_id").to_numpy()
-        n = len(seg)
-        if n == 0:
-            continue
-        doc = np.empty(n, dtype=np.int64)
-        change = np.flatnonzero(np.diff(seg)) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [n]))
-        for s, e in zip(starts, ends):
-            sid = int(seg[s])
-            base = counters.get(sid, 0)
-            doc[s:e] = base + 1 + np.arange(e - s, dtype=np.int64)
-            counters[sid] = base + (e - s)
-        arrays = [batch.column("seg_id"), pa.array(doc, pa.int64())] + [
-            batch.column(i) for i in range(1, batch.num_columns)
-        ]
-        names = ["seg_id", "doc_id"] + batch.schema.names[1:]
-        yield pa.RecordBatch.from_arrays(arrays, names=names)
-
-
-# ------------------------------------------------------------ raw partials
 
 
 def make_partials_kernel(band_bits: int = 16, offsets_enabled=None):

@@ -5,15 +5,17 @@ Phases mirror the reference's prepare/execute split
 ([up] core/search/filter.hpp :: prepare, prepared::execute):
 
   1. PREPARE (driver + one small dictionary job): normalize trees, expand
-     multiterm filters against the term dictionary (prefix/range/wildcard
-     pushed down to the term-sorted parquet scan; fuzzy via a vectorized
-     Levenshtein pandas UDF), cap expansions at scored_terms_limit by
-     (df desc, term asc) ([up] core/search/multiterm_query.cpp), and
-     collect global term stats (N, avgdl, df -> idf) as a small dict.
-  2. EXECUTE (one cogrouped job): posting rows for the needed terms are
-     cogrouped with the segment norms table by seg_id; a numpy kernel
-     decodes blobs once per (term, segment), evaluates every query's tree,
-     and emits per-segment top-k — segments are independent exactly as the
+     multiterm filters against each FIELD's term dictionary (prefix/range/
+     wildcard pushed down to the (field, term)-sorted parquet scan; fuzzy
+     via a vectorized Levenshtein/OSA pandas UDF). The top
+     scored_terms_limit expansions by (df desc, term asc) score; the rest
+     match unscored ([up] core/search/multiterm_query.cpp). Collect
+     per-field term stats (N, avgdl_f, df -> idf) as a small dict.
+  2. EXECUTE (one cogrouped job): posting rows for the needed (field,
+     term) keys are cogrouped with the per-(segment, field) norms by
+     seg_id; a numpy kernel decodes blobs once per (field, term, segment),
+     evaluates every query's tree with that field's statistics, and emits
+     per-segment top-k — segments are independent exactly as the
      reference's per-segment execute.
   3. REDUCE: window row_number over (score desc, seg asc, doc asc) takes
      the global top-k per query; an optional broadcast join against the doc

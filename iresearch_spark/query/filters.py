@@ -1,27 +1,36 @@
-"""The query algebra: a boolean filter tree over one indexed text field.
+"""The query algebra: a boolean filter tree over named indexed fields.
 
 Mirrors the reference's filter object model ([up] core/search/filter.hpp and
-the concrete filters under core/search/ — see SURVEY.md §2c F1–F16): leaves
-match terms in the dictionary, inner nodes combine children. There is no SQL
-layer in the reference; this tree IS the query IR.
+the concrete filters under core/search/ — see SURVEY.md §2c F1–F16): every
+leaf is field-qualified (`field` defaults to "text"), matches terms in that
+field's dictionary, and scores with that FIELD's statistics (df, dl,
+avgdl — per-field norms, exactly the reference's per-field model); inner
+nodes combine children. There is no SQL layer in the reference; this tree
+IS the query IR.
 
 Scoring spec (frozen; the oracle in iresearch_spark.oracle and the Spark
 executor in iresearch_spark.query.executor must agree exactly, float64):
 
-  idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))           # global stats
-  tfn(tf, dl) = (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))  # k1=1.2 b=0.75
-  Term        : (boost * idf(t)) * tfn   — float64, THIS association order
+  idf(f,t)    = ln(1 + (N - df_f(t) + 0.5) / (df_f(t) + 0.5))
+  tfn(tf, dl) = (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl_f))  # k1=1.2 b=.75
+  Term        : (boost * idf) * tfn   — float64, THIS association order
                 (rank-identity requires bitwise-stable float evaluation)
   And         : docs in ALL children; score = Σ child scores
   Or          : docs in ≥ min_match children; score = Σ matching child scores
   Not         : docs of `child` minus docs of `excluded`; child's score
-  Terms       : Or over the term set (per-term boosts)
-  Prefix/Wildcard/Fuzzy/TermRange : expand against the dictionary, keep the
-                top `scored_terms_limit` expansions by (df desc, term asc)
-                ([up] core/search/multiterm_query.cpp's scored-expansion cap,
-                simplified: non-kept expansions do not match), then Or
-  Phrase      : terms at consecutive positions; phrase_tf = #occurrences;
-                score = (Σ idf(t_i)) * tfn(phrase_tf, dl)
+  Terms       : Or over the term set; per-term `weights` multiply the
+                contribution (weight 0 = matches but unscored)
+  Prefix/Wildcard/Fuzzy/TermRange : expand against the field dictionary;
+                the top `scored_terms_limit` expansions by (df desc, term
+                asc) score normally, the REST match with weight 0
+                ([up] core/search/multiterm_query.cpp's
+                limited_sample_collector semantics)
+  Phrase      : slots at consecutive positions; a slot is a term or a
+                multiterm part (expanded uncapped); phrase_tf = #anchor
+                positions where every slot matches; score =
+                (Σ slots Σ slot-terms idf) * tfn(phrase_tf, dl)
+  NgramSim    : longest positionally-increasing chain of target grams /
+                gram count >= threshold; score = boost * similarity
   Ties        : (score desc, seg_id asc, doc_id asc) — total order
 """
 

@@ -25,8 +25,8 @@ def _build(docs, tfs, dls):
     return TermPostings(blob, skip, bmax, len(docs))
 
 
-def _tfn(avgdl):
-    def tfn(tf, dl):
+def _tfn():
+    def tfn(tf, dl, avgdl):
         return (tf * (BM25_K1 + 1.0)) / (
             tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
         )
@@ -40,7 +40,7 @@ def test_or_topk_matches_bruteforce(seed):
     n_docs = int(rng.integers(200, 2000))
     dls = rng.integers(5, 400, size=n_docs).astype(np.float64)
     avgdl = float(dls.mean())
-    tfn = _tfn(avgdl)
+    tfn = _tfn()
     n_terms = int(rng.integers(2, 6))
     k = int(rng.integers(1, 25))
     mask = (
@@ -53,13 +53,13 @@ def test_or_topk_matches_bruteforce(seed):
         df = int(rng.integers(1, n_docs))
         docs, tfs = _mk_reader(rng, n_docs, df)
         w = float(rng.uniform(0.1, 3.0))
-        pairs.append((w, _build(docs, tfs, dls)))
+        pairs.append((w, _build(docs, tfs, dls), dls, avgdl))
         for d, tf in zip(docs, tfs):
             if mask is not None and d in mask:
                 continue
-            brute[d] = brute.get(d, 0.0) + w * tfn(float(tf), dls[d - 1])
+            brute[d] = brute.get(d, 0.0) + w * tfn(float(tf), dls[d - 1], avgdl)
 
-    got_docs, got_scores = or_terms_topk(pairs, dls, k, tfn, mask=mask, score_round=6)
+    got_docs, got_scores = or_terms_topk(pairs, k, tfn, mask=mask, score_round=6)
     expect = sorted(brute.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:k]
     got = sorted(zip(got_docs, got_scores), key=lambda kv: (-kv[1], kv[0]))
     assert [d for d, _ in got] == [d for d, _ in expect]
@@ -72,23 +72,24 @@ def test_and_matches_bruteforce(seed):
     rng = np.random.default_rng([seed, 99])
     n_docs = int(rng.integers(200, 1500))
     dls = rng.integers(5, 400, size=n_docs).astype(np.float64)
-    tfn = _tfn(float(dls.mean()))
+    avgdl = float(dls.mean())
+    tfn = _tfn()
     readers, sets, weights, tfmaps = [], [], [], []
     for _ in range(int(rng.integers(2, 5))):
         df = int(rng.integers(n_docs // 3, n_docs))
         docs, tfs = _mk_reader(rng, n_docs, df)
         w = float(rng.uniform(0.1, 3.0))
-        readers.append((w, _build(docs, tfs, dls)))
+        readers.append((w, _build(docs, tfs, dls), dls, avgdl))
         sets.append(set(docs.tolist()))
         weights.append(w)
         tfmaps.append(dict(zip(docs.tolist(), tfs.tolist())))
     common = sorted(set.intersection(*sets))
-    got_docs, got_scores = and_terms(readers, dls, tfn)
+    got_docs, got_scores = and_terms(readers, tfn)
     order = np.argsort(got_docs)
     assert got_docs[order].tolist() == common
     for d, s in zip(got_docs[order], got_scores[order]):
         expect = sum(
-            w * tfn(float(tm[int(d)]), dls[int(d) - 1])
+            w * tfn(float(tm[int(d)]), dls[int(d) - 1], avgdl)
             for w, tm in zip(weights, tfmaps)
         )
         assert abs(s - expect) < 1e-9

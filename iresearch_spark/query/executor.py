@@ -48,6 +48,12 @@ RESULT_SCHEMA = "qid bigint, seg_id int, doc_id bigint, score double"
 
 _EXPANDABLE = (qf.Prefix, qf.TermRange, qf.Wildcard, qf.Fuzzy)
 
+# Safety bound on the driver-side multiterm expansion (matched terms are
+# collected so their postings can be fetched — the reference holds the same
+# expansion in memory). A pattern matching more than this is a query-shape
+# error, not a scale the engine should silently absorb.
+MAX_EXPANSION_ROWS = 100_000
+
 
 def _flatten_or_terms(tree: qf.Filter):
     """[((field, term), weight multiplier)] if `tree` is a pure min_match=1
@@ -316,8 +322,14 @@ class IndexSearcher:
             .filter(F.col("node_id").isNotNull())
             .withColumn("rn", F.row_number().over(w))
             .select("node_id", "term", "rn")
+            .limit(MAX_EXPANSION_ROWS + 1)
             .collect()
         )
+        if len(rows) > MAX_EXPANSION_ROWS:
+            raise ValueError(
+                f"multiterm expansion exceeds {MAX_EXPANSION_ROWS} terms; "
+                "narrow the prefix/wildcard/range pattern"
+            )
         by_node: dict[int, list[tuple[str, float]]] = {}
         for r in rows:
             nid = int(r["node_id"])

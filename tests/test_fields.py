@@ -155,6 +155,25 @@ def test_matched_unscored_expansion(spark, mf_index):
     _compare(spark, store, oracle, {0: capped, 1: qf.And(qf.Term("table"), capped)})
 
 
+def test_postings_scan_pushdown(spark, mf_index):
+    """The (field, term) predicates must reach the parquet scan as pushed
+    filters — on the term-sorted files this is what gives the burst-trie-
+    style block skipping at scale (SURVEY.md §1.6)."""
+    store, _oracle, _pdf = mf_index
+    from pyspark.sql import functions as F
+
+    post = store.read_postings(spark)
+    plan = (
+        post.filter((F.col("field") == "text") & (F.col("term") == "table"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    pushed = plan[plan.index("PushedFilters") :][:200]
+    assert "term" in pushed and "field" in pushed, pushed
+
+
 def test_offsets_spans(spark, mf_index):
     """A8: occurrences() returns exact (pos, start, length) spans for the
     offsets-enabled field, and -1 sentinels for fields without the

@@ -243,6 +243,9 @@ class IndexSearcher:
         self.scorer = scorer
         self._postings = store.read_postings(spark, self.sid)
         self._norms = store.read_norms(spark, self.sid)
+        # global df per (field, term), filled lazily; snapshot-pinned, so
+        # entries never go stale for this searcher
+        self._df_cache: dict[tuple[str, str], int] = {}
 
     # ------------------------------------------------------------ prepare
 
@@ -321,7 +324,7 @@ class IndexSearcher:
             dict_df.select("field", "term", "df", F.explode(tag).alias("node_id"))
             .filter(F.col("node_id").isNotNull())
             .withColumn("rn", F.row_number().over(w))
-            .select("node_id", "term", "rn")
+            .select("node_id", "term", "rn", "df")
             .limit(MAX_EXPANSION_ROWS + 1)
             .collect()
         )
@@ -337,6 +340,9 @@ class IndexSearcher:
             by_node.setdefault(nid, []).append(
                 (r["term"], 1.0 if scored else 0.0)
             )
+            # the expansion job already aggregated global df — reuse it so
+            # prepare() never re-scans the dictionary for expanded terms
+            self._df_cache[(nodes[nid].field, r["term"])] = int(r["df"])
         return {
             node: tuple(sorted(by_node.get(i, [])))
             for i, node in enumerate(nodes)
@@ -405,17 +411,25 @@ class IndexSearcher:
         for t in trees.values():
             _walk_terms(t, terms, phrases)
         # global df stats for exactly the needed (field, term) keys (small
-        # agg, both predicates pushed down to the sorted parquet scan)
+        # agg, both predicates pushed down to the sorted parquet scan);
+        # keys already known from the expansion job or earlier queries are
+        # served from the searcher's cache — plain-term queries cost ONE
+        # stats job, expansion-only queries cost none
         idf: dict[tuple[str, str], float] = {}
-        if terms:
+        missing = [k for k in terms if k not in self._df_cache]
+        if missing:
             stat_rows = (
-                self._postings.filter(_keys_condition(terms))
+                self._postings.filter(_keys_condition(missing))
                 .groupBy("field", "term")
                 .agg(F.sum("df").alias("df"))
                 .collect()
             )
             for r in stat_rows:
-                idf[(r["field"], r["term"])] = self.idf(int(r["df"]))
+                self._df_cache[(r["field"], r["term"])] = int(r["df"])
+            for k in missing:  # absent terms have df 0
+                self._df_cache.setdefault(k, 0)
+        for k in terms:
+            idf[k] = self.idf(self._df_cache[k])
         return trees, terms, idf, bool(phrases)
 
     # ------------------------------------------------------------ execute

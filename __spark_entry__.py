@@ -249,12 +249,14 @@ def _lifecycle_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
 
 
 def _bm25_query(
-    flt: qf.Filter, scorer: str = "bm25"
+    flt: qf.Filter, scorer: str = "bm25", b: float | None = None
 ) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = _searcher(spark, sf_dir)
-        if scorer != "bm25":
-            s = IndexSearcher(spark, s.store, scorer=scorer)
+        if scorer != "bm25" or b is not None:
+            s = IndexSearcher(
+                spark, s.store, scorer=scorer, b=s.b if b is None else b
+            )
         res = s.search_batch({0: flt}, k=10, with_urls=True, tie="url", score_round=6)
         return res.select(
             F.col("rank").cast("int").alias("rank"),
@@ -297,6 +299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_colexists"] = _bm25_query(
         qf.And(qf.Term("table"), qf.ColumnExists("lang"))
     )
+    # SC1 variants ([up] core/search/bm25.cpp): b=0 -> BM15 (no length
+    # normalization), b=1 -> BM11 (full normalization)
+    q["bm15_term"] = _bm25_query(qf.Term("table"), b=0.0)
+    q["bm11_or2"] = _bm25_query(qf.Or(qf.Term("data"), qf.Term("dup")), b=1.0)
 
     def term_dict_stats(spark, sf_dir):
         s = _searcher(spark, sf_dir)
@@ -467,6 +473,8 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
          row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 10 ORDER BY rank"""
+    o["bm15_term"] = bm25_topk_sql(["table"], b=0.0)
+    o["bm11_or2"] = bm25_topk_sql(["data", "dup"], b=1.0)
     o["term_dict_stats"] = f"""{base_ctes()},
 cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1)
 SELECT term, df.df, cf.cf FROM df JOIN cf USING (term)

@@ -9,9 +9,18 @@ then search the query's bucket plus every bucket within Hamming distance
 rest of the corpus). Hyperplane components are derived from the shared
 md5_long hash (uniform in [-1, 1)), so the planes are a pure function of
 (seed, plane, component) — broadcastable on a real cluster, and byte-
-reproducible by the DuckDB oracle. At scale the bucket column is the
-table's partition key, so a query touches P·probe+1 partitions
-(partition pruning), never the full corpus.
+reproducible by the DuckDB oracle.
+
+Two query paths share the same bucket formula:
+
+* `lsh_ann_topk` — recomputes every vector's bucket inline. Small-scale
+  verification oracle ONLY (one full-corpus pass per query).
+* `build_ann_index` + `lsh_ann_topk_indexed` — the production path. The
+  bucket is computed ONCE per vector and persisted as the table's
+  partition key; a query buckets only its own vector (a 1×P job), then
+  reads the ≤ C(P, probe)+1 probed bucket partitions via partition
+  pruning (plan-asserted in tests/test_ann_index.py), never the full
+  corpus. At 100 TB this is the difference between ANN and a scan.
 
 All arithmetic is float64 elementwise with sequential accumulation and
 results rounded to 6 dp before ranking, making numpy/JVM/DuckDB agree.
@@ -19,7 +28,11 @@ results rounded to 6 dp before ranking, making numpy/JVM/DuckDB agree.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+import itertools
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from iresearch_spark.textops.common import md5_long
@@ -133,7 +146,12 @@ def lsh_ann_topk(
     probe_hamming: int = 1,
 ) -> DataFrame:
     """ANN top-k: exact cosine restricted to the query's LSH bucket plus
-    every bucket within `probe_hamming` bit flips (multi-probe)."""
+    every bucket within `probe_hamming` bit flips (multi-probe).
+
+    Small-scale verification oracle ONLY — it re-buckets the whole corpus
+    per call. The production path is `build_ann_index` +
+    `lsh_ann_topk_indexed` (bucket materialized once, partition-pruned
+    reads)."""
     dim = int(emb.select(F.size("embedding")).first()[0])
     planes = seeded_planes(emb.sparkSession, dim, n_planes)
     bucketed = _bucket(emb, planes)
@@ -160,6 +178,103 @@ def lsh_ann_topk(
         scored.withColumn(
             "rank",
             F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("vec_id"))).cast("int"),
+        )
+        .filter(F.col("rank") <= k)
+        .select("rank", "vec_id", "label", "cos")
+        .orderBy("rank")
+    )
+
+
+_ANN_META = "_ann_meta.json"  # leading "_": invisible to parquet readers
+
+
+def build_ann_index(
+    emb: DataFrame,
+    out_dir: str,
+    n_planes: int = 8,
+    seed: str = "plane",
+) -> str:
+    """Materialize the LSH bucket index: compute each vector's bucket once
+    and persist (vec_id, label, embedding) PARTITIONED BY bucket, plus a
+    meta sidecar freezing (dim, n_planes, seed). One full pass over the
+    corpus at build time; queries then prune to the probed partitions.
+
+    On a real cluster the write is one shuffle-free scan (bucket is a
+    narrow projection of the embedding); dynamic partition overwrite makes
+    incremental refresh per-bucket."""
+    dim = int(emb.select(F.size("embedding")).first()[0])
+    planes = seeded_planes(emb.sparkSession, dim, n_planes, seed)
+    bucketed = _bucket(emb, planes)
+    bucketed.write.partitionBy("bucket").parquet(out_dir, mode="overwrite")
+    with open(os.path.join(out_dir, _ANN_META), "w") as f:
+        json.dump({"dim": dim, "n_planes": n_planes, "seed": seed}, f)
+    return out_dir
+
+
+def probed_buckets(qbucket: int, n_planes: int, probe_hamming: int) -> list[int]:
+    """All bucket ids within `probe_hamming` bit flips of qbucket
+    (multi-probe set; size sum_{r<=probe} C(P, r) — driver-side tiny)."""
+    out = {int(qbucket)}
+    for r in range(1, probe_hamming + 1):
+        for combo in itertools.combinations(range(n_planes), r):
+            b = int(qbucket)
+            for p in combo:
+                b ^= 1 << p
+            out.add(b)
+    return sorted(out)
+
+
+def ann_index_scan(
+    spark: SparkSession, index_dir: str, qbucket: int, probe_hamming: int = 1
+) -> DataFrame:
+    """Bucket-pruned scan of a materialized ANN index: reads ONLY the
+    probed bucket partitions (partition pruning on the `bucket` partition
+    column — the plan's PartitionFilters carries the IN-list)."""
+    with open(os.path.join(index_dir, _ANN_META)) as f:
+        meta = json.load(f)
+    probed = probed_buckets(qbucket, int(meta["n_planes"]), probe_hamming)
+    return spark.read.parquet(index_dir).filter(F.col("bucket").isin(probed))
+
+
+def lsh_ann_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 5,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Production ANN top-k against a `build_ann_index` table: bucket the
+    query vector alone (a 1×P mini-job using the SAME fold expressions as
+    the build, so the bit pattern cannot drift), then exact cosine over
+    the pruned probed partitions only. Rank-identical to `lsh_ann_topk`
+    (tested) and to the DuckDB oracle."""
+    with open(os.path.join(index_dir, _ANN_META)) as f:
+        meta = json.load(f)
+    qrow = emb.filter(F.col("vec_id") == query_vec_id)
+    planes = seeded_planes(
+        spark, int(meta["dim"]), int(meta["n_planes"]), meta["seed"]
+    )
+    q = _bucket(qrow, planes).first()
+    if q is None:
+        raise KeyError(f"query vec_id {query_vec_id} not found")
+    qbucket = int(q["bucket"])
+    qdf = qrow.select(F.col("embedding").alias("qv"))
+    cand = ann_index_scan(spark, index_dir, qbucket, probe_hamming).filter(
+        F.col("vec_id") != query_vec_id
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    scored = cand.crossJoin(F.broadcast(qdf)).select(
+        "vec_id", "label", F.round(cos, 6).alias("cos")
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+            .cast("int"),
         )
         .filter(F.col("rank") <= k)
         .select("rank", "vec_id", "label", "cos")

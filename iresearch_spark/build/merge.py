@@ -54,20 +54,16 @@ from iresearch_spark.store import SnapshotStore
 MASK_SCHEMA = "seg_id int, mask_bin binary"
 
 
-def _load_masks(store: SnapshotStore, snap: dict) -> dict[int, np.ndarray]:
-    """seg_id -> sorted u32 array of deleted docIDs (empty if no mask)."""
-    out: dict[int, np.ndarray] = {}
-    for seg in snap["segments"]:
-        mp = seg.get("mask_path")
-        if not mp:
-            continue
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(store.abs_path(mp))
-        if tbl.num_rows:
-            buf = b"".join(bytes(x) for x in tbl.column("mask_bin").to_pylist())
-            out[int(seg["seg_id"])] = np.sort(np.frombuffer(buf, dtype="<u4"))
-    return out
+def _mask_ids(mask_pdf: pd.DataFrame) -> np.ndarray:
+    """Decode one segment's cogrouped mask rows to a sorted int64 docID
+    array (empty if the segment carries no tombstones). Runs INSIDE the
+    task that owns that segment's rows — masks never aggregate on the
+    driver or ride task closures (a delete matching most of a 10^12-doc
+    corpus stays distributed)."""
+    if not len(mask_pdf):
+        return np.empty(0, dtype=np.int64)
+    buf = b"".join(bytes(x) for x in mask_pdf["mask_bin"] if x is not None)
+    return np.sort(np.frombuffer(buf, dtype="<u4").astype(np.int64))
 
 
 def merge_segments(
@@ -81,12 +77,8 @@ def merge_segments(
     for sid_ in seg_ids:
         if sid_ not in segs:
             raise ValueError(f"segment {sid_} not in current snapshot")
-    masks = _load_masks(store, snap)
+    masks_df = store.read_masks(spark).filter(F.col("seg_id").isin(seg_ids))
     parts = parts or spark.sparkContext.defaultParallelism * 2
-
-    acc = sum(
-        int(segs[sid_]["n_docs"]) - len(masks.get(sid_, ())) for sid_ in seg_ids
-    )
     new_seg_id = max(segs) + 1
     commit_dir = store.new_commit_dir()
     docs_dir = os.path.join(commit_dir, "docs")
@@ -106,9 +98,9 @@ def merge_segments(
         *[store.abs_path(segs[s]["docs_path"]) for s in seg_ids]
     )
 
-    def drop_masked(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        mask = masks.get(int(key[0]))
-        if mask is not None and len(mask):
+    def drop_masked(_key, pdf: pd.DataFrame, mask_pdf: pd.DataFrame) -> pd.DataFrame:
+        mask = _mask_ids(mask_pdf)
+        if len(mask):
             pdf = pdf[~pdf["doc_id"].isin(mask)]
         return pdf
 
@@ -128,6 +120,7 @@ def merge_segments(
     staged = (
         docs.select("seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls")
         .groupBy("seg_id")
+        .cogroup(masks_df.groupBy("seg_id"))
         .applyInPandas(drop_masked, survivors_schema)
         .withColumn("_g", F.lit(1))
         .groupBy("_g")
@@ -309,7 +302,7 @@ def merge_segments(
 
     # ---- snapshot: survivors + the merged segment
     rel = os.path.relpath(commit_dir, store.root)
-    n_docs_new = int(acc)
+    n_docs_new = int(remap_tbl.num_rows)
     sum_dl_new = int(field_sums_new.get(field_names[0], 0))
     n_terms_new = int(spark.read.parquet(post_dir).count())
     new_seg = {
@@ -339,7 +332,8 @@ def merge_segments(
             "partition": f"seg_id={new_seg_id}",
             "source": f"merge({','.join(map(str, seg_ids))})",
             "n_docs": n_docs_new,
-            "dropped_masked": sum(len(m) for m in masks.values() if m is not None),
+            "dropped_masked": sum(int(segs[s]["n_docs"]) for s in seg_ids)
+            - n_docs_new,
         }
     ]
     return store.commit(
@@ -359,22 +353,30 @@ def delete_by_query(spark, store: SnapshotStore, flt) -> int:
     searcher = IndexSearcher(spark, store)
     # match-only path: no scoring, no global ranking window — a delete can
     # match most of the corpus, and ranking it would funnel every match
-    # through one partition's sort
+    # through one partition's sort. Prior masks join the new matches via a
+    # cogroup on seg_id, so each task sees only ITS segment's tombstones
+    # (never a driver dict or an all-segments closure).
     matched = searcher.match_docs(flt)
-    old_masks = _load_masks(store, snap)
+    old_masks_df = store.read_masks(spark)
 
-    def to_blob(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def to_blob(
+        key, pdf: pd.DataFrame, mask_pdf: pd.DataFrame
+    ) -> pd.DataFrame:
         sid_ = int(key[0])
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        prev = old_masks.get(sid_)
-        if prev is not None and len(prev):
-            ids = np.union1d(ids, prev.astype(np.int64))
+        prev = _mask_ids(mask_pdf)
+        if len(prev):
+            ids = np.union1d(ids, prev)
         ids = np.unique(ids).astype("<u4")
         return pd.DataFrame({"seg_id": [sid_], "mask_bin": [ids.tobytes()]})
 
     commit_dir = store.new_commit_dir()
     masks_dir = os.path.join(commit_dir, "masks")
-    masked = matched.groupBy("seg_id").applyInPandas(to_blob, MASK_SCHEMA)
+    masked = (
+        matched.groupBy("seg_id")
+        .cogroup(old_masks_df.groupBy("seg_id"))
+        .applyInPandas(to_blob, MASK_SCHEMA)
+    )
     (
         masked.withColumn("seg_part", F.col("seg_id"))
         .write.partitionBy("seg_part")

@@ -176,12 +176,19 @@ def consolidate_docs_fill(
     return sorted(out)
 
 
-def masked_counts(store: SnapshotStore, snap: dict) -> dict[int, int]:
-    """seg_id -> tombstoned-doc count, from the snapshot's mask files
-    (for the docs_live / docs_fill policies)."""
-    from iresearch_spark.build.merge import _load_masks
+def masked_counts(spark, store: SnapshotStore, snap: dict) -> dict[int, int]:
+    """seg_id -> tombstoned-doc count (for the docs_live / docs_fill
+    policies). Computed distributively — only the per-segment COUNT (one
+    int per segment) reaches the driver, never the mask arrays."""
+    from pyspark.sql import functions as F
 
-    return {sid_: len(arr) for sid_, arr in _load_masks(store, snap).items()}
+    rows = (
+        store.read_masks(spark, snap.get("snapshot_id"))
+        .groupBy("seg_id")
+        .agg((F.sum(F.length("mask_bin")) / 4).cast("long").alias("n"))
+        .collect()
+    )
+    return {int(r["seg_id"]): int(r["n"]) for r in rows}
 
 
 def consolidate(
@@ -207,7 +214,7 @@ def consolidate(
         }
         kwargs = dict(policy_kwargs)
         if wants_masked and "masked" not in kwargs:
-            kwargs["masked"] = masked_counts(store, snap)
+            kwargs["masked"] = masked_counts(spark, store, snap)
         cand = policy(snap["segments"], sizes, **kwargs)
         if not cand:
             break

@@ -130,6 +130,25 @@ class SnapshotStore:
     def read_postings(self, spark, snapshot_id: int | None = None):
         return self._read(spark, "postings_path", snapshot_id)
 
+    def read_masks(self, spark, snapshot_id: int | None = None):
+        """Per-segment tombstone masks as a DataFrame (seg_id int,
+        mask_bin binary) — one row per masked segment, possibly empty
+        ([up] formats.hpp document_mask). Always a distributed read: mask
+        blobs are joined/cogrouped by seg_id downstream, never collected
+        into a driver dict (a delete matching most of a huge corpus must
+        not ride the driver or task closures)."""
+        snap = self.snapshot(snapshot_id)
+        mask_paths = sorted(
+            {
+                self.abs_path(s["mask_path"])
+                for s in snap["segments"]
+                if s.get("mask_path")
+            }
+        )
+        if mask_paths:
+            return spark.read.parquet(*mask_paths).select("seg_id", "mask_bin")
+        return spark.createDataFrame([], "seg_id int, mask_bin binary")
+
     def read_norms(self, spark, snapshot_id: int | None = None):
         """Norms rows + per-segment tombstone mask blob (mask_bin, null when
         the segment has no deletes — [up] formats.hpp document_mask).
@@ -141,17 +160,8 @@ class SnapshotStore:
         snap = self.snapshot(snapshot_id)
         live = [int(s["seg_id"]) for s in snap["segments"]]
         norms = norms.filter(F.col("seg_id").isin(live))
-        mask_paths = sorted(
-            {
-                self.abs_path(s["mask_path"])
-                for s in snap["segments"]
-                if s.get("mask_path")
-            }
-        )
-        if mask_paths:
-            masks = spark.read.parquet(*mask_paths).select("seg_id", "mask_bin")
-            return norms.join(masks, "seg_id", "left")
-        return norms.withColumn("mask_bin", F.lit(None).cast("binary"))
+        masks = self.read_masks(spark, snapshot_id)
+        return norms.join(masks, "seg_id", "left")
 
     def _read(self, spark, key: str, snapshot_id: int | None):
         snap = self.snapshot(snapshot_id)

@@ -868,12 +868,16 @@ def _make_segment_kernel(
             scatter-add over the candidate union (common grams matching
             most of the corpus cost one searchsorted, not a Python pass);
             (2) the grouped-LIS runs ONLY on survivors, whose positions
-            are the only ones decoded."""
+            are the only ones decoded — and runs BATCHED: one tails
+            MATRIX (n_survivors × m) receives vectorized patience updates
+            for every surviving doc at once (per-(doc,gram) position
+            ranks are the only Python loop, bounded by m × max_tf — no
+            per-doc pass even when a low threshold lets most of the
+            corpus through the prefilter)."""
             grams = list(node.grams())
             m = len(grams)
             if m == 0:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
-            import bisect
             import math
 
             per_gram = []  # (row, docs, tfs) per gram present in segment
@@ -897,11 +901,17 @@ def _make_segment_kernel(
             cand = cand_all[cnt >= need]
             if len(cand) == 0:
                 return np.empty(0, np.int64), np.empty(0, np.float64)
-            # phase 2: positions for surviving candidates only
-            pos_per_gram = []
+            # phase 2: grams in order, positions DESCENDING within each
+            # (doc, gram) — so one gram extends a chain at most once (the
+            # classic grouped-LIS trick). tails[k] = min end-position of a
+            # length-(k+1) chain, kept as one (n_cand × m) matrix; each
+            # rank-round applies the patience replace (bisect_left ≡
+            # count of finite tails < p) to EVERY doc's row in one
+            # vectorized step.
+            _INF = np.iinfo(np.int64).max
+            tails_m = np.full((len(cand), m), _INF, dtype=np.int64)
             for pg in per_gram:
                 if pg is None:
-                    pos_per_gram.append(None)
                     continue
                 row, docs, tfs = pg
                 idx = np.searchsorted(docs, cand)
@@ -912,33 +922,33 @@ def _make_segment_kernel(
                 pls = decode_positions_for(
                     bytes(row.pos_off), bytes(row.pos_pay), sel, counts
                 )
-                by_ci = {}
-                for ci, pl in zip(np.flatnonzero(present), pls):
-                    by_ci[int(ci)] = pl
-                pos_per_gram.append(by_ci)
-            out_docs, out_scores = [], []
-            for ci, doc in enumerate(cand):
-                # events: (gram index order implicit) -> LIS over positions
-                tails: list[int] = []
-                for gi in range(m):
-                    bp = pos_per_gram[gi]
-                    if not bp or ci not in bp:
-                        continue
-                    # descending within a gram: one gram can extend the
-                    # chain at most once (classic grouped-LIS trick)
-                    for p in sorted(bp[ci].tolist(), reverse=True):
-                        j = bisect.bisect_left(tails, p)
-                        if j == len(tails):
-                            tails.append(p)
-                        else:
-                            tails[j] = p
-                sim = len(tails) / m
-                if sim >= node.threshold:
-                    out_docs.append(int(doc))
-                    out_scores.append(node.boost * sim)
+                ci_idx = np.flatnonzero(present)
+                if not len(ci_idx):
+                    continue
+                pos_flat = (
+                    np.concatenate(list(pls))
+                    if len(counts)
+                    else np.empty(0, np.int64)
+                ).astype(np.int64)
+                ci_rep = np.repeat(ci_idx, counts)
+                if not len(pos_flat):
+                    continue
+                order = np.lexsort((-pos_flat, ci_rep))
+                ci_s, pos_s = ci_rep[order], pos_flat[order]
+                starts = np.flatnonzero(np.r_[True, ci_s[1:] != ci_s[:-1]])
+                seg_lens = np.diff(np.r_[starts, len(ci_s)])
+                rank = np.arange(len(ci_s)) - np.repeat(starts, seg_lens)
+                for r in range(int(seg_lens.max())):
+                    sel_r = rank == r
+                    rows = ci_s[sel_r]
+                    p = pos_s[sel_r]
+                    j = (tails_m[rows] < p[:, None]).sum(axis=1)
+                    tails_m[rows, j] = p
+            sims = (tails_m < _INF).sum(axis=1) / m
+            keep = sims >= node.threshold
             return (
-                np.asarray(out_docs, dtype=np.int64),
-                np.asarray(out_scores, dtype=np.float64),
+                cand[keep].astype(np.int64),
+                (node.boost * sims[keep]).astype(np.float64),
             )
 
         out_frames = []

@@ -10,13 +10,16 @@ Dataflow (one wide shuffle of documents, one compact shuffle of partials):
     | repartition(seg_id) + sortWithinPartitions(seg_id, url)
     | row_number over (seg_id, url)                  [JVM docID assignment]
     |--- assigned checkpoint (parquet; intra-build resume point)
+    | three CONCURRENT jobs off the checkpoint (one thread pool; the small
+    | docs/norms jobs hide inside the postings job's wall time):
     |--- docs table write (columnstore role, [up] core/formats/columnstore2)
-    | mapInArrow partials_kernel                     [map-side combine -> raw
+    |--- norms table write (dense per-segment dl blobs)
+    |--- postings: mapInArrow partials_kernel        [map-side combine -> raw
     |                                                 (seg,term,band) partials]
-    | [optional, band_bits set: repartition(seg,term,band) + sort +
-    |  merge_kernel — salted level-1 for pathologically large segments]
-    | repartition(seg_id) + sort(seg, term, min_doc) + encode_kernel
-    '--- postings table write + snapshot commit (two-phase, [up]
+    |    [optional, band_bits set: repartition(seg,term,band) + sort +
+    |     merge_kernel — salted level-1 for pathologically large segments]
+    |    repartition(seg_id) + sort(seg, term, min_doc) + encode_kernel
+    '--- snapshot commit (two-phase, [up]
          core/index/index_writer.cpp :: begin/commit)
 
 Skew strategy: segments are uniform url-hash shards, so the per-segment
@@ -188,12 +191,20 @@ def build_index(
         spark.read.parquet(tok_dir) if not (docs_done and post_done) else None
     )
 
-    # ---- docs table (per-segment columnstore; column-pruned projection of
-    # the assigned checkpoint — no shuffle, no token columns)
-    t0 = time.time()
-    if not docs_done:
-        # partition dirs are named seg_part=N while seg_id stays a data
-        # column, so per-segment dir reads keep the column without basePath
+    # ---- docs / postings / norms: all three are independent consumers of
+    # the assigned checkpoint, so they run as CONCURRENT Spark jobs from
+    # one thread pool instead of four sequential actions (VERDICT r2 item
+    # 4) — the small docs/norms jobs hide entirely inside the postings
+    # job's wall time, and on a cluster the scheduler interleaves their
+    # tasks across idle executors. Each job stays guarded by its own
+    # _SUCCESS marker, preserving the staged-resume contract.
+    offs_flags = [f.offsets for f in field_specs]
+
+    def write_docs() -> None:
+        # per-segment columnstore; column-pruned projection of the
+        # assigned checkpoint — no shuffle, no token columns. Partition
+        # dirs are named seg_part=N while seg_id stays a data column, so
+        # per-segment dir reads keep the column without basePath.
         (
             assigned.select(
                 "seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls"
@@ -202,12 +213,8 @@ def build_index(
             .write.partitionBy("seg_part")
             .parquet(docs_dir, mode="overwrite")
         )
-    timings["docs_write_s"] = time.time() - t0
 
-    # ---- postings build
-    t0 = time.time()
-    offs_flags = [f.offsets for f in field_specs]
-    if not post_done:
+    def write_postings() -> None:
         partials = assigned.select(
             "seg_id", "doc_id", "fdls", "terms", "tfids", "tfs",
             "positions", "ostarts", "olens",
@@ -247,23 +254,40 @@ def build_index(
         final.withColumn("seg_part", F.col("seg_id")).write.partitionBy(
             "seg_part"
         ).parquet(post_dir, mode="overwrite")
-    timings["postings_write_s"] = time.time() - t0
 
-    # ---- norms table (per-segment dense doc-length array)
-    t0 = time.time()
-    if not norms_done:
-        # the norms table is tiny (n_segments × n_fields rows of packed
-        # blobs) — ONE un-partitioned parquet dir, no per-segment
-        # partitionBy overhead; readers filter to the snapshot's live
-        # segments (store.read_norms)
+    def write_norms() -> None:
+        # per-segment dense doc-length arrays, built straight from the
+        # assigned checkpoint (no dependency on the docs write). The norms
+        # table is tiny (n_segments × n_fields rows of packed blobs) — ONE
+        # un-partitioned parquet dir; readers filter to the snapshot's
+        # live segments (store.read_norms).
         (
-            spark.read.parquet(docs_dir)
-            .select("seg_id", "doc_id", "fdls")
+            assigned.select("seg_id", "doc_id", "fdls")
             .groupBy("seg_id")
             .applyInPandas(kernels.norms_builder, kernels.NORMS_SCHEMA)
             .write.parquet(norms_dir, mode="overwrite")
         )
-    timings["norms_write_s"] = time.time() - t0
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    stage_jobs = [
+        ("docs_write_s", write_docs, docs_done),
+        ("postings_write_s", write_postings, post_done),
+        ("norms_write_s", write_norms, norms_done),
+    ]
+
+    def run_stage(entry):
+        name, fn, done = entry
+        t = time.time()
+        if not done:
+            fn()
+        return name, time.time() - t
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for name, dt in pool.map(run_stage, stage_jobs):
+            timings[name] = dt
+    timings["tables_wall_s"] = time.time() - t0
 
     # ---- per-segment stats + lineage. Norms stats: a driver-side pyarrow
     # read of the tiny norms table (no Spark job). Postings stats: ONE

@@ -55,11 +55,42 @@ _EXPANDABLE = (qf.Prefix, qf.TermRange, qf.Wildcard, qf.Fuzzy)
 MAX_EXPANSION_ROWS = 100_000
 
 
+def _fuzzy_piece_cond(q: str, d: int, *, osa: bool):
+    """JVM-side pigeonhole prefilter for the fuzzy dictionary scan
+    (PassJoin partition signature; the reference prunes with a Levenshtein
+    automaton ∩ FST instead — [up] core/search/levenshtein_filter.cpp).
+
+    Split q into m contiguous pieces: a plain Levenshtein edit destroys at
+    most one piece's verbatim occurrence, so m = d+1 guarantees one intact
+    piece; an OSA transposition straddling a boundary can destroy two, so
+    m = 2d+1 there. An intact piece must occur within ±d of its position
+    in q. Returns a Column (evaluated entirely by codegen BEFORE the DP
+    pandas UDF, which Catalyst hoists into a later ArrowEvalPython node),
+    or None when q is too short to split."""
+    m = (2 * d + 1) if osa else (d + 1)
+    if d == 0 or len(q) < m:
+        return None
+    base, extra = divmod(len(q), m)
+    cond = None
+    start = 0
+    for i in range(m):
+        ln = base + (1 if i < extra else 0)
+        piece = q[start : start + ln]
+        lo = max(1, start + 1 - d)  # 1-based occurrence window
+        hi = start + 1 + d
+        c = F.locate(piece, F.col("term"), lo).between(lo, hi)
+        cond = c if cond is None else (cond | c)
+        start += ln
+    return cond
+
+
 def _flatten_or_terms(tree: qf.Filter):
     """[((field, term), weight multiplier)] if `tree` is a pure min_match=1
-    disjunction over unique terms with all-positive weights — the shape
-    block-max WAND handles (zero-weight matched-unscored expansions fall
-    back to the exact eval path, where score-0 matches still surface)."""
+    disjunction over unique terms with non-negative weights — the shape
+    block-max WAND handles. Zero-weight members are F17's
+    matched-but-unscored expansions: or_terms_topk carries them as
+    match-only iterators whose lists are only decoded when fewer than k
+    positively-scored docs exist."""
     out: list[tuple[tuple[str, str], float]] = []
 
     def rec(node: qf.Filter, mult: float) -> bool:
@@ -80,7 +111,7 @@ def _flatten_or_terms(tree: qf.Filter):
     keys = [k for k, _ in out]
     if len(set(keys)) != len(keys):
         return None
-    if any(w <= 0.0 for _, w in out):
+    if any(w < 0.0 for _, w in out):
         return None
     return out
 
@@ -305,7 +336,13 @@ class IndexSearcher:
                     mask = metric(q, terms.to_numpy(dtype=np.str_), d)
                     return pd.Series(mask)
 
-                conds.append(in_field & len_ok & lev_ok(F.col("term")))
+                pre = in_field & len_ok
+                piece_cond = _fuzzy_piece_cond(
+                    q, d, osa=node.with_transpositions
+                )
+                if piece_cond is not None:
+                    pre = pre & piece_cond
+                conds.append(pre & lev_ok(F.col("term")))
             else:  # pragma: no cover
                 raise TypeError(type(node))
         union = conds[0]
@@ -521,14 +558,19 @@ class IndexSearcher:
 
     def occurrences(self, term: str, field: str = "text") -> DataFrame:
         """Every occurrence of one term as (seg_id, doc_id, pos, start,
-        length) — the A8 offset surface ([up] core/analysis/
-        token_attributes.hpp :: offset) for highlighting/snippets.
-        start/length are -1 when the field was indexed without the offsets
-        feature. Distributed: posting rows explode inside mapInArrow; no
-        driver materialization."""
+        length, payload) — the A8 attribute surface ([up] core/analysis/
+        token_attributes.hpp :: offset + payload) for highlighting /
+        surface-form recovery. start/length are -1 and payload null when
+        the field was indexed without the corresponding feature.
+        Distributed: posting rows explode inside mapInArrow; no driver
+        materialization."""
+        cols = ["seg_id", "blob", "pos_off", "pos_pay", "span_off", "span_pay"]
+        has_pay_cols = "pay_pay" in self._postings.columns
+        if has_pay_cols:
+            cols += ["pay_off", "pay_pay"]
         rows = self._postings.filter(
             (F.col("field") == field) & (F.col("term") == term)
-        ).select("seg_id", "blob", "pos_off", "pos_pay", "span_off", "span_pay")
+        ).select(*cols)
 
         def explode(batches):
             import pyarrow as pa
@@ -549,11 +591,37 @@ class IndexSearcher:
                         np.concatenate(pls) if pls else np.empty(0, np.int64)
                     )
                     doc_rep = np.repeat(docs, tfs)
+                    payloads = None
                     if r.span_pay is not None and len(r.span_pay):
                         sp = decode_values_for(
                             bytes(r.span_off), bytes(r.span_pay), sel, tfs * 2
                         )
                         starts, lens_ = sp[0::2], sp[1::2]
+                        r_pay = getattr(r, "pay_pay", None)
+                        if r_pay is not None and len(r_pay):
+                            # per-doc char counts = sum of its span lengths
+                            c = (
+                                np.add.reduceat(
+                                    lens_.astype(np.int64),
+                                    np.cumsum(tfs) - tfs,
+                                )
+                                if len(tfs)
+                                else np.empty(0, np.int64)
+                            )
+                            chars = decode_values_for(
+                                bytes(r.pay_off), bytes(r_pay), sel, c
+                            )
+                            # one utf-32 decode, then slice per occurrence
+                            big = (
+                                chars.astype("<u4").tobytes().decode("utf-32-le")
+                            )
+                            offs = np.concatenate(
+                                ([0], np.cumsum(lens_.astype(np.int64)))
+                            )
+                            payloads = [
+                                big[offs[i] : offs[i + 1]]
+                                for i in range(len(doc_rep))
+                            ]
                     else:
                         starts = np.full(len(doc_rep), -1, dtype=np.int64)
                         lens_ = starts
@@ -566,12 +634,22 @@ class IndexSearcher:
                             pa.array(pos_flat.astype(np.int32)),
                             pa.array(starts.astype(np.int32)),
                             pa.array(lens_.astype(np.int32)),
+                            (
+                                pa.array(payloads, pa.string())
+                                if payloads is not None
+                                else pa.nulls(len(doc_rep), pa.string())
+                            ),
                         ],
-                        names=["seg_id", "doc_id", "pos", "start", "length"],
+                        names=[
+                            "seg_id", "doc_id", "pos", "start", "length",
+                            "payload",
+                        ],
                     )
 
         return rows.mapInArrow(
-            explode, "seg_id int, doc_id bigint, pos int, start int, length int"
+            explode,
+            "seg_id int, doc_id bigint, pos int, start int, length int, "
+            "payload string",
         )
 
     def match_docs(self, flt: qf.Filter) -> DataFrame:

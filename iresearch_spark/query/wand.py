@@ -120,10 +120,21 @@ def or_terms_topk(
     and dls/avgdl the term's FIELD norms (per-field statistics, as the
     reference's per-field norm columns); `tfn(tf_array, dl_array, avgdl)`
     is the BM25 tf-normalization; returns (docs, scores) of AT MOST k docs
-    (unsorted)."""
+    (unsorted).
+
+    Weight-0 entries are F17's matched-but-unscored expansions: their docs
+    match with score 0, so their lists are decoded ONLY when θ_eff ≤ 0
+    (fewer than k positively-scored docs exist) — a doc with score ≥ θ_eff
+    > 0 must appear in some positive term's list, and that term's own
+    block inequality already decides it. A huge capped-prefix tail
+    therefore costs nothing once k scored docs are found."""
     infos = []
+    zero_readers = []
     for w, r, dls, avgdl in terms:
-        if w <= 0.0 or len(r.skip) == 0:
+        if w < 0.0 or len(r.skip) == 0:
+            continue
+        if w == 0.0:
+            zero_readers.append(r)
             continue
         ub_blocks = w * tfn(
             r.bmax[:, 0].astype(np.float64),
@@ -132,7 +143,16 @@ def or_terms_topk(
         )
         infos.append((w, r, dls, avgdl, ub_blocks, float(ub_blocks.max())))
     if not infos:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
+        # pure matched-unscored disjunction: every match scores 0 and the
+        # exhaustive selection (score desc, doc asc) keeps the k smallest
+        # doc ids
+        if not zero_readers:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        parts = [r.full()[0] for r in zero_readers]
+        cand = np.unique(np.concatenate(parts))
+        if mask is not None and len(cand):
+            cand = cand[~np.isin(cand, mask, assume_unique=True)]
+        return cand[:k], np.zeros(min(len(cand), k), np.float64)
     total_gub = sum(i[5] for i in infos)
 
     # phase 0: θ from the highest-upper-bound term scored alone

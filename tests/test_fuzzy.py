@@ -60,3 +60,61 @@ def test_random_strings_vs_dp():
                 [levenshtein(q, c, d, True) <= d for c in pool], dtype=bool
             )
             assert (got == want).all(), (q, d)
+
+
+def _piece_windows(q: str, d: int, osa: bool):
+    """Python twin of executor._fuzzy_piece_cond: [(piece, lo0, hi0)] with
+    0-based window bounds, or None when q is too short to split."""
+    m = (2 * d + 1) if osa else (d + 1)
+    if d == 0 or len(q) < m:
+        return None
+    base, extra = divmod(len(q), m)
+    out, start = [], 0
+    for i in range(m):
+        ln = base + (1 if i < extra else 0)
+        out.append((q[start : start + ln], max(0, start - d), start + d))
+        start += ln
+    return out
+
+
+def _piece_pass(t: str, pieces) -> bool:
+    for piece, lo0, hi0 in pieces:
+        idx = t.find(piece, lo0)
+        if idx != -1 and idx <= hi0:
+            return True
+    return False
+
+
+@pytest.mark.parametrize("osa", [False, True])
+def test_piece_prefilter_never_drops_a_match(osa):
+    """The pigeonhole prefilter is sound: every term within edit distance
+    d of q passes the piece condition (for OSA, 2d+1 pieces absorb the
+    two-piece damage a boundary transposition can do)."""
+    rng = np.random.default_rng(7)
+    pool = [
+        "".join(rng.choice(list("abcde"), rng.integers(1, 10)))
+        for _ in range(300)
+    ]
+    queries = [
+        "".join(rng.choice(list("abcde"), rng.integers(2, 9)))
+        for _ in range(30)
+    ] + ["abcd", "table", "merge"]
+    for q in queries:
+        for d in (1, 2):
+            pieces = _piece_windows(q, d, osa)
+            if pieces is None:
+                continue
+            for t in pool:
+                if levenshtein(q, t, d, osa) <= d:
+                    assert _piece_pass(t, pieces), (q, t, d, osa)
+
+
+def test_piece_prefilter_transposition_boundary():
+    """The d+1-piece split is provably unsound under OSA (one boundary
+    transposition kills two pieces) — the 2d+1 split must still pass."""
+    q, t, d = "abcd", "acbd", 1  # transpose the middle pair
+    assert levenshtein(q, t, d, True) == 1
+    # d+1 = 2 pieces 'ab'|'cd': neither occurs in 'acbd'
+    assert not _piece_pass(t, [("ab", 0, 1), ("cd", 1, 3)])
+    # 2d+1 = 3 pieces 'ab'|'c'|'d' -> 'd' occurs in-window
+    assert _piece_pass(t, _piece_windows(q, d, True))

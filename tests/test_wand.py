@@ -109,3 +109,68 @@ def test_seek_decodes_only_needed_blocks():
     assert r._full is None, "seek path must not fully decode"
     # absent docs -> 0
     assert r.lookup_tfs(np.array([2, 4]))[0] == 0.0
+
+@pytest.mark.parametrize("seed", range(8))
+def test_or_topk_with_zero_weight_members(seed):
+    """F17 matched-but-unscored members through the WAND fast path: docs
+    matching only weight-0 terms surface with score 0 exactly when the
+    brute-force (score desc, doc asc) selection keeps them."""
+    rng = np.random.default_rng([seed, 17])
+    n_docs = int(rng.integers(100, 1200))
+    dls = rng.integers(5, 400, size=n_docs).astype(np.float64)
+    avgdl = float(dls.mean())
+    tfn = _tfn()
+    # few scored terms (sometimes none) + several unscored expansions
+    n_pos = int(rng.integers(0, 3))
+    n_zero = int(rng.integers(1, 4))
+    k = int(rng.integers(1, 30))
+    mask = (
+        np.sort(
+            rng.choice(np.arange(1, n_docs + 1), size=n_docs // 10, replace=False)
+        )
+        if seed % 2
+        else None
+    )
+    pairs, brute = [], {}
+    for i in range(n_pos + n_zero):
+        df = int(rng.integers(1, n_docs))
+        docs, tfs = _mk_reader(rng, n_docs, df)
+        w = float(rng.uniform(0.1, 3.0)) if i < n_pos else 0.0
+        pairs.append((w, _build(docs, tfs, dls), dls, avgdl))
+        for d, tf in zip(docs, tfs):
+            if mask is not None and d in mask:
+                continue
+            brute[d] = brute.get(d, 0.0) + w * tfn(float(tf), dls[d - 1], avgdl)
+
+    got_docs, got_scores = or_terms_topk(pairs, k, tfn, mask=mask, score_round=6)
+    expect = sorted(brute.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:k]
+    got = sorted(zip(got_docs, got_scores), key=lambda kv: (-kv[1], kv[0]))
+    assert [d for d, _ in got] == [d for d, _ in expect], (n_pos, n_zero, k)
+    for (gd, gs), (_ed, es) in zip(got, expect):
+        assert abs(gs - round(es, 6)) < 1e-9, gd
+
+
+def test_zero_weight_lists_not_decoded_when_k_scored_exist():
+    """The point of the fast path: once k positively-scored docs exist the
+    unscored expansion's postings are never touched."""
+    dls = np.full(10_000, 50.0)
+    avgdl = 50.0
+    tfn = _tfn()
+    docs_pos = np.arange(1, 5001, dtype=np.int64)
+    tfs_pos = np.full(5000, 3, dtype=np.int64)
+    r_pos = _build(docs_pos, tfs_pos, dls)
+    docs_zero = np.arange(5001, 10001, dtype=np.int64)
+    r_zero = _build(docs_zero, np.ones(5000, dtype=np.int64), dls)
+
+    def boom(*_a, **_k):  # any decode attempt is a fast-path violation
+        raise AssertionError("unscored list decoded")
+
+    r_zero.full = boom
+    r_zero.decode_blocks = boom
+    got_docs, got_scores = or_terms_topk(
+        [(1.5, r_pos, dls, avgdl), (0.0, r_zero, dls, avgdl)],
+        10,
+        tfn,
+        score_round=6,
+    )
+    assert len(got_docs) == 10 and (got_scores > 0).all()

@@ -19,6 +19,15 @@ manifest:
                      position (this is what makes by_same_position and
                      ngram phrase chains meaningful over ngram fields;
                      [up] core/analysis/ngram_token_stream.cpp).
+  "segmentation"     A6 — frozen ICU-free UAX#29-lite word break for
+                     mixed-script text ([up] core/analysis/
+                     segmentation_token_stream.cpp role): NFKC + lower,
+                     then (a) every CJK ideograph is its own token
+                     (unigram), (b) maximal same-kind runs of Hiragana /
+                     Katakana are tokens, (c) maximal runs of other
+                     letters/marks/digits are tokens; everything else
+                     breaks. Positions sequential, spans in the
+                     normalized string.
   "a|b|..."          A5 — pipeline: each token of stage k feeds stage k+1;
                      final position = parent_pos * PIPE_STRIDE + child_pos
                      (packed pair, collision-free for tokens shorter than
@@ -137,6 +146,111 @@ def parse_spec(spec: str) -> list[str]:
     return stages
 
 
+# ------------------------------------------------- segmentation (A6)
+
+# frozen code-point classes for the UAX#29-lite word break
+_SEG_BREAK, _SEG_WORD, _SEG_HAN, _SEG_HIRA, _SEG_KATA = 0, 1, 2, 3, 4
+
+
+def _seg_class(cp: int) -> int:
+    if 0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF or 0xF900 <= cp <= 0xFAFF:
+        return _SEG_HAN
+    if 0x3040 <= cp <= 0x309F:
+        return _SEG_HIRA
+    if 0x30A0 <= cp <= 0x30FF:
+        return _SEG_KATA
+    if unicodedata.category(chr(cp))[0] in ("L", "M", "N"):
+        return _SEG_WORD
+    return _SEG_BREAK
+
+
+def _segment_one(value: str) -> list[tuple[str, int, int, int]]:
+    """Pure-Python twin of the frozen segmentation spec: [(token, pos,
+    start, length)] over the NFKC-lowercased value."""
+    norm = unicodedata.normalize("NFKC", value).lower()
+    out: list[tuple[str, int, int, int]] = []
+    pos = 0
+    i, n = 0, len(norm)
+    while i < n:
+        c = _seg_class(ord(norm[i]))
+        if c == _SEG_BREAK:
+            i += 1
+            continue
+        if c == _SEG_HAN:
+            out.append((norm[i], pos, i, 1))
+            pos += 1
+            i += 1
+            continue
+        j = i + 1
+        while j < n and _seg_class(ord(norm[j])) == c:
+            j += 1
+        out.append((norm[i:j], pos, i, j - i))
+        pos += 1
+        i = j
+    return out
+
+
+def _batch_segmentation(values: pd.Series):
+    """Vectorized segmentation: one UTF-32 buffer over the joined rows,
+    code-point classes resolved per UNIQUE code point, run boundaries by
+    mask arithmetic — no per-char Python."""
+    norm = values.fillna("").astype(str).str.normalize("NFKC").str.lower()
+    joined = "\n".join(norm.tolist())
+    buf = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    n_rows = len(norm)
+    if len(buf) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return (
+            np.empty(0, dtype=object),
+            np.zeros(n_rows, dtype=np.int64),
+            z, z.copy(), z.copy(),
+        )
+    uniq, inv = np.unique(buf, return_inverse=True)
+    cls_u = np.fromiter(
+        (_seg_class(int(cp)) for cp in uniq), count=len(uniq), dtype=np.int8
+    )
+    cls = cls_u[inv]
+    # run starts: class change, HAN always starts (unigram), row boundary
+    prev_cls = np.empty_like(cls)
+    prev_cls[0] = _SEG_BREAK
+    prev_cls[1:] = cls[:-1]
+    row_lens = norm.str.len().to_numpy(np.int64)
+    row_starts_buf = np.cumsum(row_lens + 1) - (row_lens + 1)
+    at_row_start = np.zeros(len(buf), dtype=bool)
+    at_row_start[row_starts_buf] = True
+    is_tok = cls != _SEG_BREAK
+    new_run = is_tok & (
+        (cls != prev_cls) | (cls == _SEG_HAN) | at_row_start
+    )
+    run_s = np.flatnonzero(new_run)
+    if len(run_s) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return (
+            np.empty(0, dtype=object),
+            np.zeros(n_rows, dtype=np.int64),
+            z, z.copy(), z.copy(),
+        )
+    # end of run k = first index > run_s[k] that is a break or a new run
+    boundary = np.flatnonzero(~is_tok | new_run)
+    run_e = np.empty(len(run_s), dtype=np.int64)
+    ins = np.searchsorted(boundary, run_s, side="right")
+    run_e[:] = np.where(
+        ins < len(boundary), boundary[np.minimum(ins, len(boundary) - 1)], len(buf)
+    )
+    owner = np.searchsorted(row_starts_buf, run_s, side="right") - 1
+    starts = run_s - row_starts_buf[owner]
+    lens = run_e - run_s
+    # token strings: slice the joined python string (C-level slicing)
+    flat = np.array(
+        [joined[s:e] for s, e in zip(run_s.tolist(), run_e.tolist())],
+        dtype=object,
+    )
+    counts = np.bincount(owner, minlength=n_rows).astype(np.int64)
+    kstarts = np.cumsum(counts) - counts
+    pos = np.arange(len(flat), dtype=np.int64) - np.repeat(kstarts, counts)
+    return flat, counts, pos, starts, lens
+
+
 def _one_stage(value: str | None, stage: str) -> list[tuple[str, int, int, int]]:
     """[(token, position, span start, span length)] for one stage.
 
@@ -177,6 +291,8 @@ def _one_stage(value: str | None, stage: str) -> list[tuple[str, int, int, int]]
         return out
     if stage == "stem":
         return [(stem_token(value), 0, 0, len(value))]
+    if stage == "segmentation":
+        return _segment_one(value)
     raise ValueError(f"unknown analyzer stage: {stage!r}")
 
 
@@ -225,6 +341,40 @@ def analyze_one_spans(
 def analyze_one(value: str | None, spec: str) -> list[tuple[str, int]]:
     """Reference implementation: [(token, position)] for one value."""
     return [(t, p) for t, p, _s, _l in analyze_one_spans(value, spec)]
+
+
+def analyze_one_payloads(
+    value: str | None, spec: str
+) -> list[tuple[str, int, int, int, str]]:
+    """Reference implementation with the A8 payload attribute: [(token,
+    position, span start, span length, payload)]. The payload is the
+    occurrence's SURFACE FORM — the token fed into the final pipeline
+    stage (singleton stages like stem keep the parent's token, exactly as
+    they keep the parent's span), so e.g. "text|stem" stores the pre-stem
+    word each posting came from ([up] token_attributes.hpp :: payload)."""
+    stages = parse_spec(spec)
+    stream: list[tuple[str, int, int, int, str]] = (
+        [(value, 0, 0, len(value), value)] if value is not None else []
+    )
+    first = True
+    for stage in stages:
+        singleton = _is_singleton_stage(stage)
+        nxt: list[tuple[str, int, int, int, str]] = []
+        for tok, pos, start, length, surf in stream:
+            children = _one_stage(tok, stage)
+            for ctok, cpos, cstart, clen in children:
+                if first:
+                    npos, nstart, nlen = cpos, cstart, clen
+                elif singleton:
+                    npos, nstart, nlen = pos, start, length
+                else:
+                    npos = pos * PIPE_STRIDE + min(cpos, PIPE_STRIDE - 1)
+                    nstart, nlen = start + cstart, clen
+                nsurf = surf if singleton else ctok
+                nxt.append((ctok, npos, nstart, nlen, nsurf))
+        stream = nxt
+        first = False
+    return stream
 
 
 # ------------------------------------------------------- vectorized kernels
@@ -380,16 +530,24 @@ def _batch_stage(values: pd.Series, stage: str):
         flat, counts, pos, starts, lens = _batch_identity(values)
         stemmed = _stem_series(pd.Series(flat, dtype=object)).to_numpy(object)
         return stemmed, counts, pos, starts, lens
+    if stage == "segmentation":
+        return _batch_segmentation(values)
     raise ValueError(f"unknown analyzer stage: {stage!r}")
 
 
-def analyze_batch_spans(values: pd.Series, spec: str):
-    """Vectorized analyzer with A8 spans: (flat tokens, per-row counts,
-    positions, span starts, span lengths). Spans address the top-level
-    input value (pipeline stages compose: child start + parent start;
-    singleton stages keep the parent's span)."""
+def analyze_batch_payloads(values: pd.Series, spec: str):
+    """Vectorized analyzer with A8 spans AND payloads: (flat tokens,
+    per-row counts, positions, span starts, span lengths, surfaces).
+    `surfaces` is an object array aligned with the tokens carrying each
+    occurrence's surface form (see analyze_one_payloads)."""
     stages = parse_spec(spec)
     flat, counts, pos, starts, lens = _batch_stage(values, stages[0])
+    if _is_singleton_stage(stages[0]):
+        # singleton first stage: ≤1 token per non-null value; the surface
+        # is the raw input value (the parent token)
+        surface = values.to_numpy(dtype=object)[values.notna().to_numpy()]
+    else:
+        surface = np.asarray(flat, dtype=object)
     for stage in stages[1:]:
         # feed each token of the previous stage through the next one;
         # vectorization carries over because the flattened token array is
@@ -402,10 +560,12 @@ def analyze_batch_spans(values: pd.Series, spec: str):
         parent_len = np.repeat(lens, c_counts)
         if _is_singleton_stage(stage):
             new_pos, new_start, new_len = parent_pos, parent_start, parent_len
+            new_surface = np.repeat(surface, c_counts)
         else:
             new_pos = parent_pos * PIPE_STRIDE + np.minimum(c_pos, PIPE_STRIDE - 1)
             new_start = parent_start + c_start
             new_len = c_len
+            new_surface = np.asarray(c_flat, dtype=object)
         # regroup child counts to original rows
         owner_tok = np.repeat(
             np.arange(len(flat), dtype=np.int64), c_counts
@@ -420,6 +580,16 @@ def analyze_batch_spans(values: pd.Series, spec: str):
         )
         flat, counts = c_flat, new_counts
         pos, starts, lens = new_pos, new_start, new_len
+        surface = new_surface
+    return flat, counts, pos, starts, lens, surface
+
+
+def analyze_batch_spans(values: pd.Series, spec: str):
+    """Vectorized analyzer with A8 spans: (flat tokens, per-row counts,
+    positions, span starts, span lengths). Spans address the top-level
+    input value (pipeline stages compose: child start + parent start;
+    singleton stages keep the parent's span)."""
+    flat, counts, pos, starts, lens, _surf = analyze_batch_payloads(values, spec)
     return flat, counts, pos, starts, lens
 
 

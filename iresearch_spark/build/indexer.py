@@ -56,6 +56,25 @@ def _with_seg_id(corpus: DataFrame, n_segments: int, base: int = 0) -> DataFrame
     )
 
 
+def staging_key(
+    source: str,
+    n_segments: int,
+    band_bits,
+    mode: str,
+    seg_base: int,
+    field_specs,
+) -> str:
+    """Identity of a staged (resumable) build: same key -> the interrupted
+    commit dir's completed stages can be reused (BASELINE.json checkpoint
+    resume). Any field-spec change (including offsets/payloads features)
+    changes the key and forces a clean rebuild."""
+    fields_key = ",".join(
+        f"{f.name}={f.source}:{f.analyzer}:{int(f.offsets)}{int(f.payloads)}"
+        for f in field_specs
+    )
+    return f"{source}|{n_segments}|{band_bits}|{mode}|{seg_base}|{fields_key}"
+
+
 def build_index(
     spark,
     corpus: DataFrame,
@@ -104,8 +123,9 @@ def build_index(
     import json
 
     staging_path = os.path.join(store.root, "_staging.json")
-    fields_key = ",".join(f"{f.name}={f.source}:{f.analyzer}" for f in field_specs)
-    stage_key = f"{source}|{n_segments}|{band_bits}|{mode}|{seg_base}|{fields_key}"
+    stage_key = staging_key(
+        source, n_segments, band_bits, mode, seg_base, field_specs
+    )
     staged = {}
     if os.path.exists(staging_path):
         with open(staging_path) as f:
@@ -181,6 +201,7 @@ def build_index(
             .select(
                 "seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls",
                 "terms", "tfids", "tfs", "positions", "ostarts", "olens",
+                "pchars",
             )
             .withColumn("seg_part", F.col("seg_id"))
             .write.partitionBy("seg_part")
@@ -199,6 +220,7 @@ def build_index(
     # tasks across idle executors. Each job stays guarded by its own
     # _SUCCESS marker, preserving the staged-resume contract.
     offs_flags = [f.offsets for f in field_specs]
+    pay_flags = [f.payloads for f in field_specs]
 
     def write_docs() -> None:
         # per-segment columnstore; column-pruned projection of the
@@ -217,9 +239,9 @@ def build_index(
     def write_postings() -> None:
         partials = assigned.select(
             "seg_id", "doc_id", "fdls", "terms", "tfids", "tfs",
-            "positions", "ostarts", "olens",
+            "positions", "ostarts", "olens", "pchars",
         ).mapInArrow(
-            kernels.make_partials_kernel(band_bits or 16, offs_flags),
+            kernels.make_partials_kernel(band_bits or 16, offs_flags, pay_flags),
             kernels.PARTIAL_SCHEMA,
         )
         if band_bits is not None:
@@ -247,7 +269,7 @@ def build_index(
             partials.repartition(n_segments, "seg_id")
             .sortWithinPartitions("seg_id", "fidx", "term", "min_doc")
             .mapInArrow(
-                kernels.make_encode_kernel(field_names, offs_flags),
+                kernels.make_encode_kernel(field_names, offs_flags, pay_flags),
                 kernels.POSTING_SCHEMA,
             )
         )

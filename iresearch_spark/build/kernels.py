@@ -43,24 +43,24 @@ TOKENIZED_SCHEMA = (
     "seg_id int, url string, warc_ts timestamp, lang string, dl int, "
     "fdls array<int>, terms array<string>, tfids array<int>, "
     "tfs array<int>, positions array<int>, ostarts array<int>, "
-    "olens array<int>"
+    "olens array<int>, pchars array<int>"
 )
 ASSIGNED_SCHEMA = (
     "seg_id int, doc_id bigint, url string, warc_ts timestamp, lang string, "
     "dl int, fdls array<int>, terms array<string>, tfids array<int>, "
     "tfs array<int>, positions array<int>, ostarts array<int>, "
-    "olens array<int>"
+    "olens array<int>, pchars array<int>"
 )
 PARTIAL_SCHEMA = (
     "seg_id int, fidx int, term string, band int, min_doc bigint, n bigint, "
     "docs_bin binary, tfs_bin binary, dls_bin binary, pos_bin binary, "
-    "span_bin binary"
+    "span_bin binary, pay_bin binary"
 )
 POSTING_SCHEMA = (
     "seg_id int, field string, term string, df bigint, cf bigint, "
     "max_tf int, blob binary, skip binary, bmax binary, pos_off binary, "
-    "pos_pay binary, span_off binary, span_pay binary, blob_bytes bigint, "
-    "pos_bytes bigint"
+    "pos_pay binary, span_off binary, span_pay binary, pay_off binary, "
+    "pay_pay binary, blob_bytes bigint, pos_bytes bigint"
 )
 NORMS_SCHEMA = (
     "seg_id int, fidx int, n_docs bigint, sum_dl bigint, dls_bin binary"
@@ -110,6 +110,34 @@ def _binary_array(values: bytes | np.ndarray, byte_offsets: np.ndarray) -> pa.Ar
     )
 
 
+def _codepoints(tokens) -> tuple[np.ndarray, np.ndarray]:
+    """Token sequence -> (flat code points u32, per-token char counts).
+
+    pa.StringArray fast path: for ASCII the UTF-8 value buffer IS the
+    code-point sequence (1 byte/char), read zero-copy; otherwise one
+    UTF-32 re-encode of the joined tokens (C-speed, no per-char Python)."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    if isinstance(tokens, pa.Array):
+        if len(tokens) == 0:
+            return np.empty(0, np.uint32), np.empty(0, np.int64)
+        if pc.all(pc.string_is_ascii(tokens)).as_py():
+            offs = np.frombuffer(tokens.buffers()[1], dtype=np.int32)[
+                tokens.offset : tokens.offset + len(tokens) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(tokens.buffers()[2] or b"", dtype=np.uint8)
+            return (
+                data[offs[0] : offs[-1]].astype(np.uint32),
+                np.diff(offs),
+            )
+        tokens = tokens.to_pylist()
+    toks = list(tokens)
+    joined = "".join(toks)
+    chars = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(t) for t in toks), count=len(toks), dtype=np.int64)
+    return chars, lens
+
+
 def _bin_view(batch: pa.RecordBatch, name: str) -> tuple[np.ndarray, np.ndarray]:
     """Binary column -> (contiguous row bytes, 0-based row offsets n+1).
 
@@ -146,7 +174,7 @@ def make_tokenize_kernel(field_specs):
     import pandas as pd
 
     from iresearch_spark.analysis.analyzers import (
-        analyze_batch_spans,
+        analyze_batch_payloads,
         text_tokenize_arrow,
     )
 
@@ -159,6 +187,7 @@ def make_tokenize_kernel(field_specs):
                 continue
             flat_parts, fidx_parts, owner_parts = [], [], []
             pos_parts, start_parts, len_parts = [], [], []
+            pchar_parts, plen_parts = [], []
             fdls = np.zeros((n, len(specs)), dtype=np.int64)
             pdf_cache: dict[str, pd.Series] = {}
 
@@ -168,6 +197,7 @@ def make_tokenize_kernel(field_specs):
                 return pdf_cache[name]
 
             for fi, fs in enumerate(specs):
+                surf = None  # A8 payload surface; == token for 1-stage specs
                 if fs.analyzer == "text" and fs.source != "__text__":
                     flat, counts, pos, sts, lns = text_tokenize_arrow(
                         batch.column(fs.source), with_spans=fs.offsets
@@ -181,7 +211,7 @@ def make_tokenize_kernel(field_specs):
                                 batch.column("text"), with_spans=fs.offsets
                             )
                         else:
-                            f_, counts, pos, sts, lns = analyze_batch_spans(
+                            f_, counts, pos, sts, lns, surf = analyze_batch_payloads(
                                 as_series("text"), fs.analyzer
                             )
                             flat = pa.array(f_, pa.string())
@@ -195,12 +225,12 @@ def make_tokenize_kernel(field_specs):
                                 pa.array(vals, pa.string()), with_spans=fs.offsets
                             )
                         else:
-                            f_, counts, pos, sts, lns = analyze_batch_spans(
+                            f_, counts, pos, sts, lns, surf = analyze_batch_payloads(
                                 vals, fs.analyzer
                             )
                             flat = pa.array(f_, pa.string())
                 else:
-                    f_, counts, pos, sts, lns = analyze_batch_spans(
+                    f_, counts, pos, sts, lns, surf = analyze_batch_payloads(
                         as_series(fs.source), fs.analyzer
                     )
                     flat = pa.array(f_, pa.string())
@@ -210,6 +240,21 @@ def make_tokenize_kernel(field_specs):
                 if not fs.offsets:
                     sts = np.zeros(len(flat), dtype=np.int64)
                     lns = np.zeros(len(flat), dtype=np.int64)
+                if fs.payloads:
+                    # surface code points per occurrence (surf is None only
+                    # on the text fast path, where surface == token)
+                    chars_f, lens_f = _codepoints(
+                        flat if surf is None else surf
+                    )
+                    # decode splits payload slices by SPAN length — the
+                    # two are structurally equal (every analyzer's span
+                    # length is its emitted token's length; singleton
+                    # stages keep the parent's span AND surface)
+                    assert np.array_equal(lens_f, lns), fs.name
+                    pchar_parts.append(chars_f)
+                    plen_parts.append(lens_f)
+                else:
+                    plen_parts.append(np.zeros(len(flat), dtype=np.int64))
                 flat_parts.append(flat)
                 pos_parts.append(pos)
                 start_parts.append(sts)
@@ -227,9 +272,17 @@ def make_tokenize_kernel(field_specs):
                 lns = np.concatenate(len_parts)
                 owner = np.concatenate(owner_parts)
                 fidx = np.concatenate(fidx_parts)
+                plen = np.concatenate(plen_parts)
+                pchar = (
+                    np.concatenate(pchar_parts)
+                    if pchar_parts
+                    else np.empty(0, np.uint32)
+                )
             else:
                 flat_arr = pa.array([], pa.string())
                 pos = sts = lns = owner = fidx = np.empty(0, dtype=np.int64)
+                plen = np.empty(0, dtype=np.int64)
+                pchar = np.empty(0, np.uint32)
             # dictionary-encode once (Arrow C++); every per-token op below
             # is integer-based, and lexicographic rank touches only the
             # (small) unique vocab
@@ -245,6 +298,18 @@ def make_tokenize_kernel(field_specs):
             o_owner, o_fidx = owner[order], fidx[order]
             o_term, o_pos = codes[order], pos[order]
             o_sts, o_lns = sts[order], lns[order]
+            # A8 payload chars gathered into sorted occurrence order
+            o_plen = plen[order]
+            if len(pchar):
+                c_ex = np.cumsum(plen) - plen
+                tot_p = int(o_plen.sum())
+                pgidx = np.repeat(c_ex[order], o_plen) + (
+                    np.arange(tot_p, dtype=np.int64)
+                    - np.repeat(np.cumsum(o_plen) - o_plen, o_plen)
+                )
+                o_pchar = pchar[pgidx]
+            else:
+                o_pchar = np.empty(0, np.uint32)
             if len(order):
                 newgrp = np.empty(len(order), dtype=bool)
                 newgrp[0] = True
@@ -282,6 +347,19 @@ def make_tokenize_kernel(field_specs):
                 )
                 sts_arr = pa.array([], pa.int32())
                 lns_arr = pa.array([], pa.int32())
+            if any(fs.payloads for fs in specs) and len(o_plen):
+                pc_per_doc = np.bincount(
+                    o_owner, weights=o_plen, minlength=n
+                ).astype(np.int64)
+                pchar_off_arr = pa.array(
+                    np.concatenate(([0], np.cumsum(pc_per_doc))), pa.int32()
+                )
+                pchar_vals = pa.array(o_pchar.astype(np.int32))
+            else:
+                pchar_off_arr = pa.array(
+                    np.zeros(n + 1, dtype=np.int64), pa.int32()
+                )
+                pchar_vals = pa.array([], pa.int32())
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("seg_id"),
@@ -308,6 +386,7 @@ def make_tokenize_kernel(field_specs):
                     ),
                     pa.ListArray.from_arrays(span_off_arr, sts_arr),
                     pa.ListArray.from_arrays(span_off_arr, lns_arr),
+                    pa.ListArray.from_arrays(pchar_off_arr, pchar_vals),
                 ],
                 names=[
                     "seg_id",
@@ -322,15 +401,18 @@ def make_tokenize_kernel(field_specs):
                     "positions",
                     "ostarts",
                     "olens",
+                    "pchars",
                 ],
             )
 
     return kernel
 
 
-def make_partials_kernel(band_bits: int = 16, offsets_enabled=None):
+def make_partials_kernel(
+    band_bits: int = 16, offsets_enabled=None, payloads_enabled=None
+):
     """(seg_id, doc_id, fdls, terms, tfids, tfs, positions, ostarts,
-    olens) -> PARTIAL_SCHEMA rows.
+    olens, pchars) -> PARTIAL_SCHEMA rows.
 
     Explodes each batch's token lists into (seg, field, term, band)
     posting runs with raw uint32 payloads. The per-entry dl is the entry's
@@ -340,9 +422,12 @@ def make_partials_kernel(band_bits: int = 16, offsets_enabled=None):
     reducers — the salted-shuffle skew defusal mandated by BASELINE.json:6.
     For fields with the A8 offsets feature, span_bin carries interleaved
     (start, length) u32 pairs per occurrence; other fields' runs carry
-    empty span slices, so disabled fields shuffle zero extra bytes.
+    empty span slices, so disabled fields shuffle zero extra bytes. For
+    fields with the A8 payloads feature, pay_bin carries the surface-form
+    code points per occurrence (slice lengths == span lengths).
     """
     enabled = np.asarray(offsets_enabled or [], dtype=bool)
+    pay_enabled = np.asarray(payloads_enabled or [], dtype=bool)
 
     def kernel(batches):
         for batch in batches:
@@ -370,6 +455,11 @@ def make_partials_kernel(band_bits: int = 16, offsets_enabled=None):
             if any_spans:
                 st_vals = batch.column("ostarts").values.to_numpy().astype(np.int64)
                 ln_vals = batch.column("olens").values.to_numpy().astype(np.int64)
+            any_pays = bool(pay_enabled.any())
+            if any_pays:
+                pch_la = batch.column("pchars")
+                pch_row_off = _list_offsets(pch_la)
+                pch_vals = pch_la.values.to_numpy().astype(np.int64)
             ntpd = np.diff(t_off)
             if ntpd.sum() == 0:
                 continue
@@ -406,6 +496,31 @@ def make_partials_kernel(band_bits: int = 16, offsets_enabled=None):
             else:
                 inter = np.empty(0, dtype=np.int64)
                 span_counts = np.zeros(len(order), dtype=np.int64)
+            if any_pays:
+                # per-occurrence payload char counts (pre-sort layout):
+                # payload slice length == span length for enabled fields.
+                # pchars rows concatenate in the same occurrence order, so
+                # the global exclusive prefix IS each occurrence's char
+                # start in pch_vals.
+                occ_fid = np.repeat(e_fid, e_tf)
+                occ_paylen = np.where(pay_enabled[occ_fid], ln_vals, 0)
+                assert int(occ_paylen.sum()) == len(pch_vals), "pchars drift"
+                c_ex = np.cumsum(occ_paylen) - occ_paylen
+                s_paylen = occ_paylen[gidx]
+                tot_pay = int(s_paylen.sum())
+                pg = np.repeat(c_ex[gidx], s_paylen) + (
+                    np.arange(tot_pay, dtype=np.int64)
+                    - np.repeat(np.cumsum(s_paylen) - s_paylen, s_paylen)
+                )
+                s_pay = pch_vals[pg]
+                entry_pay = (
+                    np.add.reduceat(s_paylen, np.cumsum(ns) - ns)
+                    if len(ns)
+                    else np.empty(0, np.int64)
+                )
+            else:
+                s_pay = np.empty(0, dtype=np.int64)
+                entry_pay = np.zeros(len(order), dtype=np.int64)
             # run boundaries on (seg, field, term, band)
             m = len(order)
             newrun = np.empty(m, dtype=bool)
@@ -420,10 +535,12 @@ def make_partials_kernel(band_bits: int = 16, offsets_enabled=None):
             rlen = np.diff(np.append(rstart, m))
             run_tf = np.add.reduceat(ns, rstart)
             run_span = np.add.reduceat(span_counts, rstart)
+            run_pay = np.add.reduceat(entry_pay, rstart)
             # zero-copy binary columns: one contiguous buffer + offsets
             entry_off4 = np.concatenate(([0], np.cumsum(rlen))) * 4
             pos_off4 = np.concatenate(([0], np.cumsum(run_tf))) * 4
             span_off4 = np.concatenate(([0], np.cumsum(run_span))) * 4
+            pay_off4 = np.concatenate(([0], np.cumsum(run_pay))) * 4
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(s_seg[rstart].astype(np.int32)),
@@ -437,6 +554,7 @@ def make_partials_kernel(band_bits: int = 16, offsets_enabled=None):
                     _binary_array(s_dl.astype("<u4").tobytes(), entry_off4),
                     _binary_array(s_pos.astype("<u4").tobytes(), pos_off4),
                     _binary_array(inter.astype("<u4").tobytes(), span_off4),
+                    _binary_array(s_pay.astype("<u4").tobytes(), pay_off4),
                 ],
                 names=[
                     "seg_id",
@@ -450,13 +568,14 @@ def make_partials_kernel(band_bits: int = 16, offsets_enabled=None):
                     "dls_bin",
                     "pos_bin",
                     "span_bin",
+                    "pay_bin",
                 ],
             )
 
     return kernel
 
 
-_BIN_COLS = ("docs_bin", "tfs_bin", "dls_bin", "pos_bin", "span_bin")
+_BIN_COLS = ("docs_bin", "tfs_bin", "dls_bin", "pos_bin", "span_bin", "pay_bin")
 
 
 class _SortedRuns:
@@ -575,11 +694,12 @@ def merge_kernel(batches):
                 "dls_bin",
                 "pos_bin",
                 "span_bin",
+                "pay_bin",
             ],
         )
 
 
-def make_encode_kernel(field_names, offsets_enabled=None):
+def make_encode_kernel(field_names, offsets_enabled=None, payloads_enabled=None):
     """Final merge + encode: one output row per (seg, field, term) with the
     block blob, skip list, blockmax metadata and position blobs (SURVEY.md
     S6/SC4). Input sorted by (seg_id, fidx, term, min_doc). Group assembly
@@ -589,6 +709,9 @@ def make_encode_kernel(field_names, offsets_enabled=None):
     names_arr = pa.array(list(field_names), pa.string())
     enabled = np.asarray(
         offsets_enabled or [False] * len(list(field_names)), dtype=bool
+    )
+    pay_enabled = np.asarray(
+        payloads_enabled or [False] * len(list(field_names)), dtype=bool
     )
 
     def kernel(batches):
@@ -600,11 +723,13 @@ def make_encode_kernel(field_names, offsets_enabled=None):
             l_data, l_off = w["dls_bin"]
             p_data, p_off = w["pos_bin"]
             s_data, s_off = w["span_bin"]
+            y_data, y_off = w["pay_bin"]
             docs_all = d_data[: d_off[cut]].view("<u4")
             tfs_all = t_data[: t_off[cut]].view("<u4")
             dls_all = l_data[: l_off[cut]].view("<u4")
             pos_all = p_data[: p_off[cut]].view("<u4")
             span_all = s_data[: s_off[cut]].view("<u4")
+            pay_all = y_data[: y_off[cut]].view("<u4")
             db = (d_off[bounds] // 4).astype(np.int64)
             dfs = np.diff(db)
             cfs = np.add.reduceat(tfs_all.astype(np.int64), db[:-1])
@@ -622,11 +747,33 @@ def make_encode_kernel(field_names, offsets_enabled=None):
             so_buf, so_off, sp_buf, sp_off = encode_raw_batch(
                 span_all, span_counts, db
             )
+            # A8 payloads: surface code points per occurrence, slice
+            # lengths = the span lengths (odd entries of the doc's span
+            # slice; every slice length is even, so global odd parity ==
+            # within-slice parity)
+            en_pay_doc = np.repeat(pay_enabled[w["fidx"][gstart]], dfs)
+            n_docs_all = len(tfs_all)
+            occ_sizes = np.where(en_doc, tfs_all.astype(np.int64), 0)
+            if occ_sizes.sum():
+                sp_lens = span_all[1::2].astype(np.int64)
+                occ_doc = np.repeat(
+                    np.arange(n_docs_all, dtype=np.int64), occ_sizes
+                )
+                chars_per_doc = np.bincount(
+                    occ_doc, weights=sp_lens, minlength=n_docs_all
+                ).astype(np.int64)
+            else:
+                chars_per_doc = np.zeros(n_docs_all, dtype=np.int64)
+            pay_counts = np.where(en_pay_doc, chars_per_doc, 0)
+            yo_buf, yo_off, yp_buf, yp_off = encode_raw_batch(
+                pay_all, pay_counts, db
+            )
             # per-row blob byte sizes as plain columns: build metrics come
             # from a light columnar scan, never from re-reading the blobs
             blob_sz = np.diff(blob_off) + np.diff(skip_off) + np.diff(bmax_off)
             pos_sz = (
                 np.diff(po_off) + np.diff(pay_off) + np.diff(so_off) + np.diff(sp_off)
+                + np.diff(yo_off) + np.diff(yp_off)
             )
             yield pa.RecordBatch.from_arrays(
                 [
@@ -643,6 +790,8 @@ def make_encode_kernel(field_names, offsets_enabled=None):
                     _binary_array(pay_buf, pay_off),
                     _binary_array(so_buf, so_off),
                     _binary_array(sp_buf, sp_off),
+                    _binary_array(yo_buf, yo_off),
+                    _binary_array(yp_buf, yp_off),
                     pa.array(blob_sz.astype(np.int64)),
                     pa.array(pos_sz.astype(np.int64)),
                 ],
@@ -660,6 +809,8 @@ def make_encode_kernel(field_names, offsets_enabled=None):
                     "pos_pay",
                     "span_off",
                     "span_pay",
+                    "pay_off",
+                    "pay_pay",
                     "blob_bytes",
                     "pos_bytes",
                 ],

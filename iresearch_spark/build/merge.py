@@ -172,8 +172,8 @@ def merge_segments(
         field, term = key[0], key[1]
         pdf = pdf.sort_values("seg_id")
         remap = bc_remap.value
-        all_docs, all_tfs, all_pos, all_spans = [], [], [], []
-        has_spans = False
+        all_docs, all_tfs, all_pos, all_spans, all_pays = [], [], [], [], []
+        has_spans = has_pays = False
         for row in pdf.itertuples():
             pl = decode_postings(bytes(row.blob))
             docs_a = pl.doc_ids.astype(np.int64)
@@ -188,16 +188,43 @@ def merge_segments(
             all_docs.append(docs_a)
             all_tfs.append(tfs_a)
             all_pos.extend(p for p in pos_flat)
+            row_pay = getattr(row, "pay_pay", None)
             if row.span_pay is not None and len(row.span_pay):
                 has_spans = True
                 sp = decode_values_for(
                     bytes(row.span_off), bytes(row.span_pay), sel, tfs_a * 2
                 )
-                all_spans.extend(
+                sp_doc = (
                     np.split(sp, np.cumsum(2 * tfs_a)[:-1]) if len(tfs_a) else []
                 )
+                all_spans.extend(sp_doc)
+                if row_pay is not None and len(row_pay):
+                    # A8 payload chars per doc: counts = sum of that doc's
+                    # span lengths (odd entries of its span slice)
+                    has_pays = True
+                    c = (
+                        np.add.reduceat(
+                            sp[1::2].astype(np.int64),
+                            np.cumsum(tfs_a) - tfs_a,
+                        )
+                        if len(tfs_a)
+                        else np.empty(0, np.int64)
+                    )
+                    pay = decode_values_for(
+                        bytes(row.pay_off), bytes(row_pay), sel, c
+                    )
+                    all_pays.extend(
+                        np.split(pay, np.cumsum(c)[:-1]) if len(c) else []
+                    )
+                else:
+                    all_pays.extend(
+                        np.empty(0, np.int64) for _ in range(len(docs_a))
+                    )
             else:
                 all_spans.extend(
+                    np.empty(0, np.int64) for _ in range(len(docs_a))
+                )
+                all_pays.extend(
                     np.empty(0, np.int64) for _ in range(len(docs_a))
                 )
         docs_m = np.concatenate(all_docs) if all_docs else np.empty(0, np.int64)
@@ -213,6 +240,7 @@ def merge_segments(
         docs_m, tfs_m = docs_m[order], tfs_m[order]
         all_pos = [all_pos[i] for i in order]
         all_spans = [all_spans[i] for i in order]
+        all_pays = [all_pays[i] for i in order]
         pos_m = (
             np.concatenate(all_pos) if all_pos else np.empty(0, np.int64)
         )
@@ -233,6 +261,21 @@ def merge_segments(
             span_off, span_pay = so_buf.tobytes(), sp_buf.tobytes()
         else:
             span_off, span_pay = b"", b""
+        if has_pays:
+            pay_flat = (
+                np.concatenate(all_pays) if all_pays else np.empty(0, np.int64)
+            )
+            pay_counts = np.fromiter(
+                (len(p) for p in all_pays), count=len(all_pays), dtype=np.int64
+            )
+            yo_buf, _yo, yp_buf, _yp = encode_raw_batch(
+                pay_flat,
+                pay_counts,
+                np.array([0, len(docs_m)], dtype=np.int64),
+            )
+            pay_off_b, pay_pay_b = yo_buf.tobytes(), yp_buf.tobytes()
+        else:
+            pay_off_b, pay_pay_b = b"", b""
         return pd.DataFrame(
             {
                 "seg_id": [np.int32(new_seg_id)],
@@ -248,9 +291,12 @@ def merge_segments(
                 "pos_pay": [pos_pay],
                 "span_off": [span_off],
                 "span_pay": [span_pay],
+                "pay_off": [pay_off_b],
+                "pay_pay": [pay_pay_b],
                 "blob_bytes": [len(blob) + len(skip) + len(bmax)],
                 "pos_bytes": [
                     len(pos_off) + len(pos_pay) + len(span_off) + len(span_pay)
+                    + len(pay_off_b) + len(pay_pay_b)
                 ],
             }
         )

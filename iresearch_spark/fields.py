@@ -26,6 +26,20 @@ class FieldSpec:
     # positions — enables offset-based highlighting. Opt-in per field,
     # exactly like the reference's per-field index features.
     offsets: bool = False
+    # A8 payload attribute ([up] core/analysis/token_attributes.hpp ::
+    # payload): store per-occurrence analyzer-produced payload blobs —
+    # here the SURFACE FORM of the occurrence (the token fed to the final
+    # pipeline stage, e.g. the pre-stem word under "text|stem"), encoded
+    # as its code-point sequence. Requires offsets=True (payload slices
+    # are delimited by the span lengths at decode time).
+    payloads: bool = False
+
+    def __post_init__(self) -> None:
+        if self.payloads and not self.offsets:
+            raise ValueError(
+                f"field {self.name!r}: payloads=True requires offsets=True "
+                "(payload slices are delimited by span lengths)"
+            )
 
     def to_json(self) -> dict:
         return {
@@ -33,12 +47,17 @@ class FieldSpec:
             "source": self.source,
             "analyzer": self.analyzer,
             "offsets": self.offsets,
+            "payloads": self.payloads,
         }
 
     @classmethod
     def from_json(cls, d: dict) -> "FieldSpec":
         return cls(
-            d["name"], d["source"], d["analyzer"], bool(d.get("offsets", False))
+            d["name"],
+            d["source"],
+            d["analyzer"],
+            bool(d.get("offsets", False)),
+            bool(d.get("payloads", False)),
         )
 
 

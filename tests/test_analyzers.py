@@ -140,3 +140,68 @@ def test_batch_is_vectorized_over_large_input():
     flat, counts, pos = analyze_batch(vals, "ngram:3,3")
     assert counts.sum() == len(flat)
     assert (counts == np.char.str_len(vals.to_numpy(str)) - 2).all()
+
+
+# ---------------------------------------------------------- A6 segmentation
+
+SEG_VALUES = [
+    "Hello, World",                      # plain ASCII with a break char
+    "日本語のテキストです",                  # CJK unigrams + kana runs
+    "Spark入門ガイド2024",                  # mixed script + digits
+    "",                                  # empty
+    None,                                # null
+    "ＦｕｌｌＷｉｄｔｈ１２３",               # NFKC folds fullwidth forms
+    "καλημέρα κόσμε",                    # Greek (generic letter runs)
+    "a漢b",                              # alternating 1-char runs
+    "　 \t\n",                           # whitespace only
+    "ひらがなカタカナ混在",                  # hira run | kata run | CJK
+]
+
+
+@pytest.mark.parametrize("spec", ["segmentation", "segmentation|stem"])
+def test_segmentation_batch_matches_reference(spec):
+    from iresearch_spark.analysis.analyzers import (
+        analyze_batch_spans,
+        analyze_one_spans,
+    )
+
+    flat, counts, pos, sts, lns = analyze_batch_spans(
+        pd.Series(SEG_VALUES, dtype=object), spec
+    )
+    k = 0
+    for row, v in enumerate(SEG_VALUES):
+        ref = analyze_one_spans(v, spec)
+        c = int(counts[row])
+        got = [
+            (flat[k + i], int(pos[k + i]), int(sts[k + i]), int(lns[k + i]))
+            for i in range(c)
+        ]
+        k += c
+        assert got == ref, (spec, v, got, ref)
+
+
+def test_segmentation_spec_frozen_examples():
+    """Frozen-spec goldens: CJK unigrams, same-kind kana runs, NFKC fold,
+    spans addressing the normalized string."""
+    from iresearch_spark.analysis.analyzers import analyze_one_spans
+
+    assert analyze_one_spans("日本語のテキスト", "segmentation") == [
+        ("日", 0, 0, 1),
+        ("本", 1, 1, 1),
+        ("語", 2, 2, 1),
+        ("の", 3, 3, 1),
+        ("テキスト", 4, 4, 4),
+    ]
+    assert analyze_one_spans("Spark入門2024", "segmentation") == [
+        ("spark", 0, 0, 5),
+        ("入", 1, 5, 1),
+        ("門", 2, 6, 1),
+        ("2024", 3, 7, 4),
+    ]
+    # NFKC: fullwidth Ａ１ -> a1 (one word run in the normalized string)
+    assert analyze_one_spans("Ａ１", "segmentation") == [("a1", 0, 0, 2)]
+    # hiragana and katakana are DIFFERENT kinds -> separate runs
+    assert analyze_one_spans("かなカナ", "segmentation") == [
+        ("かな", 0, 0, 2),
+        ("カナ", 1, 2, 2),
+    ]

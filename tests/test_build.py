@@ -118,8 +118,14 @@ def test_resume_from_checkpoint(spark, unit_corpus, tmp_path):
     # simulate an interrupted second build: stage dir with docs completed
     commit_dir = store.new_commit_dir()
     with open(os.path.join(root, "_staging.json"), "w") as f:
+        from iresearch_spark.build.indexer import staging_key
+        from iresearch_spark.fields import DEFAULT_FIELDS
+
         json.dump(
-            {"key": "r2|2|None|replace|0|text=__text__:text", "dir": commit_dir},
+            {
+                "key": staging_key("r2", 2, None, "replace", 0, DEFAULT_FIELDS),
+                "dir": commit_dir,
+            },
             f,
         )
     docs_dir = os.path.join(commit_dir, "docs")

@@ -38,16 +38,20 @@ from iresearch_spark.textops.sqlgen import (
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 _SEARCHERS: dict[str, IndexSearcher] = {}
 _LIFECYCLE: dict[str, IndexSearcher] = {}
+_TIER: dict[str, IndexSearcher] = {}
 
 # Contract index fields (SURVEY.md §2b): the default web text field plus
 # one field per analyzer family — A1 identity, A3 delimiter, A4 ngram,
 # A5 pipeline (text|stem), A6 stem — all over the driver documents table.
+# "stempay" additionally carries the A8 payload attribute: each posting
+# occurrence stores its pre-stem surface form.
 _MF_FIELDS = [
     FieldSpec("text", "__text__", "text", offsets=True),
     FieldSpec("srcid", "source", "identity"),
     FieldSpec("ws", "text", "delimiter: "),
     FieldSpec("srcng", "source", "ngram:2,3"),
     FieldSpec("stem", "text", "text|stem"),
+    FieldSpec("stempay", "text", "text|stem", offsets=True, payloads=True),
 ]
 
 # ---- frozen query specs (terms exist across sf0.001/0.01/0.1 corpora)
@@ -208,7 +212,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         return got
     store = SnapshotStore(
         os.path.join(
-            _CACHE_ROOT, "contract_index_v2", key.strip("/").replace("/", "_")
+            _CACHE_ROOT, "contract_index_v3", key.strip("/").replace("/", "_")
         )
     )
     if store.current_snapshot_id() is None:
@@ -394,6 +398,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lifecycle_stats"] = lifecycle_stats
     q["lifecycle_term"] = lifecycle_term
 
+    # F18 cached DocSet: a pre-materialized per-segment doc-id set (a prior
+    # query's cached result, [up] bitset_doc_iterator) composed with BM25 —
+    # members add the set's constant boost to the term score
+    def bm25_docset(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        rows = (
+            s.store.read_docs(spark, s.sid)
+            .filter(F.col("url").cast("long") % 3 == 0)
+            .select("seg_id", "doc_id")
+            .collect()
+        )
+        seg_docs: dict[int, list[int]] = {}
+        for r in rows:
+            seg_docs.setdefault(int(r["seg_id"]), []).append(int(r["doc_id"]))
+        flt = qf.And(
+            qf.Term("table"), qf.DocSet(seg_docs, boost=2.0)
+        )
+        res = s.search_batch(
+            {0: flt}, k=10, with_urls=True, tie="url", score_round=6
+        )
+        return res.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.col("score"),
+        )
+
+    q["bm25_docset"] = bm25_docset
+
+    # M2 tier policy end-to-end: three append generations -> consolidate
+    # under consolidate_tier -> stats + ranking must equal a fresh build
+    def _tier_searcher(spark, sf_dir):
+        from iresearch_spark.build.policy import consolidate, consolidate_tier
+
+        key = sf_dir.rstrip("/")
+        got = _TIER.get(key)
+        if got is not None:
+            return got
+        store = SnapshotStore(
+            os.path.join(
+                _CACHE_ROOT, "tier_index", key.strip("/").replace("/", "_")
+            )
+        )
+        if store.current_snapshot_id() is None:
+            corpus = documents_as_corpus(spark, key)
+            did = F.col("url").cast("long")
+            for gen in range(3):
+                build_index(
+                    spark,
+                    corpus.filter(did % 3 == gen),
+                    store,
+                    n_segments=2,
+                    source=f"{key}#gen{gen}",
+                    mode="replace" if gen == 0 else "append",
+                )
+            consolidate(spark, store, policy=consolidate_tier)
+        s = IndexSearcher(spark, store)
+        _TIER[key] = s
+        return s
+
+    def lifecycle_tier_stats(spark, sf_dir):
+        s = _tier_searcher(spark, sf_dir)
+        segs = s.store.read_docs(spark, s.sid).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+            F.count_distinct("seg_id").alias("n_segments"),
+        )
+        return segs
+
+    def lifecycle_tier_term(spark, sf_dir):
+        s = _tier_searcher(spark, sf_dir)
+        res = s.search_batch(
+            {0: qf.Term("table")}, k=10, with_urls=True, tie="url", score_round=6
+        )
+        return res.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.col("score"),
+        )
+
+    q["lifecycle_tier_stats"] = lifecycle_tier_stats
+    q["lifecycle_tier_term"] = lifecycle_tier_term
+
     # A8 offsets: first occurrence span of a term per doc (highlighting
     # surface; text field indexed with the offsets feature)
     def term_spans(spark, sf_dir):
@@ -421,6 +507,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["term_spans"] = term_spans
+
+    # A8 payloads: first occurrence of the stem 'custom' per doc with its
+    # stored pre-stem surface form riding the posting (payload attribute)
+    def term_payloads(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        occ = s.occurrences("custom", "stempay")
+        docs = s.store.read_docs(spark, s.sid).select("seg_id", "doc_id", "url")
+        first = occ.groupBy("seg_id", "doc_id").agg(
+            F.min("pos").cast("int").alias("pos"),
+            F.min_by("payload", "pos").alias("payload"),
+        )
+        return (
+            first.join(docs, ["seg_id", "doc_id"])
+            .select(
+                F.col("url").cast("long").alias("doc_id"), "pos", "payload"
+            )
+            .orderBy("doc_id")
+            .limit(50)
+        )
+
+    q["term_payloads"] = term_payloads
+
+    # A6 segmentation: frozen UAX#29-lite word break over a deterministic
+    # mixed-script derivation of the documents table (the test corpus is
+    # ASCII, so the non-Latin surface is synthesized per doc: one CJK
+    # ideograph + the ASCII source id + a hiragana run). CJK unigrams,
+    # kana runs and alnum runs each become tokens with char spans.
+    def segmentation_tokens(spark, sf_dir):
+        import pandas as pd
+        import numpy as np
+
+        # NOTE: Spark SQL char()/chr() wraps codepoints mod 256, so the
+        # CJK ideograph is synthesized python-side inside the UDF
+        synth = _docs(spark, sf_dir).select("doc_id", "source")
+
+        def seg(pdfs):
+            from iresearch_spark.analysis.analyzers import analyze_batch_spans
+
+            for pdf in pdfs:
+                s = (
+                    (pdf["doc_id"] % 20 + 19968)
+                    .map(chr)
+                    .str.cat(pdf["source"])
+                    .str.cat(["かな"] * len(pdf))
+                )
+                flat, counts, pos, sts, lns = analyze_batch_spans(
+                    s, "segmentation"
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(
+                            pdf["doc_id"].to_numpy(), counts
+                        ),
+                        "token": flat,
+                        "pos": pos.astype("int32"),
+                        "start": sts.astype("int32"),
+                        "length": lns.astype("int32"),
+                    }
+                )
+
+        return (
+            synth.mapInPandas(
+                seg,
+                "doc_id bigint, token string, pos int, start int, length int",
+            )
+            .orderBy("doc_id", "pos")
+            .limit(200)
+        )
+
+    q["segmentation_tokens"] = segmentation_tokens
 
     # training-data operators (SURVEY.md §2 extensions)
     q["token_stats"] = lambda s, d: quality.token_stats(_docs(s, d))
@@ -528,6 +684,31 @@ WITH live AS (
 )
 SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS sum_dl FROM live"""
     o["lifecycle_term"] = bm25_topk_sql(["table"], doc_table=_LIVE_DOCS)
+    # F18 DocSet: constant-score set membership (doc_id % 3 == 0) summed
+    # into the BM25 term score, exactly like the colexists composition
+    o["bm25_docset"] = f"""{base_ctes()},
+qterms(term) AS (VALUES ('table')),
+scored AS (
+  SELECT tf.doc_id, sum({_score_expr(1.2, 0.75)}) + 2.0 AS score
+  FROM tf JOIN qterms USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  WHERE tf.doc_id % 3 = 0
+  GROUP BY tf.doc_id
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY rank"""
+    # M2 tier: three appended generations consolidated under the tier
+    # policy — six floored flush segments merge into ONE; stats and
+    # rankings equal a fresh single build over the whole corpus
+    o["lifecycle_tier_stats"] = f"""
+WITH t AS (SELECT doc_id, {tokens_expr()} AS toks FROM documents)
+SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS sum_dl,
+       1::BIGINT AS n_segments
+FROM t"""
+    o["lifecycle_tier_term"] = bm25_topk_sql(["table"])
     # A8: first occurrence of 'customer' — token index via list_position,
     # char span via strpos (the corpus text is single-spaced ASCII and no
     # vocabulary word contains 'customer' as a substring)
@@ -539,5 +720,34 @@ SELECT doc_id,
        8::INT AS length
 FROM t WHERE list_position(toks, 'customer') > 0
 ORDER BY doc_id LIMIT 50"""
+    # A8 payloads: pipeline positions under text|stem are the text-stage
+    # positions (singleton pass-through), so pos = token index; the stored
+    # payload is the pre-stem token at that index
+    from iresearch_spark.analysis.analyzers import stem_sql_expr
+
+    o["term_payloads"] = f"""
+WITH t AS (SELECT doc_id, {tokens_expr()} AS toks FROM documents),
+st AS (SELECT doc_id, toks,
+              list_transform(toks, x -> {stem_sql_expr('x')}) AS stoks
+       FROM t)
+SELECT doc_id, (list_position(stoks, 'custom') - 1)::INT AS pos,
+       toks[list_position(stoks, 'custom')] AS payload
+FROM st WHERE list_position(stoks, 'custom') > 0
+ORDER BY doc_id LIMIT 50"""
+    # A6 segmentation: the synthesized surface is one CJK ideograph + the
+    # (single-alnum-run, already-lowercase) source id + a hiragana run, so
+    # the frozen word-break spec yields exactly three tokens per doc
+    o["segmentation_tokens"] = """
+WITH d AS (SELECT doc_id, chr(19968 + (doc_id % 20)::INT) AS han, source
+           FROM documents),
+t AS (SELECT doc_id, unnest([
+        {'token': han, 'pos': 0, 'start': 0, 'length': 1},
+        {'token': source, 'pos': 1, 'start': 1, 'length': length(source)},
+        {'token': 'かな', 'pos': 2, 'start': 1 + length(source),
+         'length': 2}
+      ]) AS u FROM d)
+SELECT doc_id, u.token AS token, u.pos::INT AS pos, u.start::INT AS start,
+       u.length::INT AS length
+FROM t ORDER BY doc_id, pos LIMIT 200"""
     # multimodal_features: decode stub is not SQL-expressible -> rows-only
     return o

@@ -10,12 +10,17 @@ docs (tested). Term dictionaries union naturally under groupBy(field,
 term); the new segment's postings/skip/blockmax blobs are re-encoded from
 the remapped doc lists.
 
-Spark shape: the doc stream is ONE url-sorted task (the reference's
-single-threaded merge_writer doc pass; bounded by the tier policy's merge
-budget) emitting an (old_seg, old_doc) -> new_doc remap table; the
-postings merge is one groupBy(field, term).applyInPandas — term-parallel,
-so a single merge scales out across executors even though the *output* is
-one logical segment, and many merge sets can run as independent jobs.
+Spark shape: the doc stream is a DISTRIBUTED global url sort — survivors
+are checkpointed once (so the range sampler scans one parquet column, not
+the Python cogroup), range-partitioned by url, numbered per partition with
+a JVM window, and given globally sequential docIDs by adding per-partition
+offsets (a ≤`parts`-row cumsum broadcast join). No single-task stage
+remains: where the reference's merge_writer streams docs through one
+thread ([up] core/index/merge_writer.cpp), the same url-ordered sequence
+here is produced by `parts` parallel tasks. The postings merge is one
+groupBy(field, term).applyInPandas — term-parallel — so a single merge
+scales out across executors even though the *output* is one logical
+segment, and many merge sets can run as independent jobs.
 
 delete_by_query writes per-segment tombstone masks (sorted u32 docID
 blobs, the document_mask of [up] core/formats/formats.hpp) and commits a
@@ -90,10 +95,12 @@ def merge_segments(
     # The engine's docID invariant (SURVEY.md §1.4) is "docIDs follow url
     # order within a segment"; per-source-offset rebase would break it and
     # make merged segments tie-break differently from a fresh build. The
-    # merged segment's doc stream is therefore one url-sorted pass — a
-    # single task, exactly the reference's single-threaded merge_writer
-    # doc stream (bounded by the policy's max_segments_bytes); the
-    # postings merge below stays term-parallel.
+    # global url sort is DISTRIBUTED: checkpoint survivors (so the range
+    # sampler scans one parquet column instead of re-running the Python
+    # cogroup), range-partition by url, number each partition with a JVM
+    # window, then add per-partition offsets (tiny cumsum, broadcast join)
+    # to get the globally sequential ids the single-threaded reference
+    # merge_writer would emit — at `parts`-way parallelism.
     docs = spark.read.parquet(
         *[store.abs_path(segs[s]["docs_path"]) for s in seg_ids]
     )
@@ -109,33 +116,81 @@ def merge_segments(
         "lang string, dl int, fdls array<int>"
     )
 
-    def assign_new_ids(_key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.drop(columns=["_g"]).sort_values("url").reset_index(drop=True)
-        pdf["old_seg"] = pdf["seg_id"].astype("int32")
-        pdf["old_doc"] = pdf["doc_id"]
-        pdf["seg_id"] = np.int32(new_seg_id)
-        pdf["doc_id"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
-        return pdf
-
-    staged = (
+    surv_dir = os.path.join(commit_dir, "survivors")
+    (
         docs.select("seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls")
         .groupBy("seg_id")
         .cogroup(masks_df.groupBy("seg_id"))
         .applyInPandas(drop_masked, survivors_schema)
-        .withColumn("_g", F.lit(1))
-        .groupBy("_g")
-        .applyInPandas(
-            assign_new_ids,
-            survivors_schema + ", old_seg int, old_doc bigint",
+        .withColumnsRenamed({"seg_id": "old_seg", "doc_id": "old_doc"})
+        .write.parquet(surv_dir, mode="overwrite")
+    )
+
+    from pyspark.sql import Window as W
+
+    # pid/local_idx are materialized in ONE action (remap staging write), so
+    # the offsets computed from the staging table can never disagree with
+    # the ids the docs write reads back. orderBy carries (old_seg, old_doc)
+    # tiebreakers so duplicate urls stay deterministic under any
+    # parallelism; with unique urls this matches a fresh build exactly.
+    w_local = W.partitionBy("pid").orderBy("url", "old_seg", "old_doc")
+    (
+        spark.read.parquet(surv_dir)
+        .repartitionByRange(parts, "url", "old_seg", "old_doc")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("local_idx", F.row_number().over(w_local).cast("bigint"))
+        .write.parquet(remap_dir, mode="overwrite")
+    )
+
+    staged = spark.read.parquet(remap_dir)
+    counts = {
+        int(r["pid"]): int(r["n"])
+        for r in staged.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        # every doc in the merge set is masked: the merged segment would be
+        # empty, so (like the reference dropping an empty merge_writer
+        # output) commit a snapshot that simply drops the source segments.
+        import shutil
+
+        shutil.rmtree(commit_dir, ignore_errors=True)
+        survivors = [
+            s for s in snap["segments"] if int(s["seg_id"]) not in set(seg_ids)
+        ]
+        field_names = [d["name"] for d in store.fields()]
+        field_totals: dict[str, int] = {}
+        for s in survivors:
+            per = s.get("field_sum_dl") or {field_names[0]: int(s["sum_dl"])}
+            for name, v in per.items():
+                field_totals[name] = field_totals.get(name, 0) + int(v)
+        stats = {
+            "n_docs": sum(int(s["n_docs"]) for s in survivors),
+            "sum_dl": sum(int(s["sum_dl"]) for s in survivors),
+            "field_sum_dl": field_totals,
+        }
+        lineage = [
+            {
+                "partition": "(dropped)",
+                "source": f"merge({','.join(map(str, seg_ids))})",
+                "n_docs": 0,
+                "dropped_masked": sum(int(segs[s]["n_docs"]) for s in seg_ids),
+            }
+        ]
+        return store.commit(
+            survivors, stats=stats, lineage=lineage, operation="consolidate"
         )
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid_ in sorted(counts):
+        offsets[pid_] = running
+        running += counts[pid_]
+    offsets_df = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "pid int, off bigint"
     )
     (
-        staged.withColumn("seg_part", F.col("seg_id"))
-        .write.partitionBy("seg_part")
-        .parquet(remap_dir, mode="overwrite")
-    )
-    (
-        spark.read.parquet(remap_dir)
+        staged.join(F.broadcast(offsets_df), "pid")
+        .withColumn("doc_id", (F.col("off") + F.col("local_idx")))
+        .withColumn("seg_id", F.lit(new_seg_id).cast("int"))
         .select("seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls")
         .withColumn("seg_part", F.col("seg_id"))
         .write.partitionBy("seg_part")
@@ -147,11 +202,17 @@ def merge_segments(
     import pyarrow.parquet as pq
 
     remap_tbl = pq.read_table(
-        remap_dir, columns=["old_seg", "old_doc", "doc_id"]
+        remap_dir, columns=["old_seg", "old_doc", "pid", "local_idx"]
     )
     o_seg = remap_tbl.column("old_seg").to_numpy()
     o_doc = remap_tbl.column("old_doc").to_numpy()
-    n_doc = remap_tbl.column("doc_id").to_numpy()
+    off_np = np.zeros(max(offsets, default=0) + 1, dtype=np.int64)
+    for pid_, off_ in offsets.items():
+        off_np[pid_] = off_
+    n_doc = (
+        off_np[remap_tbl.column("pid").to_numpy()]
+        + remap_tbl.column("local_idx").to_numpy()
+    )
     remap_arrays: dict[int, np.ndarray] = {}
     for sid_ in seg_ids:
         arr = np.zeros(int(segs[sid_]["n_docs"]) + 1, dtype=np.int64)
@@ -341,10 +402,11 @@ def merge_segments(
         .parquet(post_dir, mode="overwrite")
     )
 
-    # drop the remap staging table (only needed during this merge)
+    # drop the staging tables (only needed during this merge)
     import shutil
 
     shutil.rmtree(remap_dir, ignore_errors=True)
+    shutil.rmtree(surv_dir, ignore_errors=True)
 
     # ---- snapshot: survivors + the merged segment
     rel = os.path.relpath(commit_dir, store.root)

@@ -319,3 +319,44 @@ def test_expire_and_gc(spark, split_store, tmp_path):
     # the surviving snapshot still reads fine
     after = _results(spark, store)
     assert after and store.snapshots() == [store.current_snapshot_id()]
+
+
+def test_merge_all_masked_drops_segments(spark, split_store, tmp_path):
+    """Merging a set whose every doc is tombstoned must not try to write an
+    empty segment: the consolidate commit simply drops the source segments
+    (the reference likewise discards an empty merge_writer output)."""
+    store = _copy_store(split_store, tmp_path)
+    delete_by_query(spark, store, qf.AllDocs())
+    seg_ids = [int(s["seg_id"]) for s in store.snapshot()["segments"]]
+    merge_segments(spark, store, seg_ids)
+    snap = store.snapshot()
+    assert snap["segments"] == []
+    assert snap["stats"]["n_docs"] == 0
+    assert (
+        IndexSearcher(spark, store)
+        .search_batch({0: qf.Term("w3")}, k=10)
+        .count()
+        == 0
+    )
+
+
+def test_merge_docid_assignment_parts_invariant(spark, split_store, tmp_path):
+    """The distributed url-sort docID assignment (range partition + local
+    row_number + offset cumsum) must be byte-identical at any parallelism:
+    merging the same segments at parts=2 and parts=16 yields the same
+    (doc_id, url) table and the same ranked results."""
+    docs_tables, results = [], []
+    for parts in (2, 16):
+        store = _copy_store(split_store, tmp_path / f"p{parts}")
+        seg_ids = [int(s["seg_id"]) for s in store.snapshot()["segments"]]
+        merge_segments(spark, store, seg_ids, parts=parts)
+        docs = (
+            store.read_docs(spark)
+            .select("doc_id", "url", "dl")
+            .orderBy("doc_id")
+            .collect()
+        )
+        docs_tables.append([(r["doc_id"], r["url"], r["dl"]) for r in docs])
+        results.append(_results(spark, store))
+    assert docs_tables[0] == docs_tables[1]
+    assert results[0] == results[1]

@@ -127,8 +127,15 @@ def _flatten_and_terms(tree: qf.Filter):
     return None
 
 
-def _walk_terms(node: qf.Filter, terms: set, phrases: list) -> None:
-    """Collect every (field, term) key the tree needs postings for."""
+def _walk_terms(node: qf.Filter, terms: set, phrases: list, pos_keys: set) -> None:
+    """Collect every (field, term) key the tree needs postings for.
+
+    `pos_keys` additionally collects the keys whose GLOBAL idf must be
+    resolved driver-side: Phrase/SamePosition slot weights sum idf over
+    every slot variant — including variants absent from a given segment —
+    so the per-segment kernel cannot derive them from the rows it sees.
+    All other keys get their idf inside the kernel from the fused
+    global-df column (one job instead of stats job + execute job)."""
     if isinstance(node, qf.Term):
         terms.add((node.field, node.term))
     elif isinstance(node, (qf.Terms,)):
@@ -136,22 +143,25 @@ def _walk_terms(node: qf.Filter, terms: set, phrases: list) -> None:
     elif isinstance(node, (qf.Phrase, qf.SamePosition)):
         for slot in node.terms:
             if isinstance(slot, qf.Terms):
-                terms.update((node.field, t) for t in slot.terms)
+                keys = {(node.field, t) for t in slot.terms}
             else:
-                terms.add((node.field, slot))
+                keys = {(node.field, slot)}
+            terms.update(keys)
+            pos_keys.update(keys)
         phrases.append(node)
     elif isinstance(node, qf.NgramSimilarity):
+        # positional, but its score (boost · similarity) uses no idf
         terms.update((node.field, g) for g in node.grams())
         phrases.append(node)
     elif isinstance(node, qf.And):
         for c in node.children:
-            _walk_terms(c, terms, phrases)
+            _walk_terms(c, terms, phrases, pos_keys)
     elif isinstance(node, qf.Or):
         for c in node.children:
-            _walk_terms(c, terms, phrases)
+            _walk_terms(c, terms, phrases, pos_keys)
     elif isinstance(node, qf.Not):
-        _walk_terms(node.child, terms, phrases)
-        _walk_terms(node.excluded, terms, phrases)
+        _walk_terms(node.child, terms, phrases, pos_keys)
+        _walk_terms(node.excluded, terms, phrases, pos_keys)
 
 
 def _keys_condition(keys) -> "F.Column":
@@ -445,28 +455,33 @@ class IndexSearcher:
         }
         terms: set[tuple[str, str]] = set()
         phrases: list = []
+        pos_keys: set[tuple[str, str]] = set()
         for t in trees.values():
-            _walk_terms(t, terms, phrases)
-        # global df stats for exactly the needed (field, term) keys (small
-        # agg, both predicates pushed down to the sorted parquet scan);
-        # keys already known from the expansion job or earlier queries are
-        # served from the searcher's cache — plain-term queries cost ONE
-        # stats job, expansion-only queries cost none
-        idf: dict[tuple[str, str], float] = {}
-        missing = [k for k in terms if k not in self._df_cache]
-        if missing:
+            _walk_terms(t, terms, phrases, pos_keys)
+        # Driver-side global df is needed ONLY for Phrase/SamePosition slot
+        # keys (their slot weight sums idf over variants a segment may not
+        # contain) that aren't already cached from an expansion job or an
+        # earlier query. Every other key's idf is derived INSIDE the
+        # scoring kernel from the fused global-df column search_batch
+        # broadcast-joins onto the posting rows — a plain term/And/Or
+        # query therefore runs as ONE Spark job, no separate stats job.
+        missing_pos = [k for k in pos_keys if k not in self._df_cache]
+        if missing_pos:
             stat_rows = (
-                self._postings.filter(_keys_condition(missing))
+                self._postings.filter(_keys_condition(missing_pos))
                 .groupBy("field", "term")
                 .agg(F.sum("df").alias("df"))
                 .collect()
             )
             for r in stat_rows:
                 self._df_cache[(r["field"], r["term"])] = int(r["df"])
-            for k in missing:  # absent terms have df 0
+            for k in missing_pos:  # absent terms have df 0
                 self._df_cache.setdefault(k, 0)
-        for k in terms:
-            idf[k] = self.idf(self._df_cache[k])
+        idf = {
+            k: self.idf(self._df_cache[k])
+            for k in terms
+            if k in self._df_cache
+        }
         return trees, terms, idf, bool(phrases)
 
     # ------------------------------------------------------------ execute
@@ -510,9 +525,17 @@ class IndexSearcher:
             if terms
             else self._postings.limit(0).select(*cols)
         )
+        if terms and any(key not in idf for key in terms):
+            # fuse the global-df stats into THIS job: a tiny per-(field,
+            # term) aggregate over the same pruned scan, broadcast-joined
+            # back onto the rows; the kernel derives idf from it, so no
+            # separate driver stats job runs
+            gdf = rows.groupBy("field", "term").agg(F.sum("df").alias("gdf"))
+            rows = rows.join(F.broadcast(gdf), ["field", "term"], "left")
         kernel = _make_segment_kernel(
             trees, idf, self.avgdl_by_field, self.field_names, self.k1,
             self.b, k, need_pos, score_round, self.scorer,
+            n_docs=self.n_docs,
         )
         per_seg = (
             rows.groupBy("seg_id")
@@ -687,7 +710,7 @@ class IndexSearcher:
 
 def _make_segment_kernel(
     trees, idf, avgdl_by_field, field_names, k1, b, k, need_pos,
-    score_round=None, scorer="bm25", match_only=False,
+    score_round=None, scorer="bm25", match_only=False, n_docs=0,
 ):
     """Per-segment scoring kernel (runs in applyInPandas cogroup).
 
@@ -697,7 +720,14 @@ def _make_segment_kernel(
     per (segment, field) — per-field dl arrays and avgdl, the reference's
     per-field norm columns. With `match_only` the WAND fast paths and the
     top-k truncation are skipped and EVERY matching doc is emitted (score
-    column carries 0.0)."""
+    column carries 0.0).
+
+    `idf` holds the driver-resolved entries (expansion-cached terms plus
+    Phrase/SamePosition slot keys); any other key's idf is derived here
+    from the fused `gdf` (global df) column riding the posting rows, with
+    `n_docs` the snapshot's global document count — identical math to
+    IndexSearcher.idf, just evaluated executor-side so a plain query needs
+    no separate stats job."""
 
     def kernel(postings_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -729,6 +759,17 @@ def _make_segment_kernel(
                         bytes(blob), dtype="<u4"
                     ).astype(np.int64)
         term_rows = {(r.field, r.term): r for r in postings_pdf.itertuples()}
+        idf_l = dict(idf)
+        if "gdf" in postings_pdf.columns:
+            if scorer == "tfidf":
+                def _gidf(df_):
+                    return 1.0 + math.log(n_docs / (df_ + 1.0))
+            else:
+                def _gidf(df_):
+                    return math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+            for key, row in term_rows.items():
+                if key not in idf_l:
+                    idf_l[key] = _gidf(int(row.gdf))
         readers: dict[tuple[str, str], TermPostings | None] = {}
 
         def get_reader(key) -> TermPostings | None:
@@ -780,7 +821,7 @@ def _make_segment_kernel(
                 docs, tfs = get_postings(key)
                 if len(docs) == 0:
                     return docs, np.empty(0, np.float64)
-                w = node.boost * idf.get(key, 0.0)
+                w = node.boost * idf_l.get(key, 0.0)
                 dls = field_dls(node.field)
                 return docs, w * tfn(tfs, dls[docs - 1], field_avgdl(node.field))
             if isinstance(node, qf.Terms):
@@ -910,7 +951,7 @@ def _make_segment_kernel(
             )
             matched = hits > 0
             w = boost * sum(
-                idf.get((field, t), 0.0) for slot in slots for t in slot
+                idf_l.get((field, t), 0.0) for slot in slots for t in slot
             )
             docs_out = common[matched]
             dls = field_dls(field)
@@ -1054,7 +1095,7 @@ def _make_segment_kernel(
             if ft is not None and len(ft) >= 2:
                 pairs = [
                     (
-                        m * idf.get(key, 0.0),
+                        m * idf_l.get(key, 0.0),
                         get_reader(key),
                         field_dls(key[0]),
                         field_avgdl(key[0]),
@@ -1072,7 +1113,7 @@ def _make_segment_kernel(
                         continue  # a missing term empties the conjunction
                     pairs = [
                         (
-                            m * idf.get(key, 0.0),
+                            m * idf_l.get(key, 0.0),
                             get_reader(key),
                             field_dls(key[0]),
                             field_avgdl(key[0]),

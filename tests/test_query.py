@@ -101,6 +101,29 @@ def test_same_position_filter(spark, unit_index):
     assert got2 == exp2 and got2
 
 
+def test_plain_query_skips_driver_stats(spark, unit_index):
+    """Stats-job fusion: a plain term/And/Or query must not run a driver
+    stats job — idf is derived in-kernel from the fused global-df column,
+    so the searcher's df cache stays empty. Phrase slot keys, whose
+    weights sum idf over variants a segment may not hold, ARE resolved
+    driver-side."""
+    store, _sid, oracle = unit_index
+    s = IndexSearcher(spark, store)
+    rows = s.search_batch(
+        {0: Or(Term("w3"), Term("w7"))}, k=5, with_urls=True
+    ).collect()
+    assert ("text", "w3") not in s._df_cache
+    assert ("text", "w7") not in s._df_cache
+    want = oracle.search(Or(Term("w3"), Term("w7")), k=5)
+    got = sorted(
+        (r["rank"], r["seg_id"], r["doc_id"], r["url"], r["score"])
+        for r in rows
+    )
+    assert [(seg, doc, url, sc) for _rank, seg, doc, url, sc in got] == want
+    s.search_batch({1: Phrase(["w1", "w2"])}, k=5).count()
+    assert ("text", "w1") in s._df_cache and ("text", "w2") in s._df_cache
+
+
 def test_fuzzy_transpositions_rank_identical(searcher, unit_index):
     """F8 with_transpositions: OSA expansion differs from plain Levenshtein
     (w21 is one adjacent swap from w12) and the engine matches the oracle

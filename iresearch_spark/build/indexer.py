@@ -151,7 +151,7 @@ def build_index(
     # (the finest-grained resume point: an interrupted build restarts from
     # the tokenized table, skipping html-extract + tokenize entirely)
     t0 = time.time()
-    if not (docs_done and post_done) and not tok_done:
+    if not (docs_done and post_done and norms_done) and not tok_done:
         cols = ["seg_id", "url", "warc_ts", "lang", "html", "text"]
         # extra analyzer source columns beyond the standard web shape
         extra_sources = sorted(
@@ -209,7 +209,9 @@ def build_index(
         )
     timings["tokenize_assign_s"] = time.time() - t0
     assigned = (
-        spark.read.parquet(tok_dir) if not (docs_done and post_done) else None
+        spark.read.parquet(tok_dir)
+        if not (docs_done and post_done and norms_done)
+        else None
     )
 
     # ---- docs / postings / norms: all three are independent consumers of

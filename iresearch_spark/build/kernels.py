@@ -65,6 +65,12 @@ POSTING_SCHEMA = (
 NORMS_SCHEMA = (
     "seg_id int, fidx int, n_docs bigint, sum_dl bigint, dls_bin binary"
 )
+# The docs (columnstore) table as written by build_index's write_docs and
+# merge_segments — the canonical row a reader of any docs_path sees.
+DOCS_TABLE_SCHEMA = (
+    "seg_id int, doc_id bigint, url string, warc_ts timestamp, "
+    "lang string, dl int, fdls array<int>"
+)
 
 
 def norms_builder(key, pdf):

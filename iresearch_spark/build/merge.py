@@ -111,10 +111,7 @@ def merge_segments(
             pdf = pdf[~pdf["doc_id"].isin(mask)]
         return pdf
 
-    survivors_schema = (
-        "seg_id int, doc_id bigint, url string, warc_ts timestamp, "
-        "lang string, dl int, fdls array<int>"
-    )
+    survivors_schema = kernels.DOCS_TABLE_SCHEMA
 
     surv_dir = os.path.join(commit_dir, "survivors")
     (

@@ -123,11 +123,12 @@ def or_terms_topk(
     (unsorted).
 
     Weight-0 entries are F17's matched-but-unscored expansions: their docs
-    match with score 0, so their lists are decoded ONLY when θ_eff ≤ 0
-    (fewer than k positively-scored docs exist) — a doc with score ≥ θ_eff
-    > 0 must appear in some positive term's list, and that term's own
-    block inequality already decides it. A huge capped-prefix tail
-    therefore costs nothing once k scored docs are found."""
+    match with score 0, below every positive score, so their lists are
+    decoded ONLY when they could still make the top-k — fewer than k
+    positive candidates exist, or the k-th kept (rounded) score is ≤ 0 so
+    the 0-tier (doc asc) tie-break decides the tail. A huge capped-prefix
+    tail therefore costs nothing once k positively-scored docs are
+    found."""
     infos = []
     zero_readers = []
     for w, r, dls, avgdl in terms:
@@ -176,17 +177,18 @@ def or_terms_topk(
         if len(surv):
             docs_b, _ = r.decode_blocks(surv)
             cand_parts.append(docs_b)
-    if not cand_parts:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
-    cand = np.unique(np.concatenate(cand_parts))
-    if mask is not None and len(cand):
-        cand = cand[~np.isin(cand, mask, assume_unique=True)]
-    if len(cand) == 0:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
+    if cand_parts:
+        cand = np.unique(np.concatenate(cand_parts))
+        if mask is not None and len(cand):
+            cand = cand[~np.isin(cand, mask, assume_unique=True)]
+    else:
+        cand = np.empty(0, np.int64)
 
     # phase 2: exact scores (seek-decode whatever the candidates touch)
     score = np.zeros(len(cand), np.float64)
     for w, r, dls, avgdl, _ub, _g in infos:
+        if len(cand) == 0:
+            break
         tf = r.lookup_tfs(cand)
         nz = tf > 0
         if nz.any():
@@ -195,6 +197,29 @@ def or_terms_topk(
     # exhaustive path's (rounded score desc, doc asc) selection exactly
     if score_round is not None:
         score = np.round(score, score_round)
+
+    # phase 3: matched-but-unscored fill. Zero-weight docs score exactly
+    # 0, below every positive score — their lists are decoded ONLY when
+    # they could still make the top-k: fewer than k positive candidates,
+    # or the k-th kept (rounded) score is <= 0 so the 0-tier tie-break
+    # (doc asc) decides the tail.
+    if zero_readers and k > 0:
+        kth = (
+            float(np.partition(score, len(cand) - k)[len(cand) - k])
+            if len(cand) >= k
+            else None
+        )
+        if kth is None or kth <= 0.0:
+            zparts = [r.full()[0] for r in zero_readers]
+            zdocs = np.unique(np.concatenate(zparts))
+            if mask is not None and len(zdocs):
+                zdocs = zdocs[~np.isin(zdocs, mask, assume_unique=True)]
+            if len(cand):
+                zdocs = zdocs[~np.isin(zdocs, cand, assume_unique=True)]
+            cand = np.concatenate([cand, zdocs])
+            score = np.concatenate(
+                [score, np.zeros(len(zdocs), np.float64)]
+            )
     if len(cand) > k:
         sel = np.lexsort((cand, -score))[:k]
         return cand[sel], score[sel]

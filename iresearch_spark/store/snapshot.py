@@ -163,37 +163,27 @@ class SnapshotStore:
         masks = self.read_masks(spark, snapshot_id)
         return norms.join(masks, "seg_id", "left")
 
-    # Canonical table schemas for a committed-but-empty index (every doc
-    # deleted then consolidated away). Mirrors build/kernels.py
-    # POSTING_SCHEMA / NORMS_SCHEMA and the docs write in build/indexer.py
-    # (inlined here: store must not import build). Readers of an empty
-    # snapshot get empty typed tables, so searches return zero hits
-    # instead of raising — the reference's directory_reader likewise opens
-    # an index whose last commit holds no segments.
-    _EMPTY_TABLE_SCHEMAS = {
-        "docs_path": (
-            "seg_id int, doc_id bigint, url string, warc_ts timestamp, "
-            "lang string, dl int, fdls array<int>"
-        ),
-        "postings_path": (
-            "seg_id int, field string, term string, df bigint, cf bigint, "
-            "max_tf int, blob binary, skip binary, bmax binary, "
-            "pos_off binary, pos_pay binary, span_off binary, "
-            "span_pay binary, pay_off binary, pay_pay binary, "
-            "blob_bytes bigint, pos_bytes bigint"
-        ),
-        "norms_path": (
-            "seg_id int, fidx int, n_docs bigint, sum_dl bigint, "
-            "dls_bin binary"
-        ),
-    }
-
     def _read(self, spark, key: str, snapshot_id: int | None):
         snap = self.snapshot(snapshot_id)
         if snap is None:
             raise FileNotFoundError("no committed snapshot")
         if not snap["segments"]:
-            return spark.createDataFrame([], self._EMPTY_TABLE_SCHEMAS[key])
+            # Committed-but-empty index (every doc deleted then
+            # consolidated away): readers get empty tables TYPED with the
+            # canonical write-side schemas, so searches return zero hits
+            # instead of raising and column-presence probes (e.g.
+            # payloads) behave exactly as on a non-empty index — the
+            # reference's directory_reader likewise opens an index whose
+            # last commit holds no segments. Function-local import: the
+            # store package must not depend on build at module load.
+            from iresearch_spark.build import kernels
+
+            schemas = {
+                "docs_path": kernels.DOCS_TABLE_SCHEMA,
+                "postings_path": kernels.POSTING_SCHEMA,
+                "norms_path": kernels.NORMS_SCHEMA,
+            }
+            return spark.createDataFrame([], schemas[key])
         paths = sorted({self.abs_path(s[key]) for s in snap["segments"]})
         return spark.read.parquet(*paths)
 

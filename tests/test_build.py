@@ -145,6 +145,45 @@ def test_resume_from_checkpoint(spark, unit_corpus, tmp_path):
     assert snap2["stats"] == snap1["stats"]
 
 
+def test_resume_docs_postings_done_norms_pending(
+    spark, unit_corpus, tmp_path, monkeypatch
+):
+    """Regression: a build interrupted AFTER docs+postings finished but
+    BEFORE norms (exactly the state the concurrent table writes make
+    likely) must resume — the assigned checkpoint is still needed for the
+    norms write, so it must not be skipped just because docs+postings
+    carry _SUCCESS markers."""
+    import pytest as _pytest
+
+    from iresearch_spark.build import build_index, kernels
+    from iresearch_spark.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "resume_norms"))
+    sdf = spark.createDataFrame(unit_corpus)
+
+    orig = kernels.norms_builder
+
+    def boom(key, pdf):
+        raise RuntimeError("injected norms failure")
+
+    monkeypatch.setattr(kernels, "norms_builder", boom)
+    with _pytest.raises(Exception):
+        build_index(spark, sdf, store, n_segments=2, source="rn")
+    monkeypatch.setattr(kernels, "norms_builder", orig)
+
+    sid = build_index(spark, sdf, store, n_segments=2, source="rn")
+    snap = store.snapshot(sid)
+    # docs+postings resumed from the interrupted attempt; norms was rerun
+    assert snap["metrics"]["resumed_stages"] == {
+        "docs": True,
+        "postings": True,
+        "norms": False,
+    }
+    fresh = SnapshotStore(str(tmp_path / "resume_norms_fresh"))
+    build_index(spark, sdf, fresh, n_segments=2, source="rn")
+    assert snap["stats"] == fresh.snapshot(None)["stats"]
+
+
 def test_blob_determinism_across_paths(spark, unit_corpus, tmp_path):
     """Final blob bytes are independent of shuffle path and parallelism:
     one-level vs banded-salted builds at different partition counts must

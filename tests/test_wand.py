@@ -174,3 +174,30 @@ def test_zero_weight_lists_not_decoded_when_k_scored_exist():
         score_round=6,
     )
     assert len(got_docs) == 10 and (got_scores > 0).all()
+
+
+def test_zero_weight_fill_when_few_scored_docs():
+    """Regression: a positive term matching FEWER than k docs must not
+    suppress the matched-but-unscored tail — the remaining slots are
+    filled with the smallest zero-weight doc ids at score 0, exactly the
+    exhaustive (score desc, doc asc) selection."""
+    dls = np.full(1000, 50.0)
+    avgdl = 50.0
+    tfn = _tfn()
+    docs_pos = np.array([7, 12, 400], dtype=np.int64)
+    r_pos = _build(docs_pos, np.full(3, 2, dtype=np.int64), dls)
+    docs_zero = np.arange(100, 160, dtype=np.int64)
+    r_zero = _build(docs_zero, np.ones(60, dtype=np.int64), dls)
+    got_docs, got_scores = or_terms_topk(
+        [(1.5, r_pos, dls, avgdl), (0.0, r_zero, dls, avgdl)],
+        10,
+        tfn,
+        score_round=6,
+    )
+    order = np.lexsort((got_docs, -got_scores))
+    got = list(zip(got_docs[order], got_scores[order]))
+    assert [d for d, _ in got[:3]] == [7, 12, 400]
+    assert all(s > 0 for _, s in got[:3])
+    # remaining 7 slots: smallest zero-weight docs at score 0
+    assert [d for d, _ in got[3:]] == list(range(100, 107))
+    assert all(s == 0.0 for _, s in got[3:])

@@ -39,6 +39,7 @@ _CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 _SEARCHERS: dict[str, IndexSearcher] = {}
 _LIFECYCLE: dict[str, IndexSearcher] = {}
 _TIER: dict[str, IndexSearcher] = {}
+_STREAMING: dict[str, IndexSearcher] = {}
 
 # Contract index fields (SURVEY.md §2b): the default web text field plus
 # one field per analyzer family — A1 identity, A3 delimiter, A4 ngram,
@@ -480,6 +481,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lifecycle_tier_stats"] = lifecycle_tier_stats
     q["lifecycle_tier_term"] = lifecycle_tier_term
 
+    # Structured Streaming ingest (streaming/ingest.py): the documents
+    # table dropped as 3 parquet files into a watched dir, drained with an
+    # availableNow foreachBatch stream — each micro-batch appends fresh
+    # segments with an exactly-once manifest watermark, consolidate_count
+    # folds them as the stream runs, and the drained index must equal a
+    # fresh batch build (stats + rankings)
+    def _stream_searcher(spark, sf_dir):
+        import glob as _glob
+        import shutil as _shutil
+
+        from iresearch_spark.build.policy import consolidate_count
+        from iresearch_spark.streaming import start_index_stream
+
+        key = sf_dir.rstrip("/")
+        got = _STREAMING.get(key)
+        if got is not None:
+            return got
+        root = os.path.join(
+            _CACHE_ROOT, "stream_index", key.strip("/").replace("/", "_")
+        )
+        store = SnapshotStore(root)
+        if store.current_snapshot_id() is None:
+            src_dir = os.path.join(root, "src")
+            os.makedirs(src_dir, exist_ok=True)
+            corpus = documents_as_corpus(spark, key)
+            did = F.col("url").cast("long")
+            for chunk in range(3):
+                stage = os.path.join(root, f"_stage_{chunk}")
+                (
+                    corpus.filter(did % 3 == chunk)
+                    .coalesce(1)
+                    .write.parquet(stage, mode="overwrite")
+                )
+                part = _glob.glob(os.path.join(stage, "*.parquet"))[0]
+                os.replace(part, os.path.join(src_dir, f"chunk_{chunk}.parquet"))
+                _shutil.rmtree(stage)
+            sdf = (
+                spark.readStream.schema(spark.read.parquet(src_dir).schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            stream = start_index_stream(
+                sdf,
+                store,
+                name="docs",
+                checkpoint_dir=os.path.join(root, "ckpt"),
+                n_segments=2,
+                consolidate_policy=consolidate_count,
+                policy_kwargs={"max_segments": 2},
+                available_now=True,
+            )
+            stream.awaitTermination(600)
+        s = IndexSearcher(spark, store)
+        _STREAMING[key] = s
+        return s
+
+    def streaming_stats(spark, sf_dir):
+        s = _stream_searcher(spark, sf_dir)
+        wm = s.store.stream_watermark("docs")
+        return (
+            s.store.read_docs(spark, s.sid)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("dl").cast("long").alias("sum_dl"),
+                F.count_distinct("seg_id").alias("n_segments"),
+            )
+            .withColumn("last_batch", F.lit(wm).cast("long"))
+        )
+
+    def streaming_term(spark, sf_dir):
+        s = _stream_searcher(spark, sf_dir)
+        res = s.search_batch(
+            {0: qf.Term("table")}, k=10, with_urls=True, tie="url", score_round=6
+        )
+        return res.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.col("score"),
+        )
+
+    q["streaming_stats"] = streaming_stats
+    q["streaming_term"] = streaming_term
+
     # A8 offsets: first occurrence span of a term per doc (highlighting
     # surface; text field indexed with the offsets feature)
     def term_spans(spark, sf_dir):
@@ -709,6 +793,15 @@ SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS sum_dl,
        1::BIGINT AS n_segments
 FROM t"""
     o["lifecycle_tier_term"] = bm25_topk_sql(["table"])
+    # Streaming ingest: 3 micro-batches (watermark 2), consolidate_count
+    # folds every batch's flush segments into ONE; the drained index holds
+    # the whole corpus and ranks exactly like a fresh batch build
+    o["streaming_stats"] = f"""
+WITH t AS (SELECT doc_id, {tokens_expr()} AS toks FROM documents)
+SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS sum_dl,
+       1::BIGINT AS n_segments, 2::BIGINT AS last_batch
+FROM t"""
+    o["streaming_term"] = bm25_topk_sql(["table"])
     # A8: first occurrence of 'customer' — token index via list_position,
     # char span via strpos (the corpus text is single-spaced ASCII and no
     # vocabulary word contains 'customer' as a substring)

@@ -86,6 +86,7 @@ def build_index(
     parts: int | None = None,
     source: str = "",
     mode: str = "replace",
+    streams: dict[str, int] | None = None,
 ) -> int:
     """Build a new index generation from `corpus`; returns the snapshot id.
 
@@ -411,6 +412,7 @@ def build_index(
         metrics=metrics,
         operation="append" if prev_snap else "rebuild",
         fields=[f.to_json() for f in field_specs],
+        streams=streams,
     )
     if os.path.exists(staging_path):
         os.remove(staging_path)

@@ -90,16 +90,25 @@ class SnapshotStore:
         metrics: dict | None = None,
         operation: str = "append",
         fields: list[dict] | None = None,
+        streams: dict[str, int] | None = None,
     ) -> int:
         """Publish a new snapshot. `segments` is the FULL live segment list:
         [{seg_id, docs_path, postings_path, n_docs, sum_dl, n_terms, ...}];
         paths are relative to root. `fields` is the indexed-field spec list
         (name/source/analyzer dicts) — carried forward from the parent when
-        omitted, so maintenance commits keep the analysis contract. Returns
-        the new snapshot id."""
+        omitted, so maintenance commits keep the analysis contract.
+        `streams` records per-stream ingest watermarks {stream_name:
+        last_batch_id}; merged over the parent's (other streams keep
+        theirs) and carried forward when omitted, so the watermark and the
+        data publish are ONE atomic rename — the exactly-once anchor for
+        streaming ingest (see streaming.ingest). Returns the new snapshot
+        id."""
         parent = self.current_snapshot_id()
-        if fields is None and parent is not None:
-            fields = self.snapshot(parent).get("fields")
+        parent_snap = self.snapshot(parent) if parent is not None else None
+        if fields is None and parent_snap is not None:
+            fields = parent_snap.get("fields")
+        parent_streams = (parent_snap or {}).get("streams") or {}
+        streams = {**parent_streams, **(streams or {})}
         sid = (parent or 0) + 1
         manifest = {
             "snapshot_id": sid,
@@ -111,6 +120,7 @@ class SnapshotStore:
             "lineage": lineage or [],
             "metrics": metrics or {},
             "fields": fields or [],
+            "streams": streams,
         }
         snap_path = self._snap_path(sid)
         if os.path.exists(snap_path):
@@ -118,6 +128,18 @@ class SnapshotStore:
         self._atomic_write(snap_path, json.dumps(manifest, indent=1))
         self._atomic_write(os.path.join(self.root, "CURRENT"), str(sid))
         return sid
+
+    def stream_watermark(self, name: str) -> int | None:
+        """Highest micro-batch id committed for stream `name` (None if the
+        stream has never committed). Read from the CURRENT manifest only —
+        watermarks are carried forward through every commit, including
+        maintenance merges, so no snapshot walk is needed and the value
+        survives expire_snapshots()."""
+        snap = self.snapshot()
+        if snap is None:
+            return None
+        got = (snap.get("streams") or {}).get(name)
+        return int(got) if got is not None else None
 
     # -------------------------------------------------------------- reads
 

@@ -675,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
     q["embed_knn"] = lambda s, d: similarity.cosine_topk(_embs(s, d))
+    q["embed_neardup_pairs"] = lambda s, d: similarity.cosine_neardup_pairs(
+        _embs(s, d)
+    )
     # production ANN path: materialized bucket-partitioned index + pruned
     # query (the inline lsh_ann_topk stays as the small-scale oracle twin)
     q["embed_lsh_ann"] = lambda s, d: similarity.lsh_ann_topk_indexed(
@@ -759,6 +762,7 @@ FROM documents GROUP BY lang ORDER BY lang"""
     o["simhash"] = dedup.simhash_sql()
     o["simhash_pairs"] = dedup.simhash_pairs_sql()
     o["embed_knn"] = similarity.cosine_topk_sql()
+    o["embed_neardup_pairs"] = similarity.cosine_neardup_pairs_sql()
     o["embed_lsh_ann"] = similarity.lsh_ann_topk_sql()
     o["binary_meta"] = multimodal.binary_meta_sql()
     o["lifecycle_stats"] = f"""

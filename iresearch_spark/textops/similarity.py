@@ -185,6 +185,116 @@ def lsh_ann_topk(
     )
 
 
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: str = "plane",
+    top: int = 100,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS, the scale path: hyperplane
+    sign signature per vector (P bits, same seeded planes as ANN), split
+    into `n_bands` bands of P/n_bands bits; candidate pairs are vectors
+    sharing ANY band value (a band-bucket equijoin — the MinHash-LSH
+    pair-generation shape of dedup.lsh_pairs, so shuffle volume is bounded
+    by band-bucket sizes, never the n^2 cross join); candidates are then
+    verified with EXACT cosine and kept at >= threshold.
+
+    Deterministic (frozen planes -> frozen candidate set) and byte-
+    reproducible by the DuckDB twin. Like every banded LSH, recall < 1 by
+    design: a pair is seen iff some band's bits all agree — raise
+    n_planes/bits-per-band for precision, n_bands for recall. Returns
+    (vec_id_a, vec_id_b, cos) ordered by cos desc."""
+    dim = int(emb.select(F.size("embedding")).first()[0])
+    if n_planes % n_bands:
+        raise ValueError("n_planes must be divisible by n_bands")
+    bits = n_planes // n_bands
+    mask = (1 << bits) - 1
+    planes = seeded_planes(emb.sparkSession, dim, n_planes, seed)
+    sig = _bucket(emb, planes)
+    bands = sig.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        F.expr(f"shiftright(bucket, band * {bits}) & {mask}").alias("key"),
+    )
+    left = bands.select(
+        F.col("vec_id").alias("vec_id_a"), "band", "key"
+    )
+    right = bands.select(
+        F.col("vec_id").alias("vec_id_b"), "band", "key"
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
+        .select("vec_id_a", "vec_id_b", F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .orderBy(F.desc("cos"), "vec_id_a", "vec_id_b")
+        .limit(top)
+    )
+
+
+def cosine_neardup_pairs_sql(
+    threshold: float = 0.35,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: str = "plane",
+    top: int = 100,
+) -> str:
+    bits = n_planes // n_bands
+    mask = (1 << bits) - 1
+    dot_pv = "list_dot_product(e.embedding::DOUBLE[], p.pv::DOUBLE[])"
+    comp = (
+        f"((('0x' || substr(md5('{seed}:' || p || ':' || i), 1, 15))::BIGINT"
+        f" / {1 << 60}.0) * 2.0 - 1.0)"
+    )
+    pair_cos = (
+        "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))"
+    )
+    return f"""
+WITH dim AS (SELECT any_value(len(embedding)) AS d FROM embeddings),
+planes AS (
+  SELECT t.p::INT AS p,
+         list_transform(range(0, (SELECT d FROM dim)), i -> {comp}) AS pv
+  FROM range(0, {n_planes}) t(p)
+),
+sig AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN {dot_pv} >= 0 THEN (1::BIGINT << p.p) ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+),
+bands AS (
+  SELECT vec_id, t.b,
+         (bucket >> (t.b * {bits})) & {mask} AS key
+  FROM sig CROSS JOIN range(0, {n_bands}) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.vec_id_a, c.vec_id_b, round({pair_cos}, 6) AS cos
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_id_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_id_b
+)
+SELECT vec_id_a, vec_id_b, cos FROM scored
+WHERE cos >= {threshold}
+ORDER BY cos DESC, vec_id_a, vec_id_b LIMIT {top}"""
+
+
 _ANN_META = "_ann_meta.json"  # leading "_": invisible to parquet readers
 
 

@@ -224,6 +224,8 @@ def build_index(
     # _SUCCESS marker, preserving the staged-resume contract.
     offs_flags = [f.offsets for f in field_specs]
     pay_flags = [f.payloads for f in field_specs]
+    post_stats_dir = os.path.join(commit_dir, "post_stats")
+    os.makedirs(post_stats_dir, exist_ok=True)
 
     def write_docs() -> None:
         # per-segment columnstore; column-pruned projection of the
@@ -272,13 +274,23 @@ def build_index(
             partials.repartition(n_segments, "seg_id")
             .sortWithinPartitions("seg_id", "fidx", "term", "min_doc")
             .mapInArrow(
-                kernels.make_encode_kernel(field_names, offs_flags, pay_flags),
+                kernels.with_stats_sidecar(
+                    kernels.make_encode_kernel(
+                        field_names, offs_flags, pay_flags
+                    ),
+                    post_stats_dir,
+                ),
                 kernels.POSTING_SCHEMA,
             )
         )
         final.withColumn("seg_part", F.col("seg_id")).write.partitionBy(
             "seg_part"
         ).parquet(post_dir, mode="overwrite")
+        # sidecar complete only when every task of THIS successful write
+        # has landed its file; staged resumes from pre-sidecar attempts
+        # fall back to the scan below
+        with open(os.path.join(post_stats_dir, "_COMPLETE"), "w") as f:
+            f.write("1")
 
     def write_norms() -> None:
         # per-segment dense doc-length arrays, built straight from the
@@ -335,18 +347,34 @@ def build_index(
         name = field_names[int(r["fidx"])]
         field_sums[name] += int(r["sum_dl"])
         seg_field_sums.setdefault(int(r["seg_id"]), {})[name] = int(r["sum_dl"])
-    post_stats = {
-        int(r["seg_id"]): r.asDict()
-        for r in spark.read.parquet(post_dir)
-        .groupBy("seg_id")
-        .agg(
-            F.count("*").alias("n_terms"),
-            F.sum("df").alias("postings"),
-            F.sum("blob_bytes").alias("blob_bytes"),
-            F.sum("pos_bytes").alias("pos_bytes"),
-        )
-        .collect()
-    }
+    # Postings stats: the write pass emitted them as a tiny per-task
+    # sidecar (kernels.with_stats_sidecar — ≤ one row per segment per
+    # task), so no second scan over the postings table is needed. The
+    # Spark agg survives only as the fallback for staged resumes whose
+    # postings write predates the sidecar.
+    post_stats: dict[int, dict] = {}
+    if os.path.exists(os.path.join(post_stats_dir, "_COMPLETE")):
+        side = pq.read_table(post_stats_dir).to_pylist()
+        for r in side:
+            row = post_stats.setdefault(
+                int(r["seg_id"]),
+                {"n_terms": 0, "postings": 0, "blob_bytes": 0, "pos_bytes": 0},
+            )
+            for k in ("n_terms", "postings", "blob_bytes", "pos_bytes"):
+                row[k] += int(r[k])
+    else:
+        post_stats = {
+            int(r["seg_id"]): r.asDict()
+            for r in spark.read.parquet(post_dir)
+            .groupBy("seg_id")
+            .agg(
+                F.count("*").alias("n_terms"),
+                F.sum("df").alias("postings"),
+                F.sum("blob_bytes").alias("blob_bytes"),
+                F.sum("pos_bytes").alias("pos_bytes"),
+            )
+            .collect()
+        }
     timings["stats_s"] = time.time() - t0
 
     rel = os.path.relpath(commit_dir, store.root)

@@ -98,6 +98,63 @@ def norms_builder(key, pdf):
     return pd.DataFrame(rows)
 
 
+def with_stats_sidecar(kernel, stats_dir: str):
+    """Wrap an encode kernel: stream its output batches through unchanged
+    while accumulating per-segment postings stats (n_terms, postings =
+    Σdf, blob_bytes, pos_bytes) from the emitted columns, then write ONE
+    tiny parquet per task into `stats_dir`. The manifest stats thus come
+    for free from the write pass — no second scan over the postings table
+    ([up] segment_writer flushes its seg meta alongside the data files).
+
+    Idempotent under task retries/speculation: the file name is the
+    deterministic partition id and the write is tmp + os.replace (atomic
+    on POSIX — the same rename protocol the snapshot store relies on).
+    Assumes the store root is POSIX-visible to executors, which the whole
+    SnapshotStore layout already requires."""
+
+    def wrapped(batches):
+        acc: dict[int, list[int]] = {}
+        for out in kernel(batches):
+            seg = out.column("seg_id").to_numpy(zero_copy_only=False)
+            dfv = out.column("df").to_numpy(zero_copy_only=False)
+            bb = out.column("blob_bytes").to_numpy(zero_copy_only=False)
+            pb = out.column("pos_bytes").to_numpy(zero_copy_only=False)
+            for s in np.unique(seg):
+                m = seg == s
+                row = acc.setdefault(int(s), [0, 0, 0, 0])
+                row[0] += int(m.sum())
+                row[1] += int(dfv[m].sum())
+                row[2] += int(bb[m].sum())
+                row[3] += int(pb[m].sum())
+            yield out
+        if acc:
+            import os
+            import uuid
+
+            import pyarrow.parquet as pq
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            segs = sorted(acc)
+            tbl = pa.table(
+                {
+                    "seg_id": pa.array(segs, pa.int32()),
+                    "n_terms": pa.array([acc[s][0] for s in segs], pa.int64()),
+                    "postings": pa.array([acc[s][1] for s in segs], pa.int64()),
+                    "blob_bytes": pa.array([acc[s][2] for s in segs], pa.int64()),
+                    "pos_bytes": pa.array([acc[s][3] for s in segs], pa.int64()),
+                }
+            )
+            final = os.path.join(stats_dir, f"part-{pid:05d}.parquet")
+            # "."-prefixed tmp: invisible to parquet dataset readers even
+            # if a killed task leaves it behind
+            tmp = os.path.join(stats_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, final)
+
+    return wrapped
+
+
 def _list_offsets(arr: pa.Array) -> np.ndarray:
     """int offsets (n+1) of a pyarrow ListArray."""
     a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr

@@ -293,6 +293,19 @@ def _ann_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized IVF index over the sf_dir embeddings (cached on disk):
+    the production IVF path queries this list-partitioned table with
+    partition pruning instead of re-assigning the corpus per query."""
+    key = sf_dir.rstrip("/")
+    path = os.path.join(
+        _CACHE_ROOT, "ivf_index_v1", key.strip("/").replace("/", "_")
+    )
+    if not os.path.exists(os.path.join(path, similarity._IVF_META)):
+        similarity.build_ivf_index(_embs(spark, key), path)
+    return path
+
+
 # ------------------------------------------------------------- contract
 
 
@@ -683,6 +696,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_lsh_ann"] = lambda s, d: similarity.lsh_ann_topk_indexed(
         s, _ann_index(s, d), _embs(s, d)
     )
+    # the second ANN scale path: IVF inverted lists, materialized + pruned
+    # (the inline ivf_ann_topk stays as the small-scale oracle twin)
+    q["embed_ivf_ann"] = lambda s, d: similarity.ivf_ann_topk_indexed(
+        s, _ivf_index(s, d), _embs(s, d)
+    )
     q["binary_meta"] = lambda s, d: multimodal.binary_meta(_docs(s, d))
 
     def multimodal_features(spark, sf_dir):
@@ -764,6 +782,7 @@ FROM documents GROUP BY lang ORDER BY lang"""
     o["embed_knn"] = similarity.cosine_topk_sql()
     o["embed_neardup_pairs"] = similarity.cosine_neardup_pairs_sql()
     o["embed_lsh_ann"] = similarity.lsh_ann_topk_sql()
+    o["embed_ivf_ann"] = similarity.ivf_ann_topk_sql()
     o["binary_meta"] = multimodal.binary_meta_sql()
     o["lifecycle_stats"] = f"""
 WITH live AS (

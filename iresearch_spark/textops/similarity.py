@@ -11,7 +11,15 @@ md5_long hash (uniform in [-1, 1)), so the planes are a pure function of
 (seed, plane, component) — broadcastable on a real cluster, and byte-
 reproducible by the DuckDB oracle.
 
-Two query paths share the same bucket formula:
+A second, independent scale path is IVF (inverted-file) ANN: a coarse
+quantizer of `n_lists` centroids (corpus vectors sampled in seeded hash
+order — FAISS-style random init, quantizer-agnostic layout) assigns every
+vector to its nearest-centroid list; queries rank centroids and scan only
+the `nprobe` closest lists. Like LSH it has an inline small-scale oracle
+(`ivf_ann_topk`) and a materialized production path (`build_ivf_index` +
+`ivf_ann_topk_indexed`, list_id as the partition key, pruned reads).
+
+Two LSH query paths share the same bucket formula:
 
 * `lsh_ann_topk` — recomputes every vector's bucket inline. Small-scale
   verification oracle ONLY (one full-corpus pass per query).
@@ -293,6 +301,259 @@ scored AS (
 SELECT vec_id_a, vec_id_b, cos FROM scored
 WHERE cos >= {threshold}
 ORDER BY cos DESC, vec_id_a, vec_id_b LIMIT {top}"""
+
+
+# --------------------------------------------------------------- IVF ANN
+
+
+def seeded_centroids(
+    emb: DataFrame, n_lists: int, seed: str = "centroid"
+) -> DataFrame:
+    """IVF coarse quantizer: `n_lists` centroid vectors sampled from the
+    corpus itself in md5-hash order (deterministic, parallelism-invariant,
+    and SQL-reproducible — FAISS-style random init without training).
+    Returns (cid, cv) where cid is the chosen vector's vec_id.
+
+    Spark plan: TakeOrderedAndProject — a distributed per-partition top-C
+    merge, never a global sort; scale-safe at any corpus size. On a real
+    cluster a trained quantizer (k-means over a sample) is a drop-in: the
+    index layout and query path below are quantizer-agnostic."""
+    h = md5_long(
+        F.concat(F.lit(seed + ":"), F.col("vec_id").cast("string"))
+    )
+    return (
+        emb.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), h.alias("h")
+        )
+        .orderBy("h", "cid")
+        .limit(n_lists)
+        .drop("h")
+    )
+
+
+def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (rounded to
+    6 dp; ties -> lowest cid). One broadcast cross join + a map-side
+    max_by aggregate — no window sort, no corpus shuffle beyond the
+    groupBy(vec_id) combine. Returns emb columns + list_id."""
+    cc = F.round(
+        _dot(F.col("embedding"), F.col("cv"))
+        / (_norm(F.col("embedding")) * _norm(F.col("cv"))),
+        6,
+    )
+    scored = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", cc.alias("cc"))
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.expr("max_by(cid, struct(cc, -cid))").alias("list_id")
+    )
+    return emb.join(best, "vec_id")
+
+
+def _probe_lists(cent: DataFrame, qv_df: DataFrame, nprobe: int) -> DataFrame:
+    """The nprobe centroid lists closest to the query vector (tiny:
+    C rows in, nprobe out)."""
+    cc = F.round(
+        _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))),
+        6,
+    )
+    return (
+        cent.crossJoin(F.broadcast(qv_df))
+        .select(F.col("cid").alias("list_id"), cc.alias("cc"))
+        .orderBy(F.desc("cc"), F.asc("list_id"))
+        .limit(nprobe)
+        .select("list_id")
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+            .cast("int"),
+        )
+        .filter(F.col("rank") <= k)
+        .select("rank", "vec_id", "label", "cos")
+        .orderBy("rank")
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    seed: str = "centroid",
+) -> DataFrame:
+    """IVF ANN top-k, inline path: coarse-quantize the corpus into
+    `n_lists` centroid lists, rank centroids against the query, and run
+    exact cosine over the `nprobe` closest lists only.
+
+    Small-scale verification oracle ONLY (it re-assigns the whole corpus
+    per call) — the production path is `build_ivf_index` +
+    `ivf_ann_topk_indexed` (assignment materialized once as the table's
+    partition key, queries prune to the probed lists)."""
+    cent = seeded_centroids(emb, n_lists, seed)
+    assigned = ivf_assign(emb, cent)
+    qv_df = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    lists = _probe_lists(cent, qv_df, nprobe)
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    scored = (
+        assigned.join(F.broadcast(lists), "list_id")
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qv_df))
+        .select("vec_id", "label", F.round(cos, 6).alias("cos"))
+    )
+    return _rank_topk(scored, k)
+
+
+def ivf_ann_topk_sql(
+    query_vec_id: int = 0,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    seed: str = "centroid",
+) -> str:
+    cos_ec = (
+        "list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[])"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[])))"
+    )
+    cos_cq = (
+        "list_dot_product(c.cv::DOUBLE[], q.qv::DOUBLE[])"
+        " / (sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])))"
+    )
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv
+  FROM embeddings
+  ORDER BY ('0x' || substr(md5('{seed}:' || vec_id), 1, 15))::BIGINT, vec_id
+  LIMIT {n_lists}
+),
+sc AS (
+  SELECT e.vec_id, c.cid, round({cos_ec}, 6) AS cc
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+    FROM sc
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+qlists AS (
+  SELECT c.cid AS list_id
+  FROM cent c CROSS JOIN q
+  ORDER BY round({cos_cq}, 6) DESC, c.cid ASC
+  LIMIT {nprobe}
+),
+cand AS (
+  SELECT e.vec_id, e.label, e.embedding
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN qlists l ON l.list_id = a.list_id
+  WHERE e.vec_id <> {query_vec_id}
+)
+SELECT CAST(rank AS INT) AS rank, vec_id, label, cos FROM (
+  SELECT e.vec_id, e.label, round({_COS_SQL}, 6) AS cos,
+         row_number() OVER (ORDER BY round({_COS_SQL}, 6) DESC, e.vec_id ASC) AS rank
+  FROM cand e CROSS JOIN q
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+_IVF_META = "_ivf_meta.json"  # leading "_": invisible to parquet readers
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    out_dir: str,
+    n_lists: int = 16,
+    seed: str = "centroid",
+) -> str:
+    """Materialize the IVF index: assign every vector to its nearest
+    centroid ONCE and persist (vec_id, label, embedding) PARTITIONED BY
+    list_id, plus a meta sidecar freezing the centroids themselves (so
+    queries never rescan the corpus to recover the quantizer). One
+    broadcast-join pass at build time; queries prune to nprobe lists."""
+    cent_rows = seeded_centroids(emb, n_lists, seed).collect()  # C rows, tiny
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(
+        [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows],
+        "cid long, cv array<float>",
+    )
+    ivf_assign(emb, cent).write.partitionBy("list_id").parquet(
+        out_dir, mode="overwrite"
+    )
+    with open(os.path.join(out_dir, _IVF_META), "w") as f:
+        json.dump(
+            {
+                "n_lists": n_lists,
+                "seed": seed,
+                "centroids": [
+                    {"cid": int(r["cid"]), "cv": [float(x) for x in r["cv"]]}
+                    for r in cent_rows
+                ],
+            },
+            f,
+        )
+    return out_dir
+
+
+def ivf_index_scan(
+    spark: SparkSession, index_dir: str, list_ids: list[int]
+) -> DataFrame:
+    """List-pruned scan of a materialized IVF index: reads ONLY the probed
+    list partitions (partition pruning on the `list_id` partition
+    column)."""
+    return spark.read.parquet(index_dir).filter(
+        F.col("list_id").isin([int(x) for x in list_ids])
+    )
+
+
+def ivf_ann_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    nprobe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Production IVF ANN top-k against a `build_ivf_index` table: rank
+    the sidecar's frozen centroids against the query vector (a C-row
+    mini-job using the SAME fold expressions as the build, so scores
+    cannot drift), then exact cosine over the pruned probed list
+    partitions only. Rank-identical to `ivf_ann_topk` (tested)."""
+    with open(os.path.join(index_dir, _IVF_META)) as f:
+        meta = json.load(f)
+    cent = spark.createDataFrame(
+        [(int(c["cid"]), [float(x) for x in c["cv"]]) for c in meta["centroids"]],
+        "cid long, cv array<float>",
+    )
+    qv_df = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    lists = [int(r["list_id"]) for r in _probe_lists(cent, qv_df, nprobe).collect()]
+    cand = ivf_index_scan(spark, index_dir, lists).filter(
+        F.col("vec_id") != query_vec_id
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    scored = cand.crossJoin(F.broadcast(qv_df)).select(
+        "vec_id", "label", F.round(cos, 6).alias("cos")
+    )
+    return _rank_topk(scored, k)
 
 
 _ANN_META = "_ann_meta.json"  # leading "_": invisible to parquet readers

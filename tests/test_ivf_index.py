@@ -1,0 +1,100 @@
+"""Materialized IVF-ANN index: the production path must (a) return
+rank-identical results to the inline small-scale oracle path, (b)
+physically prune to the probed list partitions, and (c) partition the
+corpus exactly (every vector in exactly one list)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iresearch_spark.textops import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, emb, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ivf") / "index")
+    similarity.build_ivf_index(emb, out, n_lists=16)
+    return out
+
+
+def test_indexed_matches_inline(spark, emb, index_dir):
+    for qid in (0, 3, 17):
+        want = [
+            r.asDict()
+            for r in similarity.ivf_ann_topk(
+                emb, query_vec_id=qid, n_lists=16, nprobe=4, k=5
+            ).collect()
+        ]
+        got = [
+            r.asDict()
+            for r in similarity.ivf_ann_topk_indexed(
+                spark, index_dir, emb, query_vec_id=qid, nprobe=4, k=5
+            ).collect()
+        ]
+        assert got == want
+
+
+def test_assignment_partitions_corpus(spark, emb, index_dir):
+    """IVF lists are a PARTITION of the corpus: every vector appears in
+    exactly one list, and the index holds the full corpus."""
+    idx = spark.read.parquet(index_dir)
+    n = emb.count()
+    assert idx.count() == n
+    assert idx.select("vec_id").distinct().count() == n
+
+
+def test_scan_is_list_pruned(spark, index_dir):
+    """The probed scan's physical plan must carry the list_id IN-list as
+    a PartitionFilter, and read strictly fewer rows than the corpus."""
+    parts = [d for d in os.listdir(index_dir) if d.startswith("list_id=")]
+    assert len(parts) > 4, "index should fan out over many list partitions"
+
+    lists = sorted(int(d.split("=")[1]) for d in parts)[:3]
+    scan = similarity.ivf_index_scan(spark, index_dir, lists)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters", 1)[1][:400]
+    want_rows = spark.read.parquet(
+        *[os.path.join(index_dir, f"list_id={l}") for l in lists]
+    ).count()
+    assert scan.count() == want_rows
+    assert scan.count() < spark.read.parquet(index_dir).count()
+
+
+def test_centroids_deterministic_across_parallelism(spark, emb):
+    """Centroid choice is a pure hash function of vec_id — identical at
+    any input partitioning (the N-vs-4N invariant)."""
+    a = [
+        (r["cid"],)
+        for r in similarity.seeded_centroids(emb.repartition(2), 16).collect()
+    ]
+    b = [
+        (r["cid"],)
+        for r in similarity.seeded_centroids(emb.repartition(13), 16).collect()
+    ]
+    assert sorted(a) == sorted(b)
+    assert len(set(a)) == 16
+
+
+def test_recall_vs_exact(spark, emb):
+    """nprobe=all lists degenerates to exact search: with every list
+    probed, IVF top-k equals brute-force cosine top-k."""
+    want = [
+        r.asDict()
+        for r in similarity.cosine_topk(emb, query_vec_id=5, k=5).collect()
+    ]
+    got = [
+        r.asDict()
+        for r in similarity.ivf_ann_topk(
+            emb, query_vec_id=5, n_lists=8, nprobe=8, k=5
+        ).collect()
+    ]
+    assert got == want

@@ -161,6 +161,15 @@ def run_bench(
                     per_query[name] = round(dt, 3)
                     batch_wall += dt
                 n_q = len(flts)
+                # the amortized path: the WHOLE suite as ONE search_batch
+                # call (one prepare, one cogroup job) — this is how a real
+                # deployment runs thousands of queries against one driver,
+                # so report its QPS alongside the per-query latencies
+                t0 = time.time()
+                searcher.search_batch(
+                    dict(enumerate(flts.values())), k=10, with_urls=False
+                ).count()
+                batch_all_wall = time.time() - t0
 
             total = build_wall + batch_wall
             return {
@@ -179,6 +188,14 @@ def run_bench(
                     "bytes_raw_postings": metrics.get("bytes_raw_postings"),
                 },
                 "query_qps": round(n_q / batch_wall, 2) if batch_wall else None,
+                **(
+                    {
+                        "batch_all_s": round(batch_all_wall, 3),
+                        "query_qps_batched": round(n_q / batch_all_wall, 2),
+                    }
+                    if not synthetic_docs
+                    else {}
+                ),
             }
     finally:
         spark.stop()

@@ -110,10 +110,16 @@ def run_bench(
     spark = _mk_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     # segment count is a DATA layout choice, held CONSTANT across cluster
-    # sizes (the N-vs-4N runs must build the identical index); 64 segments
-    # keep every phase — assign/sort/write and the per-segment query
-    # kernel — wide enough for 32 cores
-    n_segments = n_segments or int(os.environ.get("SPARK_GRAFT_SEGMENTS", "64"))
+    # sizes (the N-vs-4N runs must build the identical index): synthetic
+    # scaling/scale-trend runs pin 64 segments so every phase is wide
+    # enough for 32 cores and the 8- and 32-core runs build the identical
+    # index. Driver (sf-dir) mode instead sizes segments to the corpus —
+    # a segment is a flush-budget-bounded unit, so a tiny corpus gets few
+    # segments (~1 per 1,250 docs, min 4); 64 segments over 5k docs would
+    # pay 64 python-kernel tasks per query for 78-doc groups.
+    env_seg = os.environ.get("SPARK_GRAFT_SEGMENTS")
+    if n_segments is None and env_seg:
+        n_segments = int(env_seg)
     try:
         with tempfile.TemporaryDirectory(prefix="iresearch_bench_") as root:
             if synthetic_docs:
@@ -123,9 +129,13 @@ def run_bench(
                 gen_corpus_spark(spark, synthetic_docs).write.parquet(corpus_dir)
                 corpus = spark.read.parquet(corpus_dir)
                 sf_label = f"synthetic-{synthetic_docs}"
+                n_segments = n_segments or 64
             else:
                 corpus = documents_as_corpus(spark, sf_dir)
                 sf_label = os.path.basename(sf_dir.rstrip("/"))
+                if n_segments is None:
+                    n_docs_in = corpus.count()  # outside the measured phase
+                    n_segments = max(4, min(64, n_docs_in // 1250))
             store = SnapshotStore(os.path.join(root, "index"))
             _prewarm(spark, cpus)
             t0 = time.time()

@@ -505,6 +505,36 @@ class IndexSearcher:
         external double-precision oracle computes (absorbs last-ulp
         numpy-vs-libm noise; see SURVEY.md §7 hard-part (a))."""
         trees, terms, idf, need_pos = self.prepare(queries)
+        # Duplicate queries are evaluated ONCE: filter trees are frozen
+        # value objects, so identical normalized trees hash equal. The
+        # kernel runs each distinct tree under a representative qid; the
+        # per-qid results are fanned back out to every duplicate qid with
+        # a tiny broadcast join at the end (the reference caches prepared
+        # queries the same way — [up] core/search/filter.hpp prepared
+        # reuse). Real batches repeat hot queries, so this bounds kernel
+        # work by DISTINCT queries, not submitted ones.
+        rep_of: dict[int, int] = {}
+        reps: dict[qf.Filter, int] = {}
+        for qid, t in trees.items():
+            rep_of[qid] = reps.setdefault(t, qid)
+        if len(reps) < len(trees):
+            trees = {r: trees[r] for r in reps.values()}
+
+        def _fan_out(df: DataFrame) -> DataFrame:
+            if len(reps) == len(rep_of):
+                return df
+            mapping = self.spark.createDataFrame(
+                [(int(q), int(r)) for q, r in rep_of.items()],
+                "oqid bigint, qid bigint",
+            )
+            cols_ = df.columns
+            return (
+                df.join(F.broadcast(mapping), "qid")
+                .drop("qid")
+                .withColumnRenamed("oqid", "qid")
+                .select(*cols_)
+            )
+
         term_free = any(
             not isinstance(t, qf.Empty) for t in trees.values()
         ) and not terms  # DocSet/AllDocs-only queries still need execution
@@ -557,7 +587,7 @@ class IndexSearcher:
             cols_out = ["qid", "rank", "seg_id", "doc_id", "url", "score"]
             if not with_urls:
                 cols_out.remove("url")
-            return topk.select(*cols_out).orderBy("qid", "rank")
+            return _fan_out(topk.select(*cols_out)).orderBy("qid", "rank")
         w = Window.partitionBy("qid").orderBy(
             F.desc("score"), F.asc("seg_id"), F.asc("doc_id")
         )
@@ -574,7 +604,7 @@ class IndexSearcher:
             )
         else:
             topk = topk.select("qid", "rank", "seg_id", "doc_id", "score")
-        return topk.orderBy("qid", "rank")
+        return _fan_out(topk).orderBy("qid", "rank")
 
     def search(self, flt: qf.Filter, k: int = 10, with_urls: bool = True) -> DataFrame:
         return self.search_batch({0: flt}, k=k, with_urls=with_urls).drop("qid")

@@ -370,3 +370,28 @@ def test_ngram_similarity_common_gram_prefilter(spark, tmp_path):
         qf.NgramSimilarity("table", threshold=0.25, n=2), k=1 << 20, with_urls=False
     ).count()
     assert n_low == n
+
+
+def test_duplicate_queries_dedup_and_fan_out(searcher):
+    """Identical trees in a batch are evaluated once and fanned back out:
+    every duplicate qid gets the full, identical result rows, and a tree
+    differing only in boost is NOT merged with them."""
+    base = Phrase(("w0", "w1"))
+    batch = {
+        7: Term("w2"),
+        11: base,
+        23: Phrase(("w0", "w1")),  # equal by value, distinct object
+        31: Term("w2"),
+        41: Term("w2", boost=2.0),  # must not dedup with qid 7/31
+    }
+    got = _spark_results(searcher, batch, k=5)
+    for qid in batch:
+        solo = _spark_results(searcher, {qid: batch[qid]}, k=5)
+        assert got.get(qid, []) == solo.get(qid, []), qid
+    assert got[7] == got[31]
+    if got.get(7) and got.get(41):
+        # same docs, doubled scores — proves the boosted twin ran separately
+        assert [r[2] for r in got[7]] == [r[2] for r in got[41]]
+        assert all(
+            abs(a[4] * 2.0 - b[4]) < 1e-9 for a, b in zip(got[7], got[41])
+        )

@@ -287,6 +287,31 @@ class IndexSearcher:
         # global df per (field, term), filled lazily; snapshot-pinned, so
         # entries never go stale for this searcher
         self._df_cache: dict[tuple[str, str], int] = {}
+        # multiterm-expansion result cache: expansion nodes are frozen
+        # value objects and the snapshot is pinned, so an expansion never
+        # goes stale either ([up] core/search/multiterm_query.cpp caches
+        # the collected term states the same way per prepared filter)
+        self._exp_cache: dict[qf.Filter, tuple] = {}
+        self._dict_df = None  # lazy global term dictionary, see _term_dict
+
+    def _term_dict(self):
+        """Global term dictionary (field, term, df) as a persisted
+        DataFrame — the S7 dictionary surface multiterm expansion scans.
+
+        Derived from the postings table once per searcher and cached
+        MEMORY_AND_DISK: O(vocabulary) skinny rows, not O(corpus) —
+        expansions and stats lookups then filter ~|vocab| cached rows
+        instead of re-scanning + re-aggregating every segment's term rows
+        per batch. Snapshot-pinned like every other searcher cache."""
+        if self._dict_df is None:
+            from pyspark import StorageLevel
+
+            self._dict_df = (
+                self._postings.groupBy("field", "term")
+                .agg(F.sum("df").alias("df"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        return self._dict_df
 
     # ------------------------------------------------------------ prepare
 
@@ -305,6 +330,10 @@ class IndexSearcher:
         [up] core/search/multiterm_query.cpp)."""
         if not nodes:
             return {}
+        cached = {n: self._exp_cache[n] for n in nodes if n in self._exp_cache}
+        nodes = [n for n in nodes if n not in cached]
+        if not nodes:
+            return cached
         conds = []
         for node in nodes:
             in_field = F.col("field") == node.field
@@ -358,11 +387,7 @@ class IndexSearcher:
         union = conds[0]
         for c in conds[1:]:
             union = union | c
-        dict_df = (
-            self._postings.filter(union)
-            .groupBy("field", "term")
-            .agg(F.sum("df").alias("df"))
-        )
+        dict_df = self._term_dict().filter(union)
         tag = F.array(
             *[F.when(c, F.lit(i)).otherwise(F.lit(None)) for i, c in enumerate(conds)]
         )
@@ -390,10 +415,13 @@ class IndexSearcher:
             # the expansion job already aggregated global df — reuse it so
             # prepare() never re-scans the dictionary for expanded terms
             self._df_cache[(nodes[nid].field, r["term"])] = int(r["df"])
-        return {
+        out = {
             node: tuple(sorted(by_node.get(i, [])))
             for i, node in enumerate(nodes)
         }
+        self._exp_cache.update(out)
+        out.update(cached)
+        return out
 
     def _existence_df(self, columns: list[str]) -> DataFrame:
         """Per-segment existence sets for ColumnExists leaves, fully

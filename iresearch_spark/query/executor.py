@@ -521,6 +521,7 @@ class IndexSearcher:
         with_urls: bool = True,
         tie: str = "segdoc",
         score_round: int | None = None,
+        _ship_all: bool = False,
     ) -> DataFrame:
         """Run a batch of queries; returns DataFrame
         (qid, rank, seg_id, doc_id[, url], score) with global top-k rows.
@@ -563,6 +564,37 @@ class IndexSearcher:
                 .select(*cols_)
             )
 
+        # --- scored-head shuffle elision (F17 lazy unscored states) ---
+        # A matched-but-unscored expansion tail (weight-0 members of a flat
+        # min_match=1 disjunction) can only influence the top-k when a
+        # query cannot fill k positively-scored docs — the tail docs all
+        # score exactly 0. So the scan SHIPS ONLY the scored heads (the
+        # tail is often ~90% of the shuffled bytes: rare terms × every
+        # segment), and queries whose pass-1 top-k is short or touches
+        # score 0 are re-run with the full key set. This mirrors the
+        # reference, which keeps unscored term states as lazy dictionary
+        # handles and never materializes their postings up front
+        # ([up] core/search/multiterm_query.cpp limited_sample_collector).
+        dropped: set[tuple[str, str]] = set()
+        tree_zero_keys: dict[int, set] = {}
+        if not _ship_all and terms and k > 0:
+            must_ship: set[tuple[str, str]] = set()
+            zero_cand: set[tuple[str, str]] = set()
+            for rq, t in trees.items():
+                ft = _flatten_or_terms(t)
+                if ft is None:
+                    s_: set = set()
+                    _walk_terms(t, s_, [], set())
+                    must_ship |= s_
+                    tree_zero_keys[rq] = set()
+                else:
+                    zk = {key for key, m in ft if m == 0.0}
+                    must_ship |= {key for key, m in ft if m != 0.0}
+                    zero_cand |= zk
+                    tree_zero_keys[rq] = zk
+            dropped = (zero_cand - must_ship) & terms
+        scan_terms = terms - dropped
+
         term_free = any(
             not isinstance(t, qf.Empty) for t in trees.values()
         ) and not terms  # DocSet/AllDocs-only queries still need execution
@@ -579,11 +611,11 @@ class IndexSearcher:
         if need_pos:
             cols += ["pos_off", "pos_pay"]
         rows = (
-            self._postings.filter(_keys_condition(terms)).select(*cols)
-            if terms
+            self._postings.filter(_keys_condition(scan_terms)).select(*cols)
+            if scan_terms
             else self._postings.limit(0).select(*cols)
         )
-        if terms and any(key not in idf for key in terms):
+        if scan_terms and any(key not in idf for key in scan_terms):
             # fuse the global-df stats into THIS job: a tiny per-(field,
             # term) aggregate over the same pruned scan, broadcast-joined
             # back onto the rows; the kernel derives idf from it, so no
@@ -615,24 +647,58 @@ class IndexSearcher:
             cols_out = ["qid", "rank", "seg_id", "doc_id", "url", "score"]
             if not with_urls:
                 cols_out.remove("url")
-            return _fan_out(topk.select(*cols_out)).orderBy("qid", "rank")
-        w = Window.partitionBy("qid").orderBy(
-            F.desc("score"), F.asc("seg_id"), F.asc("doc_id")
-        )
-        topk = (
-            per_seg.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-        )
-        if with_urls:
-            docs = self.store.read_docs(self.spark, self.sid).select(
-                "seg_id", "doc_id", "url"
-            )
-            topk = docs.join(F.broadcast(topk), ["seg_id", "doc_id"]).select(
-                "qid", "rank", "seg_id", "doc_id", "url", "score"
-            )
+            final = _fan_out(topk.select(*cols_out))
         else:
-            topk = topk.select("qid", "rank", "seg_id", "doc_id", "score")
-        return _fan_out(topk).orderBy("qid", "rank")
+            w = Window.partitionBy("qid").orderBy(
+                F.desc("score"), F.asc("seg_id"), F.asc("doc_id")
+            )
+            topk = (
+                per_seg.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+            )
+            if with_urls:
+                docs = self.store.read_docs(self.spark, self.sid).select(
+                    "seg_id", "doc_id", "url"
+                )
+                topk = docs.join(
+                    F.broadcast(topk), ["seg_id", "doc_id"]
+                ).select("qid", "rank", "seg_id", "doc_id", "url", "score")
+            else:
+                topk = topk.select("qid", "rank", "seg_id", "doc_id", "score")
+            final = _fan_out(topk)
+        if not dropped:
+            return final.orderBy("qid", "rank")
+        # pass-1 ran without the unscored tails: any query that holds k
+        # rows with a strictly positive k-th score is already exact (tail
+        # docs score 0, strictly below); the rest re-run with everything
+        # shipped, and only their rows are replaced.
+        pass1 = final.collect()
+        by_q: dict[int, list] = {}
+        for r in pass1:
+            by_q.setdefault(r["qid"], []).append(r)
+        triggered = [
+            qid
+            for qid, rq in rep_of.items()
+            if tree_zero_keys.get(rq, set()) & dropped
+            and (
+                len(by_q.get(qid, [])) < k
+                or min(r["score"] for r in by_q[qid]) <= 0.0
+            )
+        ]
+        if triggered:
+            full = self.search_batch(
+                {qid: queries[qid] for qid in triggered},
+                k=k,
+                with_urls=with_urls,
+                tie=tie,
+                score_round=score_round,
+                _ship_all=True,
+            ).collect()
+            for qid in triggered:
+                by_q.pop(qid, None)
+            pass1 = [r for rs in by_q.values() for r in rs] + list(full)
+        out = self.spark.createDataFrame(pass1, schema=final.schema)
+        return out.orderBy("qid", "rank")
 
     def search(self, flt: qf.Filter, k: int = 10, with_urls: bool = True) -> DataFrame:
         return self.search_batch({0: flt}, k=k, with_urls=with_urls).drop("qid")

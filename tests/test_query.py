@@ -395,3 +395,34 @@ def test_duplicate_queries_dedup_and_fan_out(searcher):
         assert all(
             abs(a[4] * 2.0 - b[4]) < 1e-9 for a, b in zip(got[7], got[41])
         )
+
+
+def test_tail_elision_two_pass_matches_ship_all(searcher):
+    """The scored-head shuffle elision must be invisible: a capped
+    expansion whose scored head cannot fill k (scored_terms_limit=1 →
+    pass-2 triggers) and an uncapped one (pass-1 suffices) both return
+    exactly what a full-shipping run returns, per tie mode."""
+    from iresearch_spark.query.filters import Prefix
+
+    batches = {
+        "triggered": {0: Prefix("w", scored_terms_limit=1)},
+        "untriggered": {0: Prefix("w", scored_terms_limit=64)},
+        "mixed": {
+            0: Prefix("w1", scored_terms_limit=1),
+            1: Prefix("w2", scored_terms_limit=64),
+            2: Term("w3"),
+        },
+    }
+    for label, batch in batches.items():
+        for tie in ("segdoc", "url"):
+            lean = searcher.search_batch(
+                batch, k=10, with_urls=True, tie=tie, score_round=6
+            ).collect()
+            full = searcher.search_batch(
+                batch, k=10, with_urls=True, tie=tie, score_round=6,
+                _ship_all=True,
+            ).collect()
+            assert [tuple(r) for r in lean] == [tuple(r) for r in full], (
+                label,
+                tie,
+            )

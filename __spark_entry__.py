@@ -680,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = lambda s, d: quality.quality_scores(_docs(s, d))
     q["lang_markers"] = lambda s, d: quality.lang_marker_id(_docs(s, d))
     q["winnow_fingerprints"] = lambda s, d: quality.winnow_fingerprints(_docs(s, d))
+    # substring-overlap near-dup pairs (local duplication, winnowed prints)
+    q["winnow_pairs"] = lambda s, d: quality.winnow_pairs(_docs(s, d))
     q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d))
     q["dedup_jaccard"] = lambda s, d: dedup.jaccard_pairs(_docs(s, d))
     q["minhash_signatures"] = lambda s, d: dedup.minhash_signatures(_docs(s, d))
@@ -772,6 +774,7 @@ FROM documents GROUP BY lang ORDER BY lang"""
     o["quality_scores"] = quality.quality_scores_sql()
     o["lang_markers"] = quality.lang_marker_id_sql()
     o["winnow_fingerprints"] = quality.winnow_fingerprints_sql()
+    o["winnow_pairs"] = quality.winnow_pairs_sql()
     o["dedup_exact"] = dedup.exact_duplicates_sql()
     o["dedup_jaccard"] = dedup.jaccard_pairs_sql()
     o["minhash_signatures"] = dedup.minhash_signatures_sql()

@@ -192,15 +192,11 @@ FROM s ORDER BY doc_id LIMIT {top}"""
 # ------------------------------------------------- winnowing fingerprint
 
 
-def winnow_fingerprints(
-    docs: DataFrame, k: int = 8, w: int = 4, top: int = 100
-) -> DataFrame:
-    """Winnowing (Schleimer et al. 2003): hash all k-char grams of the
-    lowered text, keep the min hash of each w-window, dedupe. Returns
-    per-doc fingerprint-set summary (count, min, max)."""
+def _gram_hashes(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, h): k-char-gram hash array of the lowered text."""
     # dynamic-start substring needs expr(); sequence(1, x<=0) would be
     # descending in Spark (empty in DuckDB), so guard with CASE WHEN
-    d = docs.select(
+    return docs.select(
         "doc_id",
         F.expr(
             f"CASE WHEN length(lower(coalesce(text,''))) >= {k} THEN "
@@ -209,7 +205,11 @@ def winnow_fingerprints(
             f") ELSE array() END"
         ).cast("array<long>").alias("h"),
     )
-    fps = F.when(
+
+
+def _winnow_fps(w: int):
+    """Distinct winnowed fingerprints (min hash of each w-window) of `h`."""
+    return F.when(
         F.size("h") >= w,
         F.array_distinct(
             F.transform(
@@ -218,6 +218,16 @@ def winnow_fingerprints(
             )
         ),
     ).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4, top: int = 100
+) -> DataFrame:
+    """Winnowing (Schleimer et al. 2003): hash all k-char grams of the
+    lowered text, keep the min hash of each w-window, dedupe. Returns
+    per-doc fingerprint-set summary (count, min, max)."""
+    d = _gram_hashes(docs, k)
+    fps = _winnow_fps(w)
     return (
         d.select(
             "doc_id",
@@ -253,3 +263,84 @@ fp AS (
 )
 SELECT doc_id, len(fps)::INT AS n_fp, list_min(fps) AS min_fp, list_max(fps) AS max_fp
 FROM fp WHERE len(fps) > 0 ORDER BY doc_id LIMIT {top}"""
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 20,
+    top: int = 50,
+) -> DataFrame:
+    """Substring-overlap near-duplicate candidate pairs: docs sharing >=
+    min_shared winnowed fingerprints. Winnowing guarantees a shared k-char
+    substring per shared print, so this flags LOCAL duplication (quoted
+    passages, mirrored boilerplate, template reuse) that whole-document
+    MinHash/SimHash miss — the substring-level dedup signal of
+    training-data pipelines (cf. Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better").
+
+    Scale shape: explode to (fp, doc_id), drop fingerprints occurring in
+    more than max_df docs (the hot-shingle guard — boilerplate prints
+    would otherwise create O(df²) join blocks), then fp-equijoin +
+    pair-count. Every shuffle is hash-partitioned on fp or the pair key;
+    each join block is bounded by max_df, so the candidate volume is at
+    most Σ_fp min(df, max_df)² — linear in the corpus for fixed max_df."""
+    fp = _gram_hashes(docs, k).select(
+        "doc_id", F.explode(_winnow_fps(w)).alias("fp")
+    )
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(2, max_df))
+    )
+    fpr = fp.join(rare.select("fp"), "fp")
+    a, b = fpr.alias("a"), fpr.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .orderBy(F.desc("shared"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(top)
+    )
+
+
+def winnow_pairs_sql(
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 20,
+    top: int = 50,
+) -> str:
+    gram_h = f"('0x' || substr(md5(substr(lt, i, {k})), 1, 15))::BIGINT"
+    return f"""
+WITH d AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS lt FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(lt) - {k - 1}, 0) + 1),
+                        i -> {gram_h}) AS h
+  FROM d
+),
+fp AS (
+  SELECT doc_id, unnest(
+    list_distinct(list_transform(range(1, greatest(len(h) - {w - 1}, 0) + 1),
+                                 j -> list_min(h[j : j + {w - 1}])))) AS fp
+  FROM h
+),
+rare AS (
+  SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY 1)
+  WHERE df BETWEEN 2 AND {max_df}
+),
+fpr AS (SELECT doc_id, fp.fp FROM fp JOIN rare USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+FROM fpr a JOIN fpr b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+ORDER BY shared DESC, doc_a ASC, doc_b ASC LIMIT {top}"""

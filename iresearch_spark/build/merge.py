@@ -28,13 +28,20 @@ new snapshot; stats stay segment-static until a merge compacts the masked
 docs — the reference behaves the same way (deletes are invisible to
 scoring stats until consolidation rewrites the segment).
 
-Scale bound: one merge broadcasts the merged segment's dense dl blob
-(built distributively by the norms job, then read back as ONE binary row
-of 4 bytes/doc — no per-row driver path) for blockmax recompute inside
-merge_term. A merge set stays within the tier policy's max_segments_bytes budget
-(exactly the reference's invariant: merge_writer streams ONE bounded
-merge at a time; unbounded merges are prevented by policy, not by the
-writer).
+Scale shape: NO per-doc state ever aggregates on the driver or rides a
+broadcast. The old→new docID remap is built as per-source-segment blobs by
+a distributed groupBy, and the postings re-encode runs in two grouped
+stages: phase 1 cogroups each source segment's postings (salted into
+`bands` slices so no task holds a whole segment) with THAT segment's remap
+blob + dl norms and rewrites docIDs / attaches dls; phase 2 groups by
+(field, term) and concatenates + re-sorts + re-encodes — term-parallel,
+exactly like a fresh build's encode stage. Where the reference's
+merge_writer holds doc_id map vectors for the whole merge set in one
+process ([up] core/index/merge_writer.cpp), each task here sees one
+segment's 8-bytes/doc blob at most; the only driver-side rows are the
+≤`parts`-row offset cumsum and per-field sums. A merge set stays within
+the tier policy's max_segments_bytes budget (the reference's invariant:
+policy, not the writer, bounds a merge).
 """
 
 from __future__ import annotations
@@ -181,6 +188,7 @@ def merge_segments(
     for pid_ in sorted(counts):
         offsets[pid_] = running
         running += counts[pid_]
+    n_docs_total = running
     offsets_df = spark.createDataFrame(
         [(p, o) for p, o in offsets.items()], "pid int, off bigint"
     )
@@ -194,31 +202,32 @@ def merge_segments(
         .parquet(docs_dir, mode="overwrite")
     )
 
-    # old (seg, doc) -> new doc mapping, read back as compact arrays and
-    # broadcast (8 bytes/doc, same budget class as the dls blob)
-    import pyarrow.parquet as pq
+    # ---- old (seg, doc) -> new docID remap, built DISTRIBUTIVELY: one
+    # int64 blob per SOURCE segment (index = old doc, value = new doc,
+    # 0 = masked/dropped), assembled by a groupBy(old_seg) task from the
+    # staged remap rows. The blobs never aggregate on the driver and never
+    # ride a broadcast — phase 1 below cogroups each segment's blob with
+    # that segment's postings slice, so a task holds ONE segment's
+    # 8-bytes/doc array at most.
+    n_docs_by_seg = {int(s): int(segs[s]["n_docs"]) for s in seg_ids}
 
-    remap_tbl = pq.read_table(
-        remap_dir, columns=["old_seg", "old_doc", "pid", "local_idx"]
-    )
-    o_seg = remap_tbl.column("old_seg").to_numpy()
-    o_doc = remap_tbl.column("old_doc").to_numpy()
-    off_np = np.zeros(max(offsets, default=0) + 1, dtype=np.int64)
-    for pid_, off_ in offsets.items():
-        off_np[pid_] = off_
-    n_doc = (
-        off_np[remap_tbl.column("pid").to_numpy()]
-        + remap_tbl.column("local_idx").to_numpy()
-    )
-    remap_arrays: dict[int, np.ndarray] = {}
-    for sid_ in seg_ids:
-        arr = np.zeros(int(segs[sid_]["n_docs"]) + 1, dtype=np.int64)
-        sel = o_seg == sid_
-        arr[o_doc[sel]] = n_doc[sel]  # masked docs stay 0 (= dropped)
-        remap_arrays[sid_] = arr
-    bc_remap = spark.sparkContext.broadcast(remap_arrays)
+    def build_remap(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sid_ = int(key[0])
+        arr = np.zeros(n_docs_by_seg[sid_] + 1, dtype="<i8")
+        arr[pdf["old_doc"].to_numpy(dtype=np.int64)] = pdf[
+            "new_id"
+        ].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"seg_id": [sid_], "remap_bin": [arr.tobytes()]})
 
-    # ---- postings: per-term concat with docID remap, re-encode
+    remapb = (
+        staged.join(F.broadcast(offsets_df), "pid")
+        .withColumn("new_id", F.col("off") + F.col("local_idx"))
+        .select("old_seg", "old_doc", "new_id")
+        .groupBy("old_seg")
+        .applyInPandas(build_remap, "seg_id int, remap_bin binary")
+    )
+
+    # ---- postings: two grouped stages, no per-doc broadcast.
     post = spark.read.parquet(
         *[store.abs_path(segs[s]["postings_path"]) for s in seg_ids]
     )
@@ -226,93 +235,178 @@ def merge_segments(
     field_names = [d["name"] for d in store.fields()]
     field_idx = {name: i for i, name in enumerate(field_names)}
 
-    def merge_term(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        field, term = key[0], key[1]
-        pdf = pdf.sort_values("seg_id")
-        remap = bc_remap.value
-        all_docs, all_tfs, all_pos, all_spans, all_pays = [], [], [], [], []
-        has_spans = has_pays = False
-        for row in pdf.itertuples():
-            pl = decode_postings(bytes(row.blob))
+    # per-source-segment dl norms (per field): each posting entry's dl is
+    # attached in phase 1 for the blockmax recompute — dl is per-doc
+    # invariant under merge, so the OLD segment's array indexed by the OLD
+    # docID equals the merged segment's dl for that doc.
+    norms_old = (
+        spark.read.parquet(
+            *sorted({store.abs_path(segs[s]["norms_path"]) for s in seg_ids})
+        )
+        .filter(F.col("seg_id").isin(seg_ids))
+        .select("seg_id", "fidx", "dls_bin")
+    )
+    norms_agg = norms_old.groupBy("seg_id").agg(
+        F.sort_array(F.collect_list(F.struct("fidx", "dls_bin"))).alias(
+            "norm_rows"
+        )
+    )
+    # salt each segment's postings into `bands` slices so a phase-1 task
+    # holds ~1/bands of one segment's blobs plus its ~12-bytes/doc aux
+    bands = int(max(1, min(32, parts // max(1, len(seg_ids)))))
+    aux = remapb.join(norms_agg, "seg_id").crossJoin(
+        spark.range(bands).select(F.col("id").cast("int").alias("band"))
+    )
+    post_b = post.withColumn(
+        "band", F.pmod(F.xxhash64("field", "term"), F.lit(bands)).cast("int")
+    )
+
+    REMAPPED_COLS = (
+        "seg_id",
+        "field",
+        "term",
+        "docs_bin",
+        "tfs_bin",
+        "dls_bin",
+        "pos_bin",
+        "span_bin",
+        "pay_bin",
+    )
+    REMAPPED_SCHEMA = (
+        "seg_id int, field string, term string, docs_bin binary, "
+        "tfs_bin binary, dls_bin binary, pos_bin binary, span_bin binary, "
+        "pay_bin binary"
+    )
+
+    def remap_slice(
+        key, post_pdf: pd.DataFrame, aux_pdf: pd.DataFrame
+    ) -> pd.DataFrame:
+        """Phase 1: rewrite one (segment, band) postings slice to merged
+        docIDs, dropping masked docs and attaching per-entry dls. Decoded
+        values ship as packed little-endian int64 binaries; per-doc slice
+        widths are implied by tfs (positions), 2*tfs (spans) and the span
+        length sums (payload chars)."""
+        if not len(post_pdf) or not len(aux_pdf):
+            return pd.DataFrame({c: [] for c in REMAPPED_COLS})
+        arow = aux_pdf.iloc[0]
+        remap = np.frombuffer(bytes(arow["remap_bin"]), dtype="<i8")
+        dls_by_fidx = {
+            int(r["fidx"]): np.frombuffer(bytes(r["dls_bin"]), dtype="<u4")
+            for r in arow["norm_rows"]
+        }
+        out: dict[str, list] = {c: [] for c in REMAPPED_COLS}
+        for prow in post_pdf.itertuples():
+            pl = decode_postings(bytes(prow.blob))
             docs_a = pl.doc_ids.astype(np.int64)
             tfs_a = pl.tfs.astype(np.int64)
-            new_ids = remap[int(row.seg_id)][docs_a]
+            new_ids = remap[docs_a]
             keep = new_ids > 0  # 0 = masked/dropped doc
+            if not keep.any():
+                continue
             sel = np.flatnonzero(keep)
-            docs_a, tfs_a = new_ids[keep], tfs_a[keep]
-            pos_flat = decode_positions_for(
-                bytes(row.pos_off), bytes(row.pos_pay), sel, tfs_a
+            old_keep = docs_a[keep]
+            new_keep = new_ids[keep]
+            tf_keep = tfs_a[keep]
+            pos_list = decode_positions_for(
+                bytes(prow.pos_off), bytes(prow.pos_pay), sel, tf_keep
             )
-            all_docs.append(docs_a)
-            all_tfs.append(tfs_a)
-            all_pos.extend(p for p in pos_flat)
-            row_pay = getattr(row, "pay_pay", None)
-            if row.span_pay is not None and len(row.span_pay):
-                has_spans = True
+            pos_flat = (
+                np.concatenate(pos_list).astype(np.int64)
+                if pos_list
+                else np.empty(0, np.int64)
+            )
+            dls_vals = dls_by_fidx[field_idx[prow.field]][
+                old_keep - 1
+            ].astype(np.int64)
+            if prow.span_pay is not None and len(prow.span_pay):
                 sp = decode_values_for(
-                    bytes(row.span_off), bytes(row.span_pay), sel, tfs_a * 2
-                )
-                sp_doc = (
-                    np.split(sp, np.cumsum(2 * tfs_a)[:-1]) if len(tfs_a) else []
-                )
-                all_spans.extend(sp_doc)
+                    bytes(prow.span_off), bytes(prow.span_pay), sel,
+                    tf_keep * 2,
+                ).astype(np.int64)
+                row_pay = getattr(prow, "pay_pay", None)
                 if row_pay is not None and len(row_pay):
-                    # A8 payload chars per doc: counts = sum of that doc's
-                    # span lengths (odd entries of its span slice)
-                    has_pays = True
                     c = (
                         np.add.reduceat(
-                            sp[1::2].astype(np.int64),
-                            np.cumsum(tfs_a) - tfs_a,
+                            sp[1::2], np.cumsum(tf_keep) - tf_keep
                         )
-                        if len(tfs_a)
+                        if len(tf_keep)
                         else np.empty(0, np.int64)
                     )
                     pay = decode_values_for(
-                        bytes(row.pay_off), bytes(row_pay), sel, c
-                    )
-                    all_pays.extend(
-                        np.split(pay, np.cumsum(c)[:-1]) if len(c) else []
-                    )
+                        bytes(prow.pay_off), bytes(row_pay), sel, c
+                    ).astype(np.int64)
                 else:
-                    all_pays.extend(
-                        np.empty(0, np.int64) for _ in range(len(docs_a))
-                    )
+                    pay = np.empty(0, np.int64)
             else:
-                all_spans.extend(
-                    np.empty(0, np.int64) for _ in range(len(docs_a))
-                )
-                all_pays.extend(
-                    np.empty(0, np.int64) for _ in range(len(docs_a))
-                )
-        docs_m = np.concatenate(all_docs) if all_docs else np.empty(0, np.int64)
-        if len(docs_m) == 0:
+                sp = np.empty(0, np.int64)
+                pay = np.empty(0, np.int64)
+            out["seg_id"].append(np.int32(prow.seg_id))
+            out["field"].append(prow.field)
+            out["term"].append(prow.term)
+            out["docs_bin"].append(new_keep.astype("<i8").tobytes())
+            out["tfs_bin"].append(tf_keep.astype("<i8").tobytes())
+            out["dls_bin"].append(dls_vals.astype("<i8").tobytes())
+            out["pos_bin"].append(pos_flat.astype("<i8").tobytes())
+            out["span_bin"].append(sp.astype("<i8").tobytes())
+            out["pay_bin"].append(pay.astype("<i8").tobytes())
+        return pd.DataFrame(out)
+
+    def merge_term_rows(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        """Phase 2: one (field, term) across all source segments — concat
+        the phase-1 slices in seg_id order, stable-sort by merged docID
+        (new ids interleave across segments under the global url sort),
+        permute the ragged per-doc value runs with the same order, and
+        re-encode. Vectorized end-to-end; per-entry dls arrived from
+        phase 1, so no norms broadcast is needed for blockmax."""
+        field, term = key[0], key[1]
+        pdf = pdf.sort_values("seg_id")
+
+        def cat(col: str) -> np.ndarray:
+            bufs = [bytes(b) for b in pdf[col] if b is not None and len(b)]
+            if not bufs:
+                return np.empty(0, np.int64)
+            return np.frombuffer(b"".join(bufs), dtype="<i8")
+
+        docs = cat("docs_bin")
+        if len(docs) == 0:
             return pd.DataFrame(
                 columns=[f.split()[0] for f in kernels.POSTING_SCHEMA.split(", ")]
             )
-        tfs_m = np.concatenate(all_tfs)
-        # new docIDs interleave across source segments (global url sort):
-        # re-sort the concatenated entries, permuting per-doc position
-        # lists (and spans) with them
-        order = np.argsort(docs_m, kind="stable")
-        docs_m, tfs_m = docs_m[order], tfs_m[order]
-        all_pos = [all_pos[i] for i in order]
-        all_spans = [all_spans[i] for i in order]
-        all_pays = [all_pays[i] for i in order]
-        pos_m = (
-            np.concatenate(all_pos) if all_pos else np.empty(0, np.int64)
+        tfs = cat("tfs_bin")
+        dls = cat("dls_bin")
+        pos = cat("pos_bin")
+        spans = cat("span_bin")
+        pays = cat("pay_bin")
+        has_spans = len(spans) > 0
+        has_pays = len(pays) > 0
+        # span/payload presence is per-field (FieldSpec), so within one
+        # (field, term) group every slice carries them or none does
+        if has_spans and len(spans) != int(2 * tfs.sum()):
+            raise ValueError(
+                f"inconsistent span presence across segments for "
+                f"({field!r}, {term!r})"
+            )
+        order = np.argsort(docs, kind="stable")
+        docs_m, tfs_m, dls_m = docs[order], tfs[order], dls[order]
+        pos_m = _permute_ragged(pos, tfs, order)
+        if has_pays:
+            # A8 payload chars per doc: counts = sum of that doc's span
+            # lengths (odd entries of its span slice), in pre-sort order
+            pay_counts_pre = np.add.reduceat(
+                spans[1::2], np.cumsum(tfs) - tfs
+            )
+            pays_m = _permute_ragged(pays, pay_counts_pre, order)
+            pay_counts_m = pay_counts_pre[order]
+        all_spans_m = (
+            _permute_ragged(spans, 2 * tfs, order) if has_spans else spans
         )
-        dls_m = _dls_for(bc_norms.value[field_idx[field]], docs_m)
         blob, skip, bmax = encode_postings(
             docs_m.astype("<u4"), tfs_m.astype("<u4"), dls_m.astype("<u4")
         )
         pos_off, pos_pay = encode_positions(pos_m.astype(np.int64), tfs_m)
         if has_spans:
-            sp_flat = (
-                np.concatenate(all_spans) if all_spans else np.empty(0, np.int64)
-            )
             so_buf, _so_off, sp_buf, _sp_off = encode_raw_batch(
-                sp_flat,
+                all_spans_m,
                 2 * tfs_m,
                 np.array([0, len(docs_m)], dtype=np.int64),
             )
@@ -320,15 +414,9 @@ def merge_segments(
         else:
             span_off, span_pay = b"", b""
         if has_pays:
-            pay_flat = (
-                np.concatenate(all_pays) if all_pays else np.empty(0, np.int64)
-            )
-            pay_counts = np.fromiter(
-                (len(p) for p in all_pays), count=len(all_pays), dtype=np.int64
-            )
             yo_buf, _yo, yp_buf, _yp = encode_raw_batch(
-                pay_flat,
-                pay_counts,
+                pays_m,
+                pay_counts_m,
                 np.array([0, len(docs_m)], dtype=np.int64),
             )
             pay_off_b, pay_pay_b = yo_buf.tobytes(), yp_buf.tobytes()
@@ -359,10 +447,10 @@ def merge_segments(
             }
         )
 
-    # ---- norms table FIRST (distributed dense-dl build; merge_term needs
-    # the dl array for blockmax recompute). The per-segment dls_bin blob is
-    # then read back (one row, 4 bytes/doc of packed binary) and broadcast —
-    # never the per-row toPandas path.
+    # ---- norms table for the NEW segment (distributed dense-dl build).
+    # Only the tiny per-field sums come back to the driver (for snapshot
+    # stats); the dls blobs stay on disk — blockmax recompute reads dls
+    # per entry from phase 1, not from a broadcast.
     (
         spark.read.parquet(docs_dir)
         .select("seg_id", "doc_id", "fdls")
@@ -372,13 +460,7 @@ def merge_segments(
     )
     import pyarrow.parquet as pq
 
-    norms_tbl = pq.read_table(norms_dir, columns=["fidx", "dls_bin", "sum_dl"])
-    dls_by_fidx = {
-        int(fx): np.frombuffer(bytes(blob.as_py()), dtype="<u4")
-        for fx, blob in zip(
-            norms_tbl.column("fidx").to_pylist(), norms_tbl.column("dls_bin")
-        )
-    }
+    norms_tbl = pq.read_table(norms_dir, columns=["fidx", "sum_dl"])
     field_sums_new = {
         field_names[int(fx)]: int(s)
         for fx, s in zip(
@@ -386,12 +468,14 @@ def merge_segments(
             norms_tbl.column("sum_dl").to_pylist(),
         )
     }
-    bc_norms = spark.sparkContext.broadcast(dls_by_fidx)
 
     merged_post = (
-        post.repartition(parts, "field", "term")
+        post_b.groupBy("seg_id", "band")
+        .cogroup(aux.groupBy("seg_id", "band"))
+        .applyInPandas(remap_slice, REMAPPED_SCHEMA)
+        .repartition(parts, "field", "term")
         .groupBy("field", "term")
-        .applyInPandas(merge_term, kernels.POSTING_SCHEMA)
+        .applyInPandas(merge_term_rows, kernels.POSTING_SCHEMA)
     )
     (
         merged_post.withColumn("seg_part", F.col("seg_id"))
@@ -407,7 +491,7 @@ def merge_segments(
 
     # ---- snapshot: survivors + the merged segment
     rel = os.path.relpath(commit_dir, store.root)
-    n_docs_new = int(remap_tbl.num_rows)
+    n_docs_new = int(n_docs_total)
     sum_dl_new = int(field_sums_new.get(field_names[0], 0))
     n_terms_new = int(spark.read.parquet(post_dir).count())
     new_seg = {
@@ -446,8 +530,22 @@ def merge_segments(
     )
 
 
-def _dls_for(dls_arr: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
-    return dls_arr[doc_ids - 1]
+def _permute_ragged(
+    v: np.ndarray, counts: np.ndarray, order: np.ndarray
+) -> np.ndarray:
+    """Reorder concatenated ragged runs: `v` holds len(counts) runs of
+    counts[i] values each; return the runs re-concatenated in `order`.
+    Pure index arithmetic (repeat + intra-run arange) — no Python loop."""
+    if len(v) == 0:
+        return v
+    starts = np.cumsum(counts) - counts
+    cc = counts[order]
+    total = int(cc.sum())
+    run_starts = np.cumsum(cc) - cc
+    idx = np.repeat(starts[order], cc) + (
+        np.arange(total, dtype=np.int64) - np.repeat(run_starts, cc)
+    )
+    return v[idx]
 
 
 def delete_by_query(spark, store: SnapshotStore, flt) -> int:

@@ -352,6 +352,88 @@ def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     return emb.join(best, "vec_id")
 
 
+def quantization_error(emb: DataFrame, cent: DataFrame) -> float:
+    """Mean (1 - cos(vector, its nearest centroid)) over the corpus — the
+    coarse quantizer's objective. One assignment pass (broadcast cross
+    join + map-side max_by) + a scalar aggregate; used to compare
+    quantizers (seeded init vs Lloyd-trained)."""
+    a = ivf_assign(emb, cent).select(
+        "vec_id", "embedding", F.col("list_id").alias("cid")
+    )
+    cos = _dot(F.col("embedding"), F.col("cv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("cv"))
+    )
+    row = (
+        a.join(F.broadcast(cent), "cid")
+        .agg(F.avg(F.lit(1.0) - cos).alias("err"))
+        .collect()[0]
+    )
+    return float(row["err"])
+
+
+def train_centroids(
+    emb: DataFrame,
+    n_lists: int,
+    iters: int = 4,
+    seed: str = "centroid",
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Lloyd-refined coarse quantizer (k-means over the corpus or a
+    deterministic sample): start from `seeded_centroids` and iterate
+    assign -> per-list mean. Distributed shape per iteration: one
+    broadcast-join assignment (same fold expressions as `ivf_assign`, so
+    trained centroids drop into the identical index/query path) + one
+    posexplode/groupBy(list, dim) partial-aggregated sum — the only
+    driver-side state is the C x dim centroid matrix itself, which any
+    IVF quantizer holds by design. `sample_mod=m` trains on the ~1/m
+    deterministic vec_id-hash sample (the FAISS practice at corpus
+    scale); assignment of the FULL corpus happens later at
+    `build_ivf_index` time regardless. Cosine ranking is scale-invariant,
+    so per-list means need no re-normalization. Empty lists keep their
+    previous centroid. Deterministic: seeded init, fixed iteration count,
+    order-independent aggregates."""
+    spark = emb.sparkSession
+    train = emb
+    if sample_mod is not None and sample_mod > 1:
+        train = emb.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(sample_mod)) == 0
+        )
+    prev = {
+        int(r["cid"]): [float(x) for x in r["cv"]]
+        for r in seeded_centroids(emb, n_lists, seed).collect()
+    }
+    for _ in range(max(0, iters)):
+        cent = spark.createDataFrame(
+            sorted(prev.items()), "cid long, cv array<float>"
+        )
+        sums = (
+            ivf_assign(train, cent)
+            .select("list_id", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in sums:
+            means.setdefault(int(r["list_id"]), {})[int(r["pos"])] = float(
+                r["s"]
+            ) / int(r["n"])
+        prev = {
+            cid: (
+                [means[cid][p] for p in range(len(cv))]
+                if cid in means
+                else cv
+            )
+            for cid, cv in prev.items()
+        }
+    return spark.createDataFrame(
+        sorted(prev.items()), "cid long, cv array<float>"
+    )
+
+
 def _probe_lists(cent: DataFrame, qv_df: DataFrame, nprobe: int) -> DataFrame:
     """The nprobe centroid lists closest to the query vector (tiny:
     C rows in, nprobe out)."""
@@ -480,14 +562,26 @@ def build_ivf_index(
     out_dir: str,
     n_lists: int = 16,
     seed: str = "centroid",
+    train_iters: int = 0,
+    train_sample_mod: int | None = None,
 ) -> str:
     """Materialize the IVF index: assign every vector to its nearest
     centroid ONCE and persist (vec_id, label, embedding) PARTITIONED BY
     list_id, plus a meta sidecar freezing the centroids themselves (so
     queries never rescan the corpus to recover the quantizer). One
-    broadcast-join pass at build time; queries prune to nprobe lists."""
-    cent_rows = seeded_centroids(emb, n_lists, seed).collect()  # C rows, tiny
+    broadcast-join pass at build time; queries prune to nprobe lists.
+    `train_iters > 0` refines the seeded init with that many Lloyd
+    iterations (`train_centroids`) before assignment — the index layout
+    and query path are identical either way."""
     spark = emb.sparkSession
+    if train_iters > 0:
+        cent_src = train_centroids(
+            emb, n_lists, iters=train_iters, seed=seed,
+            sample_mod=train_sample_mod,
+        )
+    else:
+        cent_src = seeded_centroids(emb, n_lists, seed)
+    cent_rows = cent_src.collect()  # C rows, tiny
     cent = spark.createDataFrame(
         [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows],
         "cid long, cv array<float>",
@@ -500,6 +594,7 @@ def build_ivf_index(
             {
                 "n_lists": n_lists,
                 "seed": seed,
+                "train_iters": train_iters,
                 "centroids": [
                     {"cid": int(r["cid"]), "cv": [float(x) for x in r["cv"]]}
                     for r in cent_rows

@@ -98,3 +98,38 @@ def test_recall_vs_exact(spark, emb):
         ).collect()
     ]
     assert got == want
+
+
+def test_kmeans_training_reduces_quantization_error(spark, emb):
+    """Lloyd iterations must not worsen the quantizer objective: mean
+    (1 - cos(vec, nearest centroid)) after training <= seeded init."""
+    init = similarity.seeded_centroids(emb, 8).select("cid", "cv")
+    trained = similarity.train_centroids(emb, 8, iters=3)
+    e0 = similarity.quantization_error(emb, init)
+    e1 = similarity.quantization_error(emb, trained)
+    assert e1 <= e0 + 1e-9
+    # deterministic: retraining yields the identical centroid matrix
+    again = similarity.train_centroids(emb, 8, iters=3)
+    key = lambda df: sorted(
+        (r["cid"], tuple(r["cv"])) for r in df.collect()
+    )
+    assert key(trained) == key(again)
+
+
+def test_trained_index_full_probe_is_exact(spark, emb, tmp_path):
+    """With every list probed, IVF top-k equals brute force regardless of
+    the quantizer — trained centroids drop into the same index/query
+    path."""
+    out = str(tmp_path / "ivf_trained")
+    similarity.build_ivf_index(emb, out, n_lists=8, train_iters=2)
+    want = [
+        r.asDict()
+        for r in similarity.cosine_topk(emb, query_vec_id=7, k=5).collect()
+    ]
+    got = [
+        r.asDict()
+        for r in similarity.ivf_ann_topk_indexed(
+            spark, out, emb, query_vec_id=7, nprobe=8, k=5
+        ).collect()
+    ]
+    assert got == want

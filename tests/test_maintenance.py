@@ -360,3 +360,30 @@ def test_merge_docid_assignment_parts_invariant(spark, split_store, tmp_path):
         results.append(_results(spark, store))
     assert docs_tables[0] == docs_tables[1]
     assert results[0] == results[1]
+
+
+def test_merge_holds_no_perdoc_driver_state(
+    spark, split_store, tmp_path, monkeypatch
+):
+    """The merge must never ship per-doc state through a Python-side
+    broadcast (the old design broadcast the whole merge set's docID remap
+    plus the merged dl norms): fail the run if sc.broadcast is called at
+    all during merge_segments — the remap/norms blobs must flow through
+    cogrouped DataFrames instead. (JVM broadcast-hash joins of the tiny
+    per-partition offset table are unaffected: they never call the
+    Python broadcast API.)"""
+    from pyspark import SparkContext
+
+    store = _copy_store(split_store, tmp_path)
+    delete_by_query(spark, store, qf.Term("w7"))
+
+    def _no_broadcast(self, value):
+        raise AssertionError(
+            f"merge must not sc.broadcast per-doc state, got {type(value)}"
+        )
+
+    seg_ids = [int(s["seg_id"]) for s in store.snapshot()["segments"]]
+    with monkeypatch.context() as m:
+        m.setattr(SparkContext, "broadcast", _no_broadcast)
+        merge_segments(spark, store, seg_ids)
+    assert len(store.snapshot()["segments"]) == 1

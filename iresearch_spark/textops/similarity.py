@@ -651,6 +651,68 @@ def ivf_ann_topk_indexed(
     return _rank_topk(scored, k)
 
 
+def ivf_ann_topk_batch(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    query_vec_ids: list[int],
+    nprobe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Batched IVF ANN: MANY query vectors against one materialized index
+    in ONE pruned job — the deployment shape where thousands of lookups
+    share a driver (the ANN analogue of the engine's `search_batch`).
+
+    Plan: rank the sidecar centroids per query (a Q x C broadcast cross
+    join, tiny), keep each query's `nprobe` lists, scan the UNION of all
+    probed list partitions once (partition-pruned — a list shared by many
+    queries is read once, not per query), broadcast-join the (qid, list)
+    probe table + query vectors onto it, and take per-query top-k with a
+    qid-partitioned window. Per-query results are rank-identical to
+    `ivf_ann_topk_indexed` (tested). Returns (qid, rank, vec_id, label,
+    cos)."""
+    with open(os.path.join(index_dir, _IVF_META)) as f:
+        meta = json.load(f)
+    cent = spark.createDataFrame(
+        [(int(c["cid"]), [float(x) for x in c["cv"]]) for c in meta["centroids"]],
+        "cid long, cv array<float>",
+    )
+    q_df = emb.filter(
+        F.col("vec_id").isin([int(q) for q in query_vec_ids])
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    cc = F.round(
+        _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cc"), F.asc("cid"))
+    probe = (
+        q_df.crossJoin(F.broadcast(cent))
+        .select("qid", "cid", cc.alias("cc"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", F.col("cid").alias("list_id"))
+    )
+    # ≤ Q*nprobe rows: the probed-partition union for the pruned scan
+    lists = sorted({int(r["list_id"]) for r in probe.collect()})
+    cand = (
+        ivf_index_scan(spark, index_dir, lists)
+        .join(F.broadcast(probe), "list_id")
+        .join(F.broadcast(q_df), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.select("qid", "vec_id", "label", F.round(cos, 6).alias("cos"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("rank").cast("int").alias("rank"), "vec_id", "label", "cos")
+        .orderBy("qid", "rank")
+    )
+
+
 _ANN_META = "_ann_meta.json"  # leading "_": invisible to parquet readers
 
 

@@ -133,3 +133,25 @@ def test_trained_index_full_probe_is_exact(spark, emb, tmp_path):
         ).collect()
     ]
     assert got == want
+
+
+def test_batch_matches_per_query(spark, emb, index_dir):
+    """One batched pruned job returns exactly the per-query indexed
+    results for every query in the batch."""
+    qids = [0, 3, 17, 42]
+    batch = similarity.ivf_ann_topk_batch(
+        spark, index_dir, emb, qids, nprobe=4, k=5
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["qid"], []).append(
+            (r["rank"], r["vec_id"], r["label"], r["cos"])
+        )
+    for qid in qids:
+        want = [
+            (r["rank"], r["vec_id"], r["label"], r["cos"])
+            for r in similarity.ivf_ann_topk_indexed(
+                spark, index_dir, emb, query_vec_id=qid, nprobe=4, k=5
+            ).collect()
+        ]
+        assert by_q[qid] == want

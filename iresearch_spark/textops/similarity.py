@@ -810,6 +810,72 @@ def lsh_ann_topk_indexed(
     )
 
 
+def lsh_ann_topk_batch(
+    spark: SparkSession,
+    index_dir: str,
+    emb: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 5,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Batched LSH ANN: many query vectors against one `build_ann_index`
+    table in ONE bucket-pruned job (the ANN analogue of `search_batch`,
+    mirroring `ivf_ann_topk_batch`). Buckets for all queries come from
+    one Q x P mini-job; multi-probe expansion is driver-side bit math on
+    Q buckets; the UNION of probed bucket partitions is scanned once (a
+    bucket probed by many queries is read once) and a broadcast
+    (qid, bucket) probe join fans candidates per query. Per-query results
+    are rank-identical to `lsh_ann_topk_indexed` (tested). Returns
+    (qid, rank, vec_id, label, cos)."""
+    with open(os.path.join(index_dir, _ANN_META)) as f:
+        meta = json.load(f)
+    n_planes = int(meta["n_planes"])
+    qrows = emb.filter(
+        F.col("vec_id").isin([int(q) for q in query_vec_ids])
+    )
+    planes = seeded_planes(spark, int(meta["dim"]), n_planes, meta["seed"])
+    qb = {
+        int(r["vec_id"]): int(r["bucket"])
+        for r in _bucket(qrows, planes).select("vec_id", "bucket").collect()
+    }
+    missing = set(int(q) for q in query_vec_ids) - set(qb)
+    if missing:
+        raise KeyError(f"query vec_ids not found: {sorted(missing)}")
+    probe = spark.createDataFrame(
+        [
+            (qid, b)
+            for qid, qbucket in qb.items()
+            for b in probed_buckets(qbucket, n_planes, probe_hamming)
+        ],
+        "qid long, bucket int",
+    )
+    buckets = sorted({int(r["bucket"]) for r in probe.collect()})
+    q_df = qrows.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cand = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("bucket").isin(buckets))
+        .join(F.broadcast(probe), "bucket")
+        .join(F.broadcast(q_df), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.select("qid", "vec_id", "label", F.round(cos, 6).alias("cos"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", F.col("rank").cast("int").alias("rank"),
+            "vec_id", "label", "cos",
+        )
+        .orderBy("qid", "rank")
+    )
+
+
 def lsh_ann_topk_sql(
     query_vec_id: int = 0,
     n_planes: int = 8,

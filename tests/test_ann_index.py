@@ -89,3 +89,27 @@ def test_query_bucket_job_touches_one_row(spark, emb, index_dir):
     assert qrow.count() == 1
     res = similarity.lsh_ann_topk_indexed(spark, index_dir, emb, query_vec_id=0)
     assert res.count() == 5
+
+
+def test_lsh_batch_matches_per_query(spark, emb, index_dir):
+    """One batched bucket-pruned job returns exactly the per-query
+    indexed results for every query in the batch."""
+    from iresearch_spark.textops import similarity
+
+    qids = [0, 3, 17, 42]
+    batch = similarity.lsh_ann_topk_batch(
+        spark, index_dir, emb, qids, k=5, probe_hamming=1
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["qid"], []).append(
+            (r["rank"], r["vec_id"], r["label"], r["cos"])
+        )
+    for qid in qids:
+        want = [
+            (r["rank"], r["vec_id"], r["label"], r["cos"])
+            for r in similarity.lsh_ann_topk_indexed(
+                spark, index_dir, emb, query_vec_id=qid, k=5, probe_hamming=1
+            ).collect()
+        ]
+        assert by_q.get(qid, []) == want

@@ -703,6 +703,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embed_ivf_ann"] = lambda s, d: similarity.ivf_ann_topk_indexed(
         s, _ivf_index(s, d), _embs(s, d)
     )
+    # batched ANN: many lookups amortized into ONE pruned job (the
+    # deployment shape; semantically the union of per-query lookups)
+    q["embed_ivf_ann_batch"] = lambda s, d: similarity.ivf_ann_topk_batch(
+        s, _ivf_index(s, d), _embs(s, d), [0, 3, 17]
+    )
     q["binary_meta"] = lambda s, d: multimodal.binary_meta(_docs(s, d))
 
     def multimodal_features(spark, sf_dir):
@@ -786,6 +791,7 @@ FROM documents GROUP BY lang ORDER BY lang"""
     o["embed_neardup_pairs"] = similarity.cosine_neardup_pairs_sql()
     o["embed_lsh_ann"] = similarity.lsh_ann_topk_sql()
     o["embed_ivf_ann"] = similarity.ivf_ann_topk_sql()
+    o["embed_ivf_ann_batch"] = similarity.ivf_ann_topk_batch_sql()
     o["binary_meta"] = multimodal.binary_meta_sql()
     o["lifecycle_stats"] = f"""
 WITH live AS (

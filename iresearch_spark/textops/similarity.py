@@ -554,6 +554,32 @@ SELECT CAST(rank AS INT) AS rank, vec_id, label, cos FROM (
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def ivf_ann_topk_batch_sql(
+    query_vec_ids: tuple[int, ...] = (0, 3, 17),
+    n_lists: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    seed: str = "centroid",
+) -> str:
+    """DuckDB twin of `ivf_ann_topk_batch`: the batch is semantically the
+    UNION of per-query IVF lookups (the batching is a physical-plan
+    amortization, not a semantic change), so the oracle is a UNION ALL of
+    the single-query oracle tagged with qid."""
+    parts = [
+        f"SELECT CAST({qid} AS BIGINT) AS qid, * FROM ("
+        + ivf_ann_topk_sql(
+            query_vec_id=qid, n_lists=n_lists, nprobe=nprobe, k=k, seed=seed
+        )
+        + ")"
+        for qid in query_vec_ids
+    ]
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY qid, rank"
+    )
+
+
 _IVF_META = "_ivf_meta.json"  # leading "_": invisible to parquet readers
 
 

@@ -677,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # training-data operators (SURVEY.md §2 extensions)
     q["token_stats"] = lambda s, d: quality.token_stats(_docs(s, d))
+    q["bpe_token_stats"] = lambda s, d: quality.bpe_token_stats(_docs(s, d))
     q["quality_scores"] = lambda s, d: quality.quality_scores(_docs(s, d))
     q["lang_markers"] = lambda s, d: quality.lang_marker_id(_docs(s, d))
     q["winnow_fingerprints"] = lambda s, d: quality.winnow_fingerprints(_docs(s, d))
@@ -707,6 +708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deployment shape; semantically the union of per-query lookups)
     q["embed_ivf_ann_batch"] = lambda s, d: similarity.ivf_ann_topk_batch(
         s, _ivf_index(s, d), _embs(s, d), [0, 3, 17]
+    )
+    q["embed_lsh_ann_batch"] = lambda s, d: similarity.lsh_ann_topk_batch(
+        s, _ann_index(s, d), _embs(s, d), [0, 3, 17]
     )
     q["binary_meta"] = lambda s, d: multimodal.binary_meta(_docs(s, d))
 
@@ -776,6 +780,7 @@ SELECT lang, count(*)::BIGINT AS n_docs, round(avg(n_chars), 6) AS avg_chars,
        max(n_chars) AS max_chars
 FROM documents GROUP BY lang ORDER BY lang"""
     o["token_stats"] = quality.token_stats_sql()
+    o["bpe_token_stats"] = quality.bpe_token_stats_sql()
     o["quality_scores"] = quality.quality_scores_sql()
     o["lang_markers"] = quality.lang_marker_id_sql()
     o["winnow_fingerprints"] = quality.winnow_fingerprints_sql()
@@ -792,6 +797,7 @@ FROM documents GROUP BY lang ORDER BY lang"""
     o["embed_lsh_ann"] = similarity.lsh_ann_topk_sql()
     o["embed_ivf_ann"] = similarity.ivf_ann_topk_sql()
     o["embed_ivf_ann_batch"] = similarity.ivf_ann_topk_batch_sql()
+    o["embed_lsh_ann_batch"] = similarity.lsh_ann_topk_batch_sql()
     o["binary_meta"] = multimodal.binary_meta_sql()
     o["lifecycle_stats"] = f"""
 WITH live AS (

@@ -189,6 +189,58 @@ SELECT doc_id, {pred} AS pred_lang, {best} AS n_markers
 FROM s ORDER BY doc_id LIMIT {top}"""
 
 
+# ----------------------------------------------- BPE-ish token counting
+
+# GPT-2-family pretokenizer, ASCII-simplified and lookahead-free so the
+# Java (Spark) and RE2 (DuckDB) engines agree: contractions split off
+# first, then space-prefixed letter runs, 1-3 digit chunks (the cl100k
+# digit-grouping rule), and punctuation runs. Both engines use
+# leftmost-first alternation, so match counts are identical.
+BPE_SPLIT_RE = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\\s]+"
+
+
+def bpe_token_stats(docs: DataFrame, top: int = 100) -> DataFrame:
+    """LLM token-budget estimator: per-doc BPE-ish pretoken count (the
+    GPT-2 pretokenizer regex over lowered text — every real BPE merge
+    happens strictly inside these pretokens, so this upper-bounds and
+    tracks the true token count), whitespace-word count, and fertility
+    (pretokens per word). One narrow JVM regexp scan, no shuffle."""
+    lower = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    n_bpe = F.size(F.regexp_extract_all(lower, F.lit(BPE_SPLIT_RE), F.lit(0)))
+    n_ws = F.size(
+        F.filter(F.split(lower, r"\s+"), lambda t: t != F.lit(""))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_bpe.alias("n_bpe"),
+            n_ws.alias("n_ws"),
+            F.when(
+                n_ws > 0, F.round(n_bpe.cast("double") / n_ws, 6)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("fertility"),
+        )
+        .orderBy("doc_id")
+        .limit(top)
+    )
+
+
+def bpe_token_stats_sql(top: int = 100) -> str:
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return f"""
+WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS lt FROM documents),
+c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lt, '{pat}', 0))::INT AS n_bpe,
+         len(list_filter(string_split_regex(lt, '\\s+'), t -> t <> ''))::INT AS n_ws
+  FROM d
+)
+SELECT doc_id, n_bpe, n_ws,
+       CASE WHEN n_ws > 0 THEN round(n_bpe::DOUBLE / n_ws, 6) ELSE 0.0 END AS fertility
+FROM c ORDER BY doc_id LIMIT {top}"""
+
+
 # ------------------------------------------------- winnowing fingerprint
 
 

@@ -902,6 +902,36 @@ def lsh_ann_topk_batch(
     )
 
 
+def lsh_ann_topk_batch_sql(
+    query_vec_ids: tuple[int, ...] = (0, 3, 17),
+    n_planes: int = 8,
+    k: int = 5,
+    probe_hamming: int = 1,
+    seed: str = "plane",
+) -> str:
+    """DuckDB twin of `lsh_ann_topk_batch`: the batch is semantically the
+    UNION of per-query LSH lookups (batching amortizes the physical plan,
+    it does not change results), so the oracle is a UNION ALL of the
+    single-query oracle tagged with qid."""
+    parts = [
+        f"SELECT CAST({qid} AS BIGINT) AS qid, * FROM ("
+        + lsh_ann_topk_sql(
+            query_vec_id=qid,
+            n_planes=n_planes,
+            k=k,
+            probe_hamming=probe_hamming,
+            seed=seed,
+        )
+        + ")"
+        for qid in query_vec_ids
+    ]
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY qid, rank"
+    )
+
+
 def lsh_ann_topk_sql(
     query_vec_id: int = 0,
     n_planes: int = 8,

@@ -739,6 +739,113 @@ def ivf_ann_topk_batch(
     )
 
 
+def _refresh_partitioned_index(
+    spark: SparkSession,
+    index_dir: str,
+    delta: DataFrame,
+    key: str,
+    mode: str,
+) -> None:
+    """Shared incremental-refresh machinery for the materialized ANN
+    indexes (`key` = "bucket" for LSH, "list_id" for IVF). `delta` is the
+    already-keyed delta table (same columns as the stored index).
+
+    append: new vec_ids only — one file-append into the delta's key
+    partitions; untouched partitions are not rewritten.
+
+    upsert: re-embedded vec_ids — every TOUCHED partition (a replaced
+    vec_id's OLD key ∪ the delta's NEW keys) is rewritten as
+    (old rows minus replaced ids) ∪ delta via dynamic partition
+    overwrite; untouched partitions' files stay in place. Finding the old
+    keys is one column-pruned (vec_id, key) scan of the index — the exact
+    projection a production deployment would keep as its id→partition
+    lookup table. Cost is proportional to the touched partitions'
+    footprint, never the corpus."""
+    if mode == "append":
+        delta.write.partitionBy(key).parquet(index_dir, mode="append")
+        return
+    if mode != "upsert":
+        raise ValueError(f"mode must be append|upsert, got {mode!r}")
+    ids = delta.select("vec_id")
+    stored = spark.read.parquet(index_dir)
+    old_keys = (
+        stored.join(F.broadcast(ids), "vec_id")
+        .select(key)
+        .distinct()
+        .collect()
+    )
+    new_keys = delta.select(key).distinct().collect()
+    touched = sorted({int(r[key]) for r in old_keys + new_keys})
+    if not touched:
+        return
+    keep = stored.filter(F.col(key).isin(touched)).join(
+        F.broadcast(ids), "vec_id", "left_anti"
+    )
+    # localCheckpoint materializes the merged partitions and truncates the
+    # lineage back to index_dir — Spark (rightly) refuses to overwrite a
+    # path its write plan still reads from. The touched partitions are the
+    # delta's footprint, so the materialization is delta-sized.
+    merged = (
+        keep.select(*delta.columns).unionByName(delta).localCheckpoint()
+    )
+    present = {int(r[key]) for r in merged.select(key).distinct().collect()}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.partitionBy(key).parquet(index_dir, mode="overwrite")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite cannot delete a partition that ends up with ZERO
+    # rows (nothing is written under it, so the old files survive) — drop
+    # any such emptied partition directory explicitly
+    for k_val in set(touched) - present:
+        part_dir = os.path.join(index_dir, f"{key}={k_val}")
+        if os.path.isdir(part_dir):
+            import shutil
+
+            shutil.rmtree(part_dir)
+
+
+def refresh_ann_index(
+    emb_delta: DataFrame, index_dir: str, mode: str = "append"
+) -> str:
+    """Incrementally refresh a materialized LSH bucket index (the
+    per-bucket refresh `build_ann_index` promises): bucket ONLY the delta
+    with the frozen sidecar planes, then append (new vectors) or
+    dynamic-partition-overwrite upsert (re-embedded vectors). The planes
+    are frozen in the meta sidecar, so delta buckets cannot drift from
+    the stored ones."""
+    spark = emb_delta.sparkSession
+    with open(os.path.join(index_dir, _ANN_META)) as f:
+        meta = json.load(f)
+    planes = seeded_planes(
+        spark, int(meta["dim"]), int(meta["n_planes"]), meta["seed"]
+    )
+    delta = _bucket(emb_delta, planes)
+    _refresh_partitioned_index(spark, index_dir, delta, "bucket", mode)
+    return index_dir
+
+
+def refresh_ivf_index(
+    emb_delta: DataFrame, index_dir: str, mode: str = "append"
+) -> str:
+    """Incrementally refresh a materialized IVF index: assign ONLY the
+    delta against the frozen sidecar centroids (the quantizer is never
+    retrained on refresh — standard IVF practice; retrain = rebuild),
+    then append or dynamic-partition-overwrite upsert into the touched
+    list partitions."""
+    spark = emb_delta.sparkSession
+    with open(os.path.join(index_dir, _IVF_META)) as f:
+        meta = json.load(f)
+    cent = spark.createDataFrame(
+        [(int(c["cid"]), [float(x) for x in c["cv"]]) for c in meta["centroids"]],
+        "cid long, cv array<float>",
+    )
+    delta = ivf_assign(emb_delta, cent)
+    _refresh_partitioned_index(spark, index_dir, delta, "list_id", mode)
+    return index_dir
+
+
 _ANN_META = "_ann_meta.json"  # leading "_": invisible to parquet readers
 
 

@@ -1,0 +1,317 @@
+"""Command-line utilities mirroring the reference's benchmark harness
+surface ([up] utils/index-put.cpp — ingest — and utils/index-search.cpp —
+query): build an index from a parquet corpus, search it with a compact
+query syntax, print snapshot stats, consolidate, and delete-by-query.
+
+    python -m iresearch_spark build  --input corpus.parquet --store ./idx
+    python -m iresearch_spark search --store ./idx 'w3 w7 -w999' -k 10
+    python -m iresearch_spark stats  --store ./idx
+    python -m iresearch_spark consolidate --store ./idx --policy tier
+    python -m iresearch_spark delete --store ./idx 'w999'
+
+Query syntax (`parse_query`):
+
+    clause  := ['-'] [field ':'] atom ['^' boost]
+    atom    := '"w1 w2"'        phrase (a trailing-* word is a prefix part)
+             | 'pre*'           prefix
+             | 'wild*card?'     wildcard (* = any run, ? = one char)
+             | 'term~1'         fuzzy (Levenshtein; '~1t' = OSA/
+                                transpositions; distance 1 or 2)
+             | '[lo TO hi]'     term range (lo inclusive, hi exclusive —
+                                the engine's TermRange default)
+             | 'term'           exact term
+
+Clauses combine as a disjunction (`Or`, min_match=1); `--all` combines
+them as a conjunction. '-'-prefixed clauses are excluded via `Not`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+
+from iresearch_spark.query import filters as qf
+
+_CLAUSE_RE = re.compile(
+    r"""(?P<neg>-)?
+        (?:(?P<field>[A-Za-z_]\w*):)?
+        (?P<atom>"[^"]*"|\[[^\]]*\]|[^\s^]+)
+        (?:\^(?P<boost>\d+(?:\.\d+)?))?""",
+    re.VERBOSE,
+)
+_FUZZY_RE = re.compile(r"^(?P<term>.+?)~(?P<d>[12])(?P<osa>t?)$")
+
+
+def _atom_filter(atom: str, field: str) -> qf.Filter:
+    if atom.startswith('"') and atom.endswith('"'):
+        words = atom[1:-1].split()
+        parts = [
+            qf.Prefix(w[:-1], field=field) if w.endswith("*") and len(w) > 1 else w
+            for w in words
+        ]
+        return qf.Phrase(parts, field=field)
+    if atom.startswith("[") and atom.endswith("]"):
+        m = re.match(r"^\[(\S+)\s+TO\s+(\S+)\]$", atom)
+        if not m:
+            raise ValueError(f"bad range syntax: {atom!r} (want '[lo TO hi]')")
+        return qf.TermRange(m.group(1), m.group(2), field=field)
+    m = _FUZZY_RE.match(atom)
+    if m:
+        return qf.Fuzzy(
+            m.group("term"),
+            max_distance=int(m.group("d")),
+            with_transpositions=bool(m.group("osa")),
+            field=field,
+        )
+    if "*" in atom or "?" in atom:
+        if atom.endswith("*") and "?" not in atom and "*" not in atom[:-1]:
+            return qf.Prefix(atom[:-1], field=field)
+        pat = (
+            atom.replace("\\", "\\\\")
+            .replace("%", "\\%")
+            .replace("_", "\\_")
+            .replace("*", "%")
+            .replace("?", "_")
+        )
+        return qf.Wildcard(pat, field=field)
+    return qf.Term(atom, field=field)
+
+
+def parse_query(
+    q: str, field: str = "text", require_all: bool = False
+) -> qf.Filter:
+    """Parse the compact query syntax into the engine's filter algebra."""
+    pos: list[qf.Filter] = []
+    neg: list[qf.Filter] = []
+    rest = q.strip()
+    if not rest:
+        raise ValueError("empty query")
+    idx = 0
+    for m in _CLAUSE_RE.finditer(rest):
+        if rest[idx : m.start()].strip():
+            raise ValueError(f"bad query near: {rest[idx:m.start()]!r}")
+        idx = m.end()
+        f = _atom_filter(m.group("atom"), m.group("field") or field)
+        if m.group("boost"):
+            f = qf.Boost(f, float(m.group("boost")))
+        (neg if m.group("neg") else pos).append(f)
+    if rest[idx:].strip():
+        raise ValueError(f"bad query near: {rest[idx:]!r}")
+    if pos:
+        base = (
+            pos[0]
+            if len(pos) == 1
+            else (qf.And(*pos) if require_all else qf.Or(*pos))
+        )
+    else:
+        base = qf.AllDocs()
+    if neg:
+        base = qf.Not(base, neg[0] if len(neg) == 1 else qf.Or(*neg))
+    return base
+
+
+# ------------------------------------------------------------- commands
+
+
+def _get_spark(master: str | None):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder
+    if master:
+        b = b.master(master)
+    return (
+        b.appName("iresearch_spark_cli")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def _parse_field(spec: str):
+    from iresearch_spark.fields import FieldSpec
+
+    parts = spec.split(",")
+    if not 1 <= len(parts) <= 5:
+        raise ValueError(
+            f"bad --field {spec!r}: want name[,source[,analyzer[,offsets[,payloads]]]]"
+        )
+    name = parts[0]
+    source = parts[1] if len(parts) > 1 else "__text__"
+    analyzer = parts[2] if len(parts) > 2 else "text"
+    offsets = "offsets" in parts[3:]
+    payloads = "payloads" in parts[3:]
+    return FieldSpec(
+        name, source, analyzer, offsets=offsets or payloads, payloads=payloads
+    )
+
+
+def cmd_build(args, spark) -> int:
+    from iresearch_spark.build.indexer import build_index
+    from iresearch_spark.store import SnapshotStore
+
+    corpus = spark.read.parquet(args.input)
+    store = SnapshotStore(args.store)
+    fields = [_parse_field(s) for s in args.field] or None
+    sid = build_index(
+        spark,
+        corpus,
+        store,
+        n_segments=args.segments,
+        fields=fields,
+        source=args.input,
+        mode="append" if args.append else "replace",
+    )
+    snap = store.snapshot(sid)
+    print(
+        json.dumps(
+            {
+                "snapshot_id": sid,
+                "n_docs": snap["stats"]["n_docs"],
+                "n_segments": len(snap["segments"]),
+                "metrics": snap.get("metrics", {}),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_search(args, spark) -> int:
+    from iresearch_spark.query.executor import IndexSearcher
+    from iresearch_spark.store import SnapshotStore
+
+    flt = parse_query(args.query, field=args.field, require_all=args.all)
+    s = IndexSearcher(spark, SnapshotStore(args.store), scorer=args.scorer)
+    res = s.search_batch({0: flt}, k=args.k, with_urls=True, score_round=6)
+    for r in res.select("rank", "url", "score").collect():
+        print(
+            json.dumps(
+                {"rank": int(r["rank"]), "url": r["url"], "score": float(r["score"])}
+            )
+        )
+    return 0
+
+
+def cmd_stats(args, spark) -> int:
+    from iresearch_spark.store import SnapshotStore
+
+    store = SnapshotStore(args.store)
+    snap = store.snapshot()
+    print(
+        json.dumps(
+            {
+                "snapshot_id": snap["snapshot_id"],
+                "stats": snap["stats"],
+                "n_segments": len(snap["segments"]),
+                "fields": [f["name"] for f in snap.get("fields", [])],
+                "metrics": snap.get("metrics", {}),
+                "operation": snap.get("operation"),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_consolidate(args, spark) -> int:
+    from iresearch_spark.build import policy as pol
+    from iresearch_spark.store import SnapshotStore
+
+    policy = getattr(pol, f"consolidate_{args.policy}")
+    kwargs = {}
+    for opt in args.opt:
+        k, _, v = opt.partition("=")
+        kwargs[k] = float(v) if "." in v else int(v)
+    sids = pol.consolidate(
+        spark, SnapshotStore(args.store), policy=policy, **kwargs
+    )
+    print(json.dumps({"merge_rounds": len(sids), "snapshot_ids": sids}))
+    return 0
+
+
+def cmd_delete(args, spark) -> int:
+    from iresearch_spark.build.merge import delete_by_query
+    from iresearch_spark.store import SnapshotStore
+
+    flt = parse_query(args.query, field=args.field, require_all=args.all)
+    store = SnapshotStore(args.store)
+    sid = delete_by_query(spark, store, flt)
+    snap = store.snapshot(sid)
+    # stats stay pre-delete until compaction (tombstone semantics): report
+    # which segments gained masks; a later consolidate purges them
+    masked = next(
+        (ln["segments"] for ln in snap.get("lineage", []) if ln.get("operation") == "delete"),
+        [],
+    )
+    print(json.dumps({"snapshot_id": sid, "masked_segments": masked}))
+    return 0
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="iresearch_spark",
+        description="index-put / index-search style utilities",
+    )
+    p.add_argument("--master", default=None, help="Spark master (default: session default)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index from a parquet corpus")
+    b.add_argument("--input", required=True)
+    b.add_argument("--store", required=True)
+    b.add_argument("--segments", type=int, default=8)
+    b.add_argument("--append", action="store_true")
+    b.add_argument(
+        "--field",
+        action="append",
+        default=[],
+        help="name[,source[,analyzer[,offsets[,payloads]]]] (repeatable)",
+    )
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="BM25 top-k search")
+    s.add_argument("--store", required=True)
+    s.add_argument("query")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--field", default="text")
+    s.add_argument("--all", action="store_true", help="AND clauses (default OR)")
+    s.add_argument("--scorer", choices=("bm25", "tfidf"), default="bm25")
+    s.set_defaults(fn=cmd_search)
+
+    st = sub.add_parser("stats", help="print current snapshot stats")
+    st.add_argument("--store", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    c = sub.add_parser("consolidate", help="run a consolidation policy")
+    c.add_argument("--store", required=True)
+    c.add_argument(
+        "--policy",
+        default="tier",
+        choices=("tier", "count", "bytes", "bytes_accum", "docs_live", "docs_fill"),
+    )
+    c.add_argument(
+        "--opt",
+        action="append",
+        default=[],
+        help="policy kwarg, e.g. --opt max_segments=4 (repeatable)",
+    )
+    c.set_defaults(fn=cmd_consolidate)
+
+    d = sub.add_parser("delete", help="delete-by-query (tombstones)")
+    d.add_argument("--store", required=True)
+    d.add_argument("query")
+    d.add_argument("--field", default="text")
+    d.add_argument("--all", action="store_true")
+    d.set_defaults(fn=cmd_delete)
+
+    args = p.parse_args(argv)
+    own = spark is None
+    if own:
+        spark = _get_spark(args.master)
+    try:
+        return args.fn(args, spark)
+    finally:
+        if own:
+            spark.stop()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

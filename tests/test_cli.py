@@ -1,0 +1,125 @@
+"""CLI utilities (the reference's index-put / index-search surface):
+query-syntax parser units + an end-to-end build/search/stats/delete/
+consolidate round trip over a small synthetic corpus."""
+
+import json
+
+import pytest
+
+from iresearch_spark import cli
+from iresearch_spark.query import filters as qf
+
+
+# ------------------------------------------------------------ parse_query
+
+
+def test_parse_term_and_field():
+    assert cli.parse_query("w3") == qf.Term("w3")
+    assert cli.parse_query("srcid:src7") == qf.Term("src7", field="srcid")
+
+
+def test_parse_or_and_all():
+    q = cli.parse_query("w3 w7")
+    assert q == qf.Or(qf.Term("w3"), qf.Term("w7"))
+    q = cli.parse_query("w3 w7", require_all=True)
+    assert q == qf.And(qf.Term("w3"), qf.Term("w7"))
+
+
+def test_parse_phrase_with_prefix_part():
+    q = cli.parse_query('"w0 w1*"')
+    assert q == qf.Phrase(["w0", qf.Prefix("w1")])
+
+
+def test_parse_prefix_wildcard():
+    assert cli.parse_query("pre*") == qf.Prefix("pre")
+    q = cli.parse_query("w?ld*")
+    assert q == qf.Wildcard("w_ld%")
+
+
+def test_parse_fuzzy():
+    assert cli.parse_query("tble~1") == qf.Fuzzy("tble", max_distance=1)
+    assert cli.parse_query("tble~2t") == qf.Fuzzy(
+        "tble", max_distance=2, with_transpositions=True
+    )
+
+
+def test_parse_range():
+    q = cli.parse_query("[query TO sort]")
+    assert q == qf.TermRange("query", "sort")
+
+
+def test_parse_exclude_and_boost():
+    q = cli.parse_query("w3 -w999")
+    assert q == qf.Not(qf.Term("w3"), qf.Term("w999"))
+    q = cli.parse_query("w3^2.5")
+    assert q == qf.Boost(qf.Term("w3"), 2.5)
+
+
+def test_parse_empty_and_garbage():
+    with pytest.raises(ValueError):
+        cli.parse_query("   ")
+    # a lone exclusion still parses (match-all minus excluded)
+    q = cli.parse_query("-w999")
+    assert q == qf.Not(qf.AllDocs(), qf.Term("w999"))
+
+
+# ------------------------------------------------------------ end-to-end
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    from iresearch_spark.fixtures.corpus import gen_corpus_spark
+
+    p = str(tmp_path_factory.mktemp("cli") / "corpus.parquet")
+    gen_corpus_spark(spark, 600).write.parquet(p)
+    return p
+
+
+def _out_lines(capsys):
+    return [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+
+
+def test_cli_round_trip(spark, corpus_path, tmp_path, capsys):
+    store = str(tmp_path / "idx")
+    rc = cli.main(
+        ["build", "--input", corpus_path, "--store", store, "--segments", "2"],
+        spark=spark,
+    )
+    assert rc == 0
+    built = _out_lines(capsys)[-1]
+    assert built["n_docs"] == 600 and built["n_segments"] == 2
+
+    rc = cli.main(["search", "--store", store, "w3 w7", "-k", "5"], spark=spark)
+    assert rc == 0
+    hits = _out_lines(capsys)
+    assert 0 < len(hits) <= 5
+    assert [h["rank"] for h in hits] == list(range(1, len(hits) + 1))
+    assert all(hits[i]["score"] >= hits[i + 1]["score"] for i in range(len(hits) - 1))
+
+    rc = cli.main(["stats", "--store", store], spark=spark)
+    assert rc == 0
+    stats = _out_lines(capsys)[-1]
+    assert stats["stats"]["n_docs"] == 600 and stats["n_segments"] == 2
+
+    rc = cli.main(["delete", "--store", store, "w3"], spark=spark)
+    assert rc == 0
+    deleted = _out_lines(capsys)[-1]
+    assert deleted["masked_segments"]  # at least one segment gained a mask
+
+    rc = cli.main(
+        ["consolidate", "--store", store, "--policy", "count",
+         "--opt", "max_segments=1"],
+        spark=spark,
+    )
+    assert rc == 0
+    cons = _out_lines(capsys)[-1]
+    assert cons["merge_rounds"] >= 1
+
+    # deleted docs are gone after compaction; the term no longer matches
+    rc = cli.main(["search", "--store", store, "w3", "-k", "5"], spark=spark)
+    assert rc == 0
+    assert _out_lines(capsys) == []

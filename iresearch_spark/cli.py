@@ -192,6 +192,51 @@ def cmd_search(args, spark) -> int:
     return 0
 
 
+def cmd_search_batch(args, spark) -> int:
+    """Many queries from a file through ONE search_batch call (the
+    reference's index-search harness shape: query file in, hits + QPS
+    out). Lines are CLI-syntax queries; blank lines and '#' comments are
+    skipped."""
+    import time
+
+    from iresearch_spark.query.executor import IndexSearcher
+    from iresearch_spark.store import SnapshotStore
+
+    with open(args.queries) as f:
+        lines = [
+            (i, ln.strip())
+            for i, ln in enumerate(f)
+            if ln.strip() and not ln.lstrip().startswith("#")
+        ]
+    batch = {
+        qid: parse_query(q, field=args.field, require_all=args.all)
+        for qid, q in lines
+    }
+    s = IndexSearcher(spark, SnapshotStore(args.store), scorer=args.scorer)
+    t0 = time.time()
+    rows = s.search_batch(
+        batch, k=args.k, with_urls=True, score_round=6
+    ).collect()
+    wall = time.time() - t0
+    by_q = {qid: [] for qid, _ in lines}
+    for r in rows:
+        by_q[int(r["qid"])].append(
+            {"rank": int(r["rank"]), "url": r["url"], "score": float(r["score"])}
+        )
+    for qid, q in lines:
+        print(json.dumps({"query": q, "hits": by_q[qid]}))
+    print(
+        json.dumps(
+            {
+                "n_queries": len(lines),
+                "wall_s": round(wall, 3),
+                "qps": round(len(lines) / wall, 2) if wall else None,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_stats(args, spark) -> int:
     from iresearch_spark.store import SnapshotStore
 
@@ -275,6 +320,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     s.add_argument("--all", action="store_true", help="AND clauses (default OR)")
     s.add_argument("--scorer", choices=("bm25", "tfidf"), default="bm25")
     s.set_defaults(fn=cmd_search)
+
+    sb = sub.add_parser(
+        "search-batch", help="run a query file as one amortized batch"
+    )
+    sb.add_argument("--store", required=True)
+    sb.add_argument("--queries", required=True, help="file, one query per line")
+    sb.add_argument("-k", type=int, default=10)
+    sb.add_argument("--field", default="text")
+    sb.add_argument("--all", action="store_true")
+    sb.add_argument("--scorer", choices=("bm25", "tfidf"), default="bm25")
+    sb.set_defaults(fn=cmd_search_batch)
 
     st = sub.add_parser("stats", help="print current snapshot stats")
     st.add_argument("--store", required=True)

@@ -123,3 +123,21 @@ def test_cli_round_trip(spark, corpus_path, tmp_path, capsys):
     rc = cli.main(["search", "--store", store, "w3", "-k", "5"], spark=spark)
     assert rc == 0
     assert _out_lines(capsys) == []
+
+    # search-batch: a query file through one amortized batch, hits agree
+    # with the solo search path
+    qfile = str(tmp_path / "queries.txt")
+    with open(qfile, "w") as f:
+        f.write("# comment\nw7 w40\n\nw41~1\n")
+    rc = cli.main(["search", "--store", store, "w7 w40", "-k", "3"], spark=spark)
+    assert rc == 0
+    solo = _out_lines(capsys)
+    rc = cli.main(
+        ["search-batch", "--store", store, "--queries", qfile, "-k", "3"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = _out_lines(capsys)
+    assert out[-1]["n_queries"] == 2 and out[-1]["qps"] > 0
+    assert out[0]["query"] == "w7 w40" and out[0]["hits"] == solo
+    assert out[1]["query"] == "w41~1"

@@ -65,6 +65,10 @@ def _atom_filter(atom: str, field: str) -> qf.Filter:
             with_transpositions=bool(m.group("osa")),
             field=field,
         )
+    if re.search(r"~\w*$", atom):
+        raise ValueError(
+            f"bad fuzzy syntax: {atom!r} (want term~1, term~2, or term~1t)"
+        )
     if "*" in atom or "?" in atom:
         if atom.endswith("*") and "?" not in atom and "*" not in atom[:-1]:
             return qf.Prefix(atom[:-1], field=field)

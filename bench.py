@@ -234,47 +234,55 @@ def _ceiling_mem_work(n):
     return s
 
 
-def measure_ceilings() -> dict:
-    """Host scaling ceilings, measured: the SAME total work at 8 vs 32
+def measure_ceilings(widths: tuple[int, int] = (8, 32)) -> dict:
+    """Host scaling ceilings, measured: the SAME total work at N vs 4N
     processes, (a) pure-CPU (integer loop, no memory traffic) and (b)
     memory-bound (numpy sort over fresh buffers, allocator mitigations
-    applied). Efficiency = (T_8 / T_32) / 4. On this single shared-memory
+    applied). Efficiency = (T_N / T_4N) / 4. On this single shared-memory
     host, (b) bounds what ANY bandwidth-bound workload — including shuffle,
     Arrow transfer and posting decode — can show; a real N->4N EXECUTOR
     scale-out adds memory controllers per node, so (b) does not bound a
     cluster. Recorded so BENCH.md's host-limited argument is checkable."""
     import multiprocessing as mp
 
+    n, n4 = widths
     out: dict = {}
     for name, fn, total in (
         ("cpu", _ceiling_cpu_work, 256),
         ("mem", _ceiling_mem_work, 1280),
     ):
         times = {}
-        for procs in (8, 32):
+        for procs in (n, n4):
             t0 = time.time()
             with mp.Pool(procs, initializer=_ceiling_init) as pool:
                 pool.map(fn, [total // procs] * procs)
             times[procs] = time.time() - t0
         out[name] = {
-            "t8_s": round(times[8], 2),
-            "t32_s": round(times[32], 2),
-            "efficiency": round((times[8] / times[32]) / 4, 3),
+            "t_n_s": round(times[n], 2),
+            "t_4n_s": round(times[n4], 2),
+            "efficiency": round((times[n] / times[n4]) / 4, 3),
         }
     return out
 
 
-def scaling_main(docs: int, reps: int = 3) -> None:
-    """Run the same synthetic job at 8 and 32 cores in fresh JVMs.
+def scaling_main(
+    docs: int, reps: int = 3, widths: tuple[int, int] = (8, 32)
+) -> None:
+    """Run the same synthetic job at N and 4N cores in fresh JVMs.
 
     Each level runs `reps` times and the BEST run (shortest build, shortest
     query batch — capacity estimate) is reported: this host's kernel adds
     multi-x wall-clock noise from memory-compaction storms (see
     iresearch_spark.__init__), and min-of-N is the standard way to measure
-    capacity under interference. All reps are recorded in the report."""
-    results: dict[int, list[dict]] = {8: [], 32: []}
+    capacity under interference. All reps are recorded in the report.
+
+    The default pair (8, 32) exercises the full host; (2, 8) is the pair
+    where the virtualized 32-vCPU host can actually SUPPLY 4x the
+    resources per process (hypervisor + memory-bus contention only bites
+    near full host width — the measured ceilings quantify this per run)."""
+    results: dict[int, list[dict]] = {widths[0]: [], widths[1]: []}
     for rep in range(reps):
-        for cpus in (8, 32):
+        for cpus in widths:
             env = dict(os.environ)
             env["SPARK_GRAFT_CPUS"] = str(cpus)
             env["SPARK_GRAFT_BENCH_DOCS"] = str(docs)
@@ -297,26 +305,27 @@ def scaling_main(docs: int, reps: int = 3) -> None:
         b["value"] = round(b["build"]["wall_s"] + b["queries"][qkey], 3)
         return b
 
-    r8, r32 = best(results[8]), best(results[32])
+    r8, r32 = best(results[widths[0]]), best(results[widths[1]])
     qkey = next(iter(r8["queries"]))
     build_eff = (r32["build"]["docs_per_sec"] / r8["build"]["docs_per_sec"]) / 4
     query_eff = (r8["queries"][qkey] / r32["queries"][qkey]) / 4
     e2e_eff = (r8["value"] / r32["value"]) / 4
-    ceilings = measure_ceilings()
+    ceilings = measure_ceilings(widths)
     report = {
         "input_docs": docs,
         "reps": reps,
+        "widths": list(widths),
         "host_ceilings": ceilings,
-        "local8": r8,
-        "local32": r32,
+        f"local{widths[0]}": r8,
+        f"local{widths[1]}": r32,
         "all_runs": {
-            "local8": [
+            f"local{widths[0]}": [
                 {"build_s": r["build"]["wall_s"], "query_s": r["queries"][qkey]}
-                for r in results[8]
+                for r in results[widths[0]]
             ],
-            "local32": [
+            f"local{widths[1]}": [
                 {"build_s": r["build"]["wall_s"], "query_s": r["queries"][qkey]}
-                for r in results[32]
+                for r in results[widths[1]]
             ],
         },
         "scaling_efficiency": {
@@ -330,7 +339,8 @@ def scaling_main(docs: int, reps: int = 3) -> None:
 
 
 def _write_bench_md(report: dict) -> None:
-    r8, r32 = report["local8"], report["local32"]
+    n, n4 = report.get("widths", [8, 32])
+    r8, r32 = report[f"local{n}"], report[f"local{n4}"]
     eff = report["scaling_efficiency"]
     ceil = report.get("host_ceilings", {})
     ceil_md = ""
@@ -338,42 +348,42 @@ def _write_bench_md(report: dict) -> None:
         ceil_md = f"""
 ## Measured host ceilings (same harness run: bench.measure_ceilings)
 
-The SAME total work at 8 vs 32 processes on this host:
+The SAME total work at {n} vs {n4} processes on this host:
 
-| microbenchmark | 8 procs | 32 procs | efficiency |
+| microbenchmark | {n} procs | {n4} procs | efficiency |
 |---|---|---|---|
-| pure CPU (integer loop, no memory traffic) | {ceil["cpu"]["t8_s"]:.2f}s | {ceil["cpu"]["t32_s"]:.2f}s | **{ceil["cpu"]["efficiency"]:.2f}** |
-| memory-bound (numpy sort, allocator-hardened) | {ceil["mem"]["t8_s"]:.2f}s | {ceil["mem"]["t32_s"]:.2f}s | **{ceil["mem"]["efficiency"]:.2f}** |
+| pure CPU (integer loop, no memory traffic) | {ceil["cpu"]["t_n_s"]:.2f}s | {ceil["cpu"]["t_4n_s"]:.2f}s | **{ceil["cpu"]["efficiency"]:.2f}** |
+| memory-bound (numpy sort, allocator-hardened) | {ceil["mem"]["t_n_s"]:.2f}s | {ceil["mem"]["t_4n_s"]:.2f}s | **{ceil["mem"]["efficiency"]:.2f}** |
 
 Even PURE-CPU work measures {ceil["cpu"]["efficiency"]:.2f} on this
-virtualized host (hypervisor-level contention at 32 busy vCPUs), and the
-shared memory bus caps ANY bandwidth-bound work — shuffle, Arrow
+virtualized host (hypervisor-level contention near full host width), and
+the shared memory bus caps ANY bandwidth-bound work — shuffle, Arrow
 transfer, posting decode, string processing — at the memory-bound
 ceiling. The engine's query batch runs at
 {eff["query_batch"] / ceil["mem"]["efficiency"]:.0%} of the memory-bound
-ceiling; the host, not the plan, is the binding constraint. On a real
-N->4N EXECUTOR scale-out each node brings its own cores and memory
-controllers and neither ceiling applies; the cluster-relevant properties
-verified here instead are: identical plans at both widths (shuffle
-partitions and segment count held fixed), deterministic byte-identical
-output across parallelism (tested), and balanced partitioning (uniform
-url-hash segments; salted banding for hot terms).
+ceiling. On a real N->4N EXECUTOR scale-out each node brings its own
+cores and memory controllers and neither ceiling applies; the
+cluster-relevant properties verified here instead are: identical plans at
+both widths (shuffle partitions and segment count held fixed),
+deterministic byte-identical output across parallelism (tested), and
+balanced partitioning (uniform url-hash segments; salted banding for hot
+terms).
 """
     md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
 
 Sandbox stand-in for the N->4N executor scaling requirement
 (BASELINE.json `north_rule`): identical deterministic synthetic web corpus
 ({report["input_docs"]:,} docs, Zipf vocabulary with hot-term skew), same
-code path, `local[8]` vs `local[32]` on the 32-core host.
+code path, `local[{n}]` vs `local[{n4}]` on the 32-core host.
 Efficiency = (T_N / T_4N) / 4 (1.0 = perfectly linear).
 
-| phase | local[8] | local[32] | efficiency |
+| phase | local[{n}] | local[{n4}] | efficiency |
 |---|---|---|---|
 | index build (docs/sec) | {r8["build"]["docs_per_sec"]:,.0f} | {r32["build"]["docs_per_sec"]:,.0f} | **{eff["build_docs_per_sec"]:.2f}** |
 | 300-query BM25 batch (s) | {r8["queries"]["batch300"]:.1f} | {r32["queries"]["batch300"]:.1f} | **{eff["query_batch"]:.2f}** |
 | end-to-end (s) | {r8["value"]:.1f} | {r32["value"]:.1f} | **{eff["end_to_end"]:.2f}** |
 {ceil_md}
-Build metrics at local[32]: postings/sec={r32["build"]["postings_per_sec"]},
+Build metrics at local[{n4}]: postings/sec={r32["build"]["postings_per_sec"]},
 blob bytes={r32["build"]["bytes_blob"]} (raw {r32["build"]["bytes_raw_postings"]}).
 
 Generated by `python bench.py --scaling` on {time.strftime("%Y-%m-%d")}.
@@ -388,7 +398,14 @@ def main() -> None:
     if "--scaling" in sys.argv:
         idx = sys.argv.index("--scaling")
         docs = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 120_000
-        scaling_main(docs)
+        widths = (8, 32)
+        reps = 3
+        for a in sys.argv:
+            if a.startswith("--widths="):
+                widths = tuple(int(x) for x in a.split("=", 1)[1].split(","))
+            if a.startswith("--reps="):
+                reps = int(a.split("=", 1)[1])
+        scaling_main(docs, reps=reps, widths=widths)
         return
     if "--single-scaling-run" in sys.argv:
         docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))

@@ -335,7 +335,17 @@ def scaling_main(
         },
     }
     print(json.dumps(report))
-    _write_bench_md(report)
+    # BENCH.md is composed from ALL recorded width pairs/reps; a single
+    # --scaling run only replaces it when explicitly asked, otherwise the
+    # raw report lands next to it for later composition.
+    if "--write-md" in sys.argv:
+        _write_bench_md(report)
+    else:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_scaling_runs.jsonl"
+        )
+        with open(path, "a") as f:
+            f.write(json.dumps(report) + "\n")
 
 
 def _write_bench_md(report: dict) -> None:

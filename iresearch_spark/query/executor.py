@@ -319,8 +319,14 @@ class IndexSearcher:
             # on every fuzzy/wildcard-UDF expansion. The blocks are
             # O(vocab) skinny rows, executor-distributed; loss of an
             # executor just recomputes the one-shuffle aggregate.
+            # ~16k terms/task: an Arrow batch that size still amortizes
+            # the vectorized-DP UDF, while a 650k-term web vocabulary
+            # yields ~40 tasks instead of 10 — enough waves that the
+            # expansion job scales with cluster width instead of capping
+            # at |vocab|/65536 busy cores. Width-invariant (depends only
+            # on n_terms), so N-vs-4N runs keep identical plans.
             n_terms = base.count()
-            target = max(4, -(-n_terms // 65536))
+            target = max(4, -(-n_terms // 16384))
             if target < base.rdd.getNumPartitions():
                 base = base.coalesce(target)
             self._dict_df = base.localCheckpoint()

@@ -30,6 +30,7 @@ from iresearch_spark.textops.sqlgen import (
     base_ctes,
     bm25_phrase_sql,
     bm25_topk_sql,
+    minhash_tokens_expr,
     stem_tokens_expr,
     tokens_expr,
     ws_tokens_expr,
@@ -40,12 +41,14 @@ _SEARCHERS: dict[str, IndexSearcher] = {}
 _LIFECYCLE: dict[str, IndexSearcher] = {}
 _TIER: dict[str, IndexSearcher] = {}
 _STREAMING: dict[str, IndexSearcher] = {}
+_NESTED: dict[str, IndexSearcher] = {}
 
 # Contract index fields (SURVEY.md §2b): the default web text field plus
 # one field per analyzer family — A1 identity, A3 delimiter, A4 ngram,
-# A5 pipeline (text|stem), A6 stem — all over the driver documents table.
-# "stempay" additionally carries the A8 payload attribute: each posting
-# occurrence stores its pre-stem surface form.
+# A5 pipeline (text|stem), A6 stem, A10 minhash — all over the driver
+# documents table. "stempay" additionally carries the A8 payload
+# attribute: each posting occurrence stores its pre-stem surface form.
+_MH_SPEC = "minhash:8(text)"
 _MF_FIELDS = [
     FieldSpec("text", "__text__", "text", offsets=True),
     FieldSpec("srcid", "source", "identity"),
@@ -53,6 +56,7 @@ _MF_FIELDS = [
     FieldSpec("srcng", "source", "ngram:2,3"),
     FieldSpec("stem", "text", "text|stem"),
     FieldSpec("stempay", "text", "text|stem", offsets=True, payloads=True),
+    FieldSpec("mh", "__text__", _MH_SPEC),
 ]
 
 # ---- frozen query specs (terms exist across sf0.001/0.01/0.1 corpora)
@@ -89,6 +93,24 @@ _FILTERS: dict[str, qf.Filter] = {
     "bm25_stem": qf.Term("custom", field="stem"),
     # F12 match-all with boost
     "alldocs_boost": qf.AllDocs(boost=1.5),
+}
+
+# A10 minhash analyzer field: the query string's signature tokens (computed
+# with the same frozen analyzer) are matched against each doc's indexed
+# signature — idf-weighted signature overlap approximates Jaccard
+# similarity through the plain inverted index
+# ([up] core/analysis/minhash_token_stream.cpp).
+def _mh_query_terms() -> list[str]:
+    from iresearch_spark.analysis.analyzers import analyze_one
+
+    return [t for t, _p in analyze_one("table hash join data scan", _MH_SPEC)]
+
+
+_FILTERS["bm25_minhash_sim"] = qf.Terms(_mh_query_terms(), field="mh")
+_BM25_ORACLE_EXTRA = {
+    "bm25_minhash_sim": bm25_topk_sql(
+        _mh_query_terms(), tokens_sql=minhash_tokens_expr(8)
+    ),
 }
 
 _NGRAM_SIM_SQL = """
@@ -213,7 +235,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         return got
     store = SnapshotStore(
         os.path.join(
-            _CACHE_ROOT, "contract_index_v3", key.strip("/").replace("/", "_")
+            _CACHE_ROOT, "contract_index_v4", key.strip("/").replace("/", "_")
         )
     )
     if store.current_snapshot_id() is None:
@@ -250,6 +272,63 @@ def _lifecycle_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         merge_segments(spark, store, seg_ids)
     s = IndexSearcher(spark, store)
     _LIFECYCLE[key] = s
+    return s
+
+
+def _nested_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """F19 block-join index (cached): every documents row becomes one
+    block — two child rows (first 8 space-words / the rest) and one
+    empty-text parent row, ingested children-first under a shared
+    fixed-width url prefix with segment_key routing whole blocks to one
+    segment (the reference indexes a block as one transaction — [up]
+    core/index/index_writer.cpp documents(); nested_filter.cpp queries
+    it)."""
+    key = sf_dir.rstrip("/")
+    got = _NESTED.get(key)
+    if got is not None:
+        return got
+    store = SnapshotStore(
+        os.path.join(
+            _CACHE_ROOT, "nested_index", key.strip("/").replace("/", "_")
+        )
+    )
+    if store.current_snapshot_id() is None:
+        d = spark.read.parquet(f"{key}/documents.parquet")
+        base = d.select(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("pfx"),
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("w"),
+        )
+        c0 = base.select(
+            F.concat(F.col("pfx"), F.lit("#c0")).alias("url"),
+            F.array_join(F.slice(F.col("w"), 1, 8), " ").alias("text"),
+            F.lit("c").alias("kind"),
+        )
+        c1 = base.select(
+            F.concat(F.col("pfx"), F.lit("#c1")).alias("url"),
+            F.when(
+                F.size("w") > 8,
+                F.array_join(F.expr("slice(w, 9, size(w) - 8)"), " "),
+            )
+            .otherwise(F.lit(""))
+            .alias("text"),
+            F.lit("c").alias("kind"),
+        )
+        p = base.select(
+            F.concat(F.col("pfx"), F.lit("~p")).alias("url"),
+            F.lit("").alias("text"),
+            F.lit("p").alias("kind"),
+        )
+        corpus = c0.unionByName(c1).unionByName(p)
+        fields = [
+            FieldSpec("text", "__text__", "text"),
+            FieldSpec("kind", "kind", "identity"),
+        ]
+        build_index(
+            spark, corpus, store, n_segments=2, fields=fields,
+            source=key + "|nested", segment_key="substring(url, 1, 12)",
+        )
+    s = IndexSearcher(spark, store)
+    _NESTED[key] = s
     return s
 
 
@@ -439,6 +518,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_docset"] = bm25_docset
+
+    # F19 by_nested block join: parents ranked by the BM25 sum of their
+    # matching children ([up] core/search/nested_filter.cpp)
+    def bm25_nested(spark, sf_dir):
+        s = _nested_searcher(spark, sf_dir)
+        flt = qf.Nested(
+            qf.Term("p", field="kind"),
+            qf.Or(qf.Term("table"), qf.Term("hash")),
+            merge="sum",
+        )
+        res = s.search_batch(
+            {0: flt}, k=10, with_urls=True, tie="url", score_round=6
+        )
+        return res.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.substring(F.col("url"), 1, 12).cast("long").alias("doc_id"),
+            F.col("score"),
+        )
+
+    q["bm25_nested"] = bm25_nested
 
     # M2 tier policy end-to-end: three append generations -> consolidate
     # under consolidate_tier -> stats + ranking must equal a fresh build
@@ -733,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     o = dict(_BM25_ORACLES)
+    o.update(_BM25_ORACLE_EXTRA)
     o["tfidf_or2"] = f"""{base_ctes()},
 qterms(term) AS (VALUES ('data'), ('dup')),
 scored AS (
@@ -757,6 +857,46 @@ scored AS (
   CROSS JOIN stats s
   GROUP BY tf.doc_id
 )
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY rank"""
+    o["bm25_nested"] = f"""
+WITH words AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents
+),
+members AS (
+  SELECT doc_id, 0 AS member, array_to_string(w[1:8], ' ') AS mtext FROM words
+  UNION ALL
+  SELECT doc_id, 1,
+         CASE WHEN len(w) > 8 THEN array_to_string(w[9:len(w)], ' ')
+              ELSE '' END FROM words
+  UNION ALL
+  SELECT doc_id, 2, '' FROM words
+),
+tokmem AS (
+  SELECT doc_id, member, {tokens_expr('mtext')} AS toks FROM members
+),
+dl AS (SELECT doc_id, member, len(toks) AS dl FROM tokmem),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+),
+tok AS (SELECT doc_id, member, unnest(toks) AS term FROM tokmem),
+tf AS (
+  SELECT doc_id, member, term, count(*)::BIGINT AS tf
+  FROM tok GROUP BY 1, 2, 3
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qterms(term) AS (VALUES ('table'), ('hash')),
+child_scores AS (
+  SELECT tf.doc_id, tf.member, sum({_score_expr(1.2, 0.75)}) AS cscore
+  FROM tf JOIN qterms USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id AND dl.member = tf.member
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.member
+),
+scored AS (SELECT doc_id, sum(cscore) AS score FROM child_scores GROUP BY doc_id)
 SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
   SELECT doc_id, round(score, 6) AS score,
          row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank

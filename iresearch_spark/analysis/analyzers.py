@@ -138,6 +138,52 @@ def _stem_series(toks: pd.Series) -> pd.Series:
 # ---------------------------------------------------- pure-Python reference
 
 
+# --------------------------------------------------- minhash (A10) wrapper
+
+def _md5_long_py(s: str) -> int:
+    """Python twin of textops.common.md5_long / MD5_LONG_SQL: first 15 hex
+    digits of md5 as a non-negative int (60 bits)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def parse_minhash(spec: str) -> tuple[int, str] | None:
+    """Parse the A10 minhash WRAPPER spec `minhash:<k>(<inner>)` — e.g.
+    "minhash:8(text)", "minhash:16(text|stem)". Unlike pipeline stages
+    (which map token -> tokens), minhash consumes the inner analyzer's
+    WHOLE stream and emits k signature tokens, mirroring the reference's
+    analyzer-wrapping MinHash token stream ([up]
+    core/analysis/minhash_token_stream.cpp: wraps a stored analyzer
+    definition, emits numHashes min-hash terms). Returns (k, inner spec)
+    or None when `spec` is not a minhash spec."""
+    if not spec.startswith("minhash:"):
+        return None
+    body = spec[len("minhash:"):]
+    i = body.find("(")
+    if i <= 0 or not body.endswith(")"):
+        raise ValueError(f"malformed minhash spec: {spec!r}")
+    k = int(body[:i])
+    if k < 1:
+        raise ValueError(f"minhash k must be >= 1: {spec!r}")
+    inner = body[i + 1 : -1]
+    if not inner:
+        raise ValueError(f"minhash spec needs an inner analyzer: {spec!r}")
+    return k, inner
+
+
+def _minhash_terms(tokens: set[str], k: int) -> list[str]:
+    """Signature token i = "i:" + min over distinct inner tokens t of
+    md5_long("i:" + t) — the SAME seeded hash family as textops.dedup's
+    MinHash (so the DuckDB twin is list_min(list_transform(...)))."""
+    out = []
+    for i in range(k):
+        pfx = f"{i}:"
+        m = min(_md5_long_py(pfx + t) for t in tokens)
+        out.append(f"{i}:{m}")
+    return out
+
+
 def parse_spec(spec: str) -> list[str]:
     # stages are NOT stripped: "delimiter: " legitimately splits on space
     stages = [s for s in spec.split("|") if s]
@@ -309,6 +355,16 @@ def analyze_one_spans(
     length)] for one value. Spans address the top-level input value;
     pipeline stages compose child start + parent start, singleton stages
     keep the parent's span."""
+    mh = parse_minhash(spec)
+    if mh is not None:
+        k, inner = mh
+        toks = {t for t, _p in analyze_one(value, inner)}
+        if not toks:
+            return []
+        return [
+            (t, i, 0, len(value or ""))
+            for i, t in enumerate(_minhash_terms(toks, k))
+        ]
     stages = parse_spec(spec)
     stream: list[tuple[str, int, int, int]] = (
         [(value, 0, 0, len(value))] if value is not None else []
@@ -352,6 +408,11 @@ def analyze_one_payloads(
     stage (singleton stages like stem keep the parent's token, exactly as
     they keep the parent's span), so e.g. "text|stem" stores the pre-stem
     word each posting came from ([up] token_attributes.hpp :: payload)."""
+    if parse_minhash(spec) is not None:
+        # a signature token has no surface occurrence; it IS its payload
+        return [
+            (t, p, s, ln, t) for t, p, s, ln in analyze_one_spans(value, spec)
+        ]
     stages = parse_spec(spec)
     stream: list[tuple[str, int, int, int, str]] = (
         [(value, 0, 0, len(value), value)] if value is not None else []
@@ -535,11 +596,61 @@ def _batch_stage(values: pd.Series, stage: str):
     raise ValueError(f"unknown analyzer stage: {stage!r}")
 
 
+def _batch_minhash(values: pd.Series, k: int, inner: str):
+    """Vectorized A10 minhash: the inner stream's UNIQUE tokens are hashed
+    once per (seed, unique token) — dictionary-sized Python md5 work, like
+    the reference hashing its wrapped stream's terms — then every row's
+    per-seed minimum falls out of one np.minimum.reduceat per seed over
+    the factorized token array. Rows with an empty inner stream emit no
+    signature."""
+    import hashlib
+
+    flat, counts, _pos = analyze_batch(values, inner)
+    n_rows = len(counts)
+    nz = counts > 0
+    if not nz.any():
+        z = np.empty(0, dtype=np.int64)
+        return (
+            np.empty(0, dtype=object),
+            np.zeros(n_rows, dtype=np.int64),
+            z, z.copy(), z.copy(),
+            np.empty(0, dtype=object),
+        )
+    codes, uniq = pd.factorize(flat, sort=False)
+    uniq_b = [str(u).encode() for u in uniq]
+    offsets = (np.cumsum(counts) - counts)[nz]
+    sig = np.empty((int(nz.sum()), k), dtype=np.int64)
+    for i in range(k):
+        pfx = f"{i}:".encode()
+        htab = np.fromiter(
+            (
+                int(hashlib.md5(pfx + tb).hexdigest()[:15], 16)
+                for tb in uniq_b
+            ),
+            count=len(uniq_b),
+            dtype=np.int64,
+        )
+        sig[:, i] = np.minimum.reduceat(htab[codes], offsets)
+    terms = np.array(
+        [f"{i}:{v}" for row in sig for i, v in enumerate(row)], dtype=object
+    )
+    out_counts = np.where(nz, k, 0).astype(np.int64)
+    pos = np.tile(np.arange(k, dtype=np.int64), int(nz.sum()))
+    starts = np.zeros(len(terms), dtype=np.int64)
+    lens = np.repeat(
+        values.fillna("").astype(str).str.len().to_numpy(np.int64)[nz], k
+    )
+    return terms, out_counts, pos, starts, lens, terms.copy()
+
+
 def analyze_batch_payloads(values: pd.Series, spec: str):
     """Vectorized analyzer with A8 spans AND payloads: (flat tokens,
     per-row counts, positions, span starts, span lengths, surfaces).
     `surfaces` is an object array aligned with the tokens carrying each
     occurrence's surface form (see analyze_one_payloads)."""
+    mh = parse_minhash(spec)
+    if mh is not None:
+        return _batch_minhash(values, *mh)
     stages = parse_spec(spec)
     flat, counts, pos, starts, lens = _batch_stage(values, stages[0])
     if _is_singleton_stage(stages[0]):

@@ -46,12 +46,24 @@ from iresearch_spark.fields import DEFAULT_FIELDS, FieldSpec
 from iresearch_spark.store import SnapshotStore
 
 
-def _with_seg_id(corpus: DataFrame, n_segments: int, base: int = 0) -> DataFrame:
-    # crc32 matches zlib.crc32 in the oracle (both standard CRC-32)
+def _with_seg_id(
+    corpus: DataFrame, n_segments: int, base: int = 0,
+    segment_key: str | None = None,
+) -> DataFrame:
+    # crc32 matches zlib.crc32 in the oracle (both standard CRC-32).
+    # segment_key (a SQL expression over the corpus, default url) routes
+    # docs to segments — the block-ingestion hook: the reference indexes a
+    # parent/child block as one transaction into one segment ([up]
+    # core/index/index_writer.cpp :: documents()), reproduced here by
+    # giving every block member the same key (e.g. a url prefix) so the
+    # F19 nested filter's blocks are co-resident and, because child urls
+    # sort before their parent's under a shared fixed-width prefix,
+    # contiguous in docID order.
+    key = F.expr(segment_key) if segment_key else F.col("url")
     return corpus.withColumn(
         "seg_id",
         (
-            F.pmod(F.crc32(F.col("url").cast("binary")), F.lit(n_segments)) + base
+            F.pmod(F.crc32(key.cast("binary")), F.lit(n_segments)) + base
         ).cast("int"),
     )
 
@@ -63,6 +75,7 @@ def staging_key(
     mode: str,
     seg_base: int,
     field_specs,
+    segment_key: str | None = None,
 ) -> str:
     """Identity of a staged (resumable) build: same key -> the interrupted
     commit dir's completed stages can be reused (BASELINE.json checkpoint
@@ -72,7 +85,10 @@ def staging_key(
         f"{f.name}={f.source}:{f.analyzer}:{int(f.offsets)}{int(f.payloads)}"
         for f in field_specs
     )
-    return f"{source}|{n_segments}|{band_bits}|{mode}|{seg_base}|{fields_key}"
+    return (
+        f"{source}|{n_segments}|{band_bits}|{mode}|{seg_base}|{fields_key}"
+        f"|{segment_key or 'url'}"
+    )
 
 
 def build_index(
@@ -87,6 +103,7 @@ def build_index(
     source: str = "",
     mode: str = "replace",
     streams: dict[str, int] | None = None,
+    segment_key: str | None = None,
 ) -> int:
     """Build a new index generation from `corpus`; returns the snapshot id.
 
@@ -125,7 +142,8 @@ def build_index(
 
     staging_path = os.path.join(store.root, "_staging.json")
     stage_key = staging_key(
-        source, n_segments, band_bits, mode, seg_base, field_specs
+        source, n_segments, band_bits, mode, seg_base, field_specs,
+        segment_key,
     )
     staged = {}
     if os.path.exists(staging_path):
@@ -164,7 +182,7 @@ def build_index(
         )
         cols += extra_sources
         corpus_cols = set(corpus.columns)
-        src = _with_seg_id(corpus, n_segments, seg_base)
+        src = _with_seg_id(corpus, n_segments, seg_base, segment_key)
         if "html" not in corpus_cols:
             src = src.withColumn("html", F.lit(None).cast("binary"))
         if "text" not in corpus_cols:

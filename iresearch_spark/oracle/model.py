@@ -83,9 +83,14 @@ class OracleIndex:
         k1: float = BM25_K1,
         b: float = BM25_B,
         extra_fields: list[tuple[str, list, str]] | None = None,
+        segment_keys: list[str] | None = None,
     ):
         """extra_fields: [(field_name, values aligned with urls, analyzer
-        spec)] indexed alongside the default ("text", texts, "text")."""
+        spec)] indexed alongside the default ("text", texts, "text").
+        segment_keys (aligned with urls, default urls) picks each doc's
+        segment — the block-ingestion hook: docs sharing a key land in one
+        segment (build_index's segment_key option, used by the F19 nested
+        block-join, which needs whole blocks co-resident per segment)."""
         from iresearch_spark.analysis.analyzers import analyze_one
 
         self.n_segments = n_segments
@@ -94,11 +99,12 @@ class OracleIndex:
         fields: list[tuple[str, list, str]] = [("text", texts, "text")]
         fields += list(extra_fields or [])
         self.field_names = [f[0] for f in fields]
-        # segment = crc32(url) % n_segments; docID = 1-based rank of url
-        # within its segment (ascending) — must match the build pipeline
+        # segment = crc32(segment_key) % n_segments; docID = 1-based rank of
+        # url within its segment (ascending) — must match the build pipeline
+        seg_keys = segment_keys if segment_keys is not None else urls
         per_seg: dict[int, list[int]] = {s: [] for s in range(n_segments)}
-        for i, u in enumerate(urls):
-            per_seg[zlib.crc32(u.encode()) % n_segments].append(i)
+        for i, sk in enumerate(seg_keys):
+            per_seg[zlib.crc32(sk.encode()) % n_segments].append(i)
         self.doc_url: dict[tuple[int, int], str] = {}
         # doc_len[field][(seg, doc)] = that field's token count
         self.doc_len: dict[str, dict[tuple[int, int], int]] = {
@@ -266,6 +272,8 @@ class OracleIndex:
             pos = self._eval(node.child)
             neg = self._eval(node.excluded)
             return {k: v for k, v in pos.items() if k not in neg}
+        if isinstance(node, qf.Nested):
+            return self._nested(node)
         if isinstance(node, qf.Phrase):
             return self._phrase(node)
         if isinstance(node, qf.SamePosition):
@@ -273,6 +281,53 @@ class OracleIndex:
         if isinstance(node, qf.NgramSimilarity):
             return self._ngram_similarity(node)
         raise TypeError(f"oracle cannot evaluate {type(node)}")
+
+    def _nested(self, node) -> dict[tuple[int, int], float]:
+        """F19 block join ([up] core/search/nested_filter.cpp): per
+        segment, a child's parent is the nearest parent-matched docID
+        strictly greater than the child's; the parent matches when its
+        matched-child count is in [min_children, max_children], scoring
+        the merge of its children's scores (ascending child docID — the
+        frozen float64 association order) times boost."""
+        import bisect
+
+        parents_by_seg: dict[int, list[int]] = {}
+        for seg, doc in sorted(self._eval(node.parent)):
+            parents_by_seg.setdefault(seg, []).append(doc)
+        child_scores = self._eval(node.child)
+        grouped: dict[tuple[int, int], list[float]] = {}
+        for (seg, doc), sc in sorted(child_scores.items()):
+            plist = parents_by_seg.get(seg)
+            if not plist:
+                continue
+            j = bisect.bisect_left(plist, doc)
+            if j >= len(plist) or plist[j] == doc:
+                continue  # orphan past the last parent / is itself a parent
+            grouped.setdefault((seg, plist[j]), []).append(sc)
+        out: dict[tuple[int, int], float] = {}
+        for key, scs in grouped.items():
+            n = len(scs)
+            if n < node.min_children:
+                continue
+            if node.max_children is not None and n > node.max_children:
+                continue
+            if node.merge == "sum":
+                agg = 0.0
+                for s in scs:
+                    agg += s
+            elif node.merge == "avg":
+                agg = 0.0
+                for s in scs:
+                    agg += s
+                agg /= n
+            elif node.merge == "max":
+                agg = max(scs)
+            elif node.merge == "min":
+                agg = min(scs)
+            else:  # "none"
+                agg = 1.0
+            out[key] = node.boost * agg
+        return out
 
     def _ngram_similarity(self, node) -> dict[tuple[int, int], float]:
         """F9 reference model: longest positionally-increasing chain of

@@ -162,6 +162,9 @@ def _walk_terms(node: qf.Filter, terms: set, phrases: list, pos_keys: set) -> No
     elif isinstance(node, qf.Not):
         _walk_terms(node.child, terms, phrases, pos_keys)
         _walk_terms(node.excluded, terms, phrases, pos_keys)
+    elif isinstance(node, qf.Nested):
+        _walk_terms(node.parent, terms, phrases, pos_keys)
+        _walk_terms(node.child, terms, phrases, pos_keys)
 
 
 def _keys_condition(keys) -> "F.Column":
@@ -186,6 +189,9 @@ def _walk_columns(node: qf.Filter, out: set) -> None:
     elif isinstance(node, qf.Not):
         _walk_columns(node.child, out)
         _walk_columns(node.excluded, out)
+    elif isinstance(node, qf.Nested):
+        _walk_columns(node.parent, out)
+        _walk_columns(node.child, out)
 
 
 def _phrase_part(node: qf.Filter, field: str) -> qf.Filter:
@@ -210,6 +216,9 @@ def _collect_expansions(node: qf.Filter, out: list) -> None:
     elif isinstance(node, qf.Not):
         _collect_expansions(node.child, out)
         _collect_expansions(node.excluded, out)
+    elif isinstance(node, qf.Nested):
+        _collect_expansions(node.parent, out)
+        _collect_expansions(node.child, out)
 
 
 def _rewrite(node: qf.Filter, resolved: dict) -> qf.Filter:
@@ -251,6 +260,15 @@ def _rewrite(node: qf.Filter, resolved: dict) -> qf.Filter:
     if isinstance(node, qf.Not):
         return qf.Not(
             _rewrite(node.child, resolved), _rewrite(node.excluded, resolved), node.boost
+        )
+    if isinstance(node, qf.Nested):
+        return qf.Nested(
+            _rewrite(node.parent, resolved),
+            _rewrite(node.child, resolved),
+            node.min_children,
+            node.max_children,
+            node.merge,
+            node.boost,
         )
     return node
 
@@ -1007,6 +1025,54 @@ def _make_segment_kernel(
                 neg_d, _ = eval_node(node.excluded)
                 keep = ~np.isin(pos_d, neg_d, assume_unique=True)
                 return pos_d[keep], pos_s[keep]
+            if isinstance(node, qf.Nested):
+                # F19 block join: a child's parent is the nearest
+                # parent-marked docID strictly greater than the child's
+                # (children are ingested before their parent — [up]
+                # core/search/nested_filter.cpp walks the parent bitset
+                # the same way). Deleted docs are invisible to the join
+                # (the reference's parent/child iterators never see
+                # masked docs), so the mask applies HERE, not post-hoc.
+                pdocs, _ps = eval_node(node.parent)
+                cdocs, cscores = eval_node(node.child)
+                if mask is not None:
+                    if len(pdocs):
+                        pdocs = pdocs[~np.isin(pdocs, mask, assume_unique=True)]
+                    if len(cdocs):
+                        keep_c = ~np.isin(cdocs, mask, assume_unique=True)
+                        cdocs, cscores = cdocs[keep_c], cscores[keep_c]
+                nothing = (np.empty(0, np.int64), np.empty(0, np.float64))
+                if len(pdocs) == 0 or len(cdocs) == 0:
+                    return nothing
+                idx = np.searchsorted(pdocs, cdocs, side="left")
+                ok = idx < len(pdocs)  # children past the last parent: orphans
+                idx_c = np.minimum(idx, len(pdocs) - 1)
+                ok &= pdocs[idx_c] != cdocs  # a parent doc is nobody's child
+                idx, sc = idx[ok], cscores[ok]
+                if len(idx) == 0:
+                    return nothing
+                counts = np.bincount(idx, minlength=len(pdocs))
+                if node.merge in ("sum", "avg"):
+                    # bincount accumulates in array order = ascending child
+                    # docID — the frozen float64 association order
+                    agg = np.bincount(idx, weights=sc, minlength=len(pdocs))
+                    if node.merge == "avg":
+                        agg = np.divide(
+                            agg, counts,
+                            out=np.zeros_like(agg), where=counts > 0,
+                        )
+                elif node.merge == "max":
+                    agg = np.full(len(pdocs), -np.inf)
+                    np.maximum.at(agg, idx, sc)
+                elif node.merge == "min":
+                    agg = np.full(len(pdocs), np.inf)
+                    np.minimum.at(agg, idx, sc)
+                else:  # "none": match-only, constant score
+                    agg = np.ones(len(pdocs), np.float64)
+                sel = counts >= node.min_children
+                if node.max_children is not None:
+                    sel &= counts <= node.max_children
+                return pdocs[sel], node.boost * agg[sel]
             if isinstance(node, qf.Phrase):
                 return eval_phrase(node)
             if isinstance(node, qf.SamePosition):

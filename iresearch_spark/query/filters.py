@@ -210,6 +210,40 @@ class SamePosition(Filter):
 
 
 @dataclass(frozen=True)
+class Nested(Filter):
+    """Parent/child block-join filter (F19,
+    [up] core/search/nested_filter.cpp :: ByNestedFilter). Documents are
+    ingested in blocks — the children first, their parent LAST — so within
+    a segment a child's parent is the nearest parent-marked docID strictly
+    greater than the child's (the reference walks the parent bitset the
+    same way). `parent` is any filter marking the parent docs (the
+    reference takes a prepared parent bitset provider); `child` is any
+    filter; a parent matches when the number of its children matched by
+    `child` lies in [min_children, max_children] (upstream's Match range;
+    kMatchNone is expressible as Not(parent, Nested(...))). The parent's
+    score merges its matching children's scores per `merge`
+    (upstream ScoreMergeType): "sum" | "max" | "min" | "avg" | "none"
+    (none = constant 1), times boost. A doc matched by `child` that is
+    itself a parent is not a child of anything and is ignored; children
+    above the last parent (an unterminated block) are ignored too."""
+
+    parent: Filter
+    child: Filter
+    min_children: int = 1
+    max_children: int | None = None
+    merge: str = "sum"
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.min_children < 1:
+            raise ValueError("min_children must be >= 1 (use Not for none-match)")
+        if self.max_children is not None and self.max_children < self.min_children:
+            raise ValueError("max_children < min_children")
+        if self.merge not in ("sum", "max", "min", "avg", "none"):
+            raise ValueError(f"unknown merge type {self.merge!r}")
+
+
+@dataclass(frozen=True)
 class And(Filter):
     children: tuple[Filter, ...]
     boost: float = 1.0
@@ -306,6 +340,17 @@ def normalize(node: Filter) -> Filter:
         if len(flat) == 1:
             return flat[0]
         return And(*flat)
+    if isinstance(node, Nested):
+        # boost stays on the Nested node (the merge runs over the child's
+        # own scores, then multiplies); parent matching is score-free
+        parent = normalize(node.parent)
+        child = normalize(node.child)
+        if isinstance(parent, Empty) or isinstance(child, Empty):
+            return Empty()
+        return Nested(
+            parent, child, node.min_children, node.max_children,
+            node.merge, node.boost,
+        )
     if isinstance(node, Or):
         kids = [normalize(_scaled(c, node.boost)) for c in node.children]
         flat: list[Filter] = []

@@ -52,6 +52,22 @@ def stem_tokens_expr(text_col: str = "text") -> str:
     )
 
 
+def minhash_tokens_expr(k: int = 8, text_col: str = "text") -> str:
+    """A10 minhash analyzer twin (`minhash:<k>(text)`): per doc, k
+    signature tokens "i:" || min over distinct text tokens t of
+    md5_long("i:" || t) — the same seeded 60-bit md5 family as
+    textops.dedup (MD5_LONG_SQL). Docs with an empty token stream emit no
+    signature tokens ([up] core/analysis/minhash_token_stream.cpp)."""
+    return f"""(
+  SELECT CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+  ELSE list_transform(range(0, {k}), i ->
+    CAST(i AS VARCHAR) || ':' ||
+    CAST(list_min(list_transform(tk,
+      t -> ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t), 1, 15))::BIGINT)) AS VARCHAR))
+  END FROM (SELECT {tokens_expr(text_col)} AS tk)
+)"""
+
+
 def base_ctes(doc_table: str = "documents", tokens_sql: str | None = None) -> str:
     """Shared CTE prefix: tokenized docs, doc lengths, tf, df, stats.
     `tokens_sql` swaps the analyzer (defaults to the frozen text spec) —

@@ -43,6 +43,9 @@ SPECS = [
     "delimiter: |stem",
     "text|stem",
     "delimiter: |identity",
+    "minhash:4(text)",
+    "minhash:1(delimiter: )",
+    "minhash:8(text|stem)",
 ]
 
 
@@ -205,3 +208,75 @@ def test_segmentation_spec_frozen_examples():
         ("かな", 0, 0, 2),
         ("カナ", 1, 2, 2),
     ]
+
+
+# ------------------------------------------------------- minhash (A10)
+
+
+def test_minhash_spec_properties():
+    """The signature is a set-hash: token order and multiplicity must not
+    matter; distinct token sets must (overwhelmingly) differ; the hash
+    family is the frozen md5_long used by textops.dedup."""
+    from iresearch_spark.analysis.analyzers import parse_minhash
+
+    a = analyze_one("table scan hash join", "minhash:8(text)")
+    b = analyze_one("join join hash scan table table", "minhash:8(text)")
+    assert a == b  # order/multiplicity-invariant
+    assert len(a) == 8 and [p for _t, p in a] == list(range(8))
+    c = analyze_one("completely different words", "minhash:8(text)")
+    assert c != a
+    # overlap monotonicity on a known case: supersets share >= as many
+    # signature slots as a disjoint set does
+    sup = analyze_one("table scan hash join extra", "minhash:8(text)")
+    shared_sup = len(set(a) & set(sup))
+    shared_dis = len(set(a) & set(c))
+    assert shared_sup >= shared_dis
+    assert parse_minhash("text") is None
+    with pytest.raises(ValueError):
+        parse_minhash("minhash:0(text)")
+    with pytest.raises(ValueError):
+        parse_minhash("minhash:8")
+    with pytest.raises(ValueError):
+        parse_minhash("minhash:8()")
+
+
+def test_minhash_matches_duckdb_twin():
+    import duckdb
+
+    from iresearch_spark.textops.sqlgen import minhash_tokens_expr
+
+    vals = [v for v in VALUES if v is not None]
+    rows = duckdb.sql(
+        "SELECT "
+        + minhash_tokens_expr(4, "x")
+        + " FROM (SELECT unnest(?) AS x)",
+        params=[vals],
+    ).fetchall()
+    for v, (sig,) in zip(vals, rows):
+        want = [t for t, _p in analyze_one(v, "minhash:4(text)")]
+        assert list(sig) == want, (v, sig, want)
+
+
+def test_minhash_payload_and_span_twins():
+    from iresearch_spark.analysis.analyzers import (
+        analyze_batch_payloads,
+        analyze_one_payloads,
+    )
+
+    spec = "minhash:4(text)"
+    flat, counts, pos, sts, lns, surf = analyze_batch_payloads(
+        pd.Series(VALUES, dtype=object), spec
+    )
+    k = 0
+    for row, v in enumerate(VALUES):
+        ref = analyze_one_payloads(v, spec)
+        c = int(counts[row])
+        assert c == len(ref), (v, c, len(ref))
+        got = [
+            (flat[k + i], int(pos[k + i]), int(sts[k + i]), int(lns[k + i]),
+             surf[k + i])
+            for i in range(c)
+        ]
+        assert got == ref, (v, got, ref)
+        k += c
+    assert k == len(flat)

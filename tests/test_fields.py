@@ -28,6 +28,7 @@ FIELDS = [
     FieldSpec("src", "source", "delimiter:-"),
     FieldSpec("srcng", "source", "ngram:2,3"),
     FieldSpec("stem", "text", "text|stem"),
+    FieldSpec("mh", "__text__", "minhash:4(text)"),
 ]
 
 
@@ -73,9 +74,16 @@ def mf_index(spark, tmp_path_factory):
             ("src", pdf["source"].tolist(), "delimiter:-"),
             ("srcng", pdf["source"].tolist(), "ngram:2,3"),
             ("stem", pdf["text"].tolist(), "text|stem"),
+            ("mh", pdf["text"].tolist(), "minhash:4(text)"),
         ],
     )
     return store, oracle, pdf
+
+
+def _mh_terms(s: str) -> list[str]:
+    from iresearch_spark.analysis.analyzers import analyze_one
+
+    return [t for t, _p in analyze_one(s, "minhash:4(text)")]
 
 
 QUERY_SET = {
@@ -92,6 +100,14 @@ QUERY_SET = {
     10: qf.Phrase(["order", qf.Fuzzy("filt", max_distance=1)], field="stem"),
     11: qf.Not(qf.Term("main", field="src"), qf.Term("dup")),
     12: qf.NgramSimilarity("cc-main", threshold=0.6, n=2, field="srcng"),
+    # A10 minhash field: idf-weighted signature overlap via plain Terms
+    13: qf.Terms(_mh_terms("table scan hash join"), field="mh"),
+    # exact-set probe: a doc-identical token set shares the whole signature
+    14: qf.Or(
+        qf.Terms(_mh_terms("merge data dup"), field="mh"),
+        qf.Term("spark"),
+        min_match=1,
+    ),
 }
 
 
@@ -128,7 +144,7 @@ def test_multifield_rank_identical(spark, mf_index):
 def test_field_stats_are_per_field(spark, mf_index):
     store, oracle, _ = mf_index
     s = IndexSearcher(spark, store)
-    assert set(s.field_names) == {"text", "src", "srcng", "stem"}
+    assert set(s.field_names) == {"text", "src", "srcng", "stem", "mh"}
     for f in s.field_names:
         assert s.avgdl_by_field[f] == pytest.approx(oracle.avgdl_by_field[f])
     # distinct per-field dictionaries in the postings table
@@ -136,7 +152,7 @@ def test_field_stats_are_per_field(spark, mf_index):
         r["field"]
         for r in store.read_postings(spark).select("field").distinct().collect()
     }
-    assert fields == {"text", "src", "srcng", "stem"}
+    assert fields == {"text", "src", "srcng", "stem", "mh"}
 
 
 def test_matched_unscored_expansion(spark, mf_index):

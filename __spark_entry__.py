@@ -91,6 +91,9 @@ _FILTERS: dict[str, qf.Filter] = {
     "bm25_prefix_capped": qf.Prefix("s", scored_terms_limit=3),
     # A5/A6 pipeline field text|stem ('customer' stems to 'custom')
     "bm25_stem": qf.Term("custom", field="stem"),
+    # F6 phrase with an explicit slot-offset GAP ([up] by_phrase
+    # push_back(part, offs)): 'table', any one token, then 'hash'
+    "bm25_phrase_gap": qf.Phrase(["table", "hash"], offsets=(0, 2)),
     # F12 match-all with boost
     "alldocs_boost": qf.AllDocs(boost=1.5),
 }
@@ -213,6 +216,7 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
     "bm25_sameposition": _SAMEPOS_SQL,
     "bm25_ngram_sim": _NGRAM_SIM_SQL,
     "bm25_phrase_prefix": bm25_phrase_sql(["table", ("prefix", "s")]),
+    "bm25_phrase_gap": bm25_phrase_sql(["table", "hash"], offsets=[0, 2]),
     "bm25_prefix_capped": bm25_topk_sql(
         [], expand_cond="term LIKE 's%'", expand_limit=3
     ),

@@ -24,16 +24,27 @@ from iresearch_spark.query import filters as qf
 
 
 def wildcard_to_regex(pattern: str) -> str:
-    """Reference wildcard syntax ('%' any run, '_' one char) -> anchored regex
-    ([up] core/utils/wildcard_utils.cpp semantics, escape-free subset)."""
+    """Reference wildcard syntax -> anchored regex ([up]
+    core/utils/wildcard_utils.cpp): '%' any run, '_' one char, '\\'
+    escapes the next character ('\\%' / '\\_' match the literals, '\\\\'
+    a backslash; a trailing lone '\\' matches a literal backslash, the
+    reference's lenient trailing-escape behavior)."""
     out = []
+    esc = False
     for ch in pattern:
-        if ch == "%":
+        if esc:
+            out.append(re.escape(ch))
+            esc = False
+        elif ch == "\\":
+            esc = True
+        elif ch == "%":
             out.append(".*")
         elif ch == "_":
             out.append(".")
         else:
             out.append(re.escape(ch))
+    if esc:
+        out.append(re.escape("\\"))
     return "".join(out)
 
 
@@ -366,7 +377,10 @@ class OracleIndex:
     def _phrase(self, node, step: int = 1) -> dict[tuple[int, int], float]:
         """Positional phrase / same-position; slots may be plain terms or
         multiterm phrase parts (expanded UNCAPPED, matching the engine's
-        per-position variants)."""
+        per-position variants). A Phrase node's slot_offsets() (explicit
+        per-slot offsets — the reference's by_phrase push_back offs, which
+        admits gaps) override the consecutive default; step=0 keeps the
+        by_same_position behavior."""
         field = node.field
         slots: list[list[str]] = []
         for part in node.terms:
@@ -396,12 +410,17 @@ class OracleIndex:
             keys &= set(m)
         idf_sum = sum(self.idf(t, field) for slot in slots for t in slot)
         dlm = self.doc_len[field]
+        if step == 1 and hasattr(node, "slot_offsets"):
+            offs = node.slot_offsets()
+            deltas = [o - offs[0] for o in offs]
+        else:
+            deltas = [i * step for i in range(len(maps))]
         out: dict[tuple[int, int], float] = {}
         for k in keys:
             hits = sum(
                 1
                 for p in sorted(maps[0][k])
-                if all(p + i * step in maps[i][k] for i in range(1, len(maps)))
+                if all(p + deltas[i] in maps[i][k] for i in range(1, len(maps)))
             )
             if hits:
                 out[k] = (

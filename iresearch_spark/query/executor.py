@@ -248,7 +248,9 @@ def _rewrite(node: qf.Filter, resolved: dict) -> qf.Filter:
                 slots.append(qf.Terms([t for t, _ in tw], field=node.field))
             else:
                 slots.append(slot)
-        return qf.Phrase(slots, boost=node.boost, field=node.field)
+        return qf.Phrase(
+            slots, boost=node.boost, field=node.field, offsets=node.offsets
+        )
     if isinstance(node, qf.And):
         return qf.And(*[_rewrite(c, resolved) for c in node.children], boost=node.boost)
     if isinstance(node, qf.Or):
@@ -1176,7 +1178,7 @@ def _make_segment_kernel(
         def eval_phrase(node):
             slots = _as_slots(node.terms)
             return _positional_match(
-                slots, list(range(len(slots))), node.boost, node.field
+                slots, list(node.slot_offsets()), node.boost, node.field
             )
 
         def eval_same_position(node):

@@ -118,16 +118,37 @@ class Phrase(Filter):
     """Ordered positional match (F6). Each element of `terms` is either a
     plain term string or a "phrase part" — a Prefix/Wildcard/Fuzzy node
     whose dictionary expansion may match at that position
-    ([up] core/search/phrase_filter.cpp's per-position variants)."""
+    ([up] core/search/phrase_filter.cpp's per-position variants).
+
+    `offsets` (default 0,1,2,… — consecutive positions) gives each slot's
+    position relative to the anchor, mirroring the reference's
+    by_phrase::push_back(part, offs) which admits GAPS: e.g. offsets
+    (0, 2) matches term0 followed by term1 two positions later with any
+    single token between them. Offsets must be strictly increasing
+    (co-located slots are by_same_position's job, F10)."""
 
     terms: tuple
     boost: float = 1.0
     field: str = "text"
+    offsets: tuple[int, ...] | None = None
 
-    def __init__(self, terms, boost: float = 1.0, field: str = "text"):
+    def __init__(self, terms, boost: float = 1.0, field: str = "text",
+                 offsets=None):
         object.__setattr__(self, "terms", tuple(terms))
         object.__setattr__(self, "boost", boost)
         object.__setattr__(self, "field", field)
+        if offsets is not None:
+            offsets = tuple(int(o) for o in offsets)
+            if len(offsets) != len(self.terms):
+                raise ValueError("offsets must align with terms")
+            if any(b <= a for a, b in zip(offsets, offsets[1:])):
+                raise ValueError("offsets must be strictly increasing")
+        object.__setattr__(self, "offsets", offsets)
+
+    def slot_offsets(self) -> tuple[int, ...]:
+        if self.offsets is not None:
+            return self.offsets
+        return tuple(range(len(self.terms)))
 
 
 @dataclass(frozen=True)

@@ -182,25 +182,31 @@ def bm25_phrase_sql(
     b: float = BM25_B,
     doc_table: str = "documents",
     tokens_sql: str | None = None,
+    offsets: list[int] | None = None,
 ) -> str:
     """Oracle for the positional phrase filter: phrase tf = count of
-    positions where all slots match consecutively in the kept-token
-    sequence; score = (Σ slot idf) · tfn(phrase_tf, dl) — matching the
-    engine kernel's eval_phrase ([up] core/search/phrase_filter.cpp).
+    positions where all slots match at their offsets in the kept-token
+    sequence (consecutive by default; explicit `offsets` admit gaps, the
+    reference's by_phrase push_back offs); score = (Σ slot idf) ·
+    tfn(phrase_tf, dl) — matching the engine kernel's eval_phrase
+    ([up] core/search/phrase_filter.cpp).
 
     A slot is a plain term string, or a ("prefix", p) / ("cond", sql_cond,
     idf_cond) tuple for multiterm phrase parts: the slot matches any term
     satisfying the condition and contributes Σ idf over those terms."""
     n = len(phrase)
+    offs = list(offsets) if offsets is not None else list(range(n))
+    deltas = [o - offs[0] for o in offs]
 
     def slot_match(j, s) -> str:
+        d = deltas[j]
         if isinstance(s, str):
-            return f"toks[i + {j}] = '{s}'"
+            return f"toks[i + {d}] = '{s}'"
         if s[0] == "prefix":
             import re as _re
 
             esc = s[1].replace("%", "\\%").replace("_", "\\_")
-            return f"toks[i + {j}] LIKE '{esc}%'"
+            return f"toks[i + {d}] LIKE '{esc}%'"
         raise ValueError(s)
 
     def slot_idf(s) -> str:
@@ -222,10 +228,11 @@ def bm25_phrase_sql(
 
     adj = " AND ".join(slot_match(j, s) for j, s in enumerate(phrase))
     idf_sum = " + ".join(slot_idf(s) for s in phrase)
+    span = deltas[-1] if deltas else 0
     return f"""{base_ctes(doc_table, tokens_sql)},
 hits AS (
   SELECT t.doc_id,
-         len(list_filter(range(1, len(toks) - {n - 2}), i -> {adj})) AS htf
+         len(list_filter(range(1, len(toks) - {span - 1}), i -> {adj})) AS htf
   FROM tokdocs t
 ),
 scored AS (

@@ -299,3 +299,63 @@ def test_multifield_maintenance_roundtrip(spark, mf_index, tmp_path):
     assert ranked(wstore) == ranked(fresh)
     # and the fresh build itself is oracle-exact
     _compare(spark, fresh, fr_oracle, {0: QUERY_SET[1], 1: QUERY_SET[9]})
+
+
+def test_phrase_gap_offsets(spark, mf_index):
+    """F6 with explicit slot offsets ([up] by_phrase push_back offs):
+    (0, 2) matches term0, any token, term1 — a strict superset of the
+    consecutive phrase only when the corpus has gapped occurrences."""
+    store, oracle, _ = mf_index
+    gapped = qf.Phrase(["table", "hash"], offsets=(0, 2))
+    part_gap = qf.Phrase(["table", qf.Prefix("ha")], offsets=(0, 3))
+    _compare(spark, store, oracle, {0: gapped, 1: part_gap}, k=30)
+    assert oracle.search(gapped, k=5)  # the corpus must exercise the gap
+    # offsets are anchored on differences: (5, 7) == (0, 2)
+    assert oracle.evaluate(qf.Phrase(["table", "hash"], offsets=(5, 7))) == \
+        oracle.evaluate(gapped)
+    with pytest.raises(ValueError):
+        qf.Phrase(["a", "b"], offsets=(0,))
+    with pytest.raises(ValueError):
+        qf.Phrase(["a", "b"], offsets=(2, 2))
+
+
+def test_wildcard_escape(spark, tmp_path_factory):
+    """F7 escape syntax ([up] wildcard_utils): '\\%'/'\\_' match the
+    literal chars — meaningful on identity-analyzed fields whose terms
+    contain '%' and '_'."""
+    vals = ["a%b", "axb", "a_b", "aXb", "100%", "100x", r"back\slash"]
+    urls = [f"{i:02d}" for i in range(len(vals))]
+    store = SnapshotStore(str(tmp_path_factory.mktemp("wc_idx")))
+    sdf = spark.createDataFrame(
+        list(zip(urls, vals, vals)), "url string, text string, source string"
+    )
+    fields = [
+        FieldSpec("text", "__text__", "text"),
+        FieldSpec("srcid", "source", "identity"),
+    ]
+    build_index(spark, sdf, store, n_segments=2, fields=fields, source="wc")
+    oracle = OracleIndex(
+        urls, vals, n_segments=2,
+        extra_fields=[("srcid", vals, "identity")],
+    )
+    queries = {
+        0: qf.Wildcard(r"a\%b", field="srcid"),   # only the literal a%b
+        1: qf.Wildcard("a%b", field="srcid"),     # a%b, axb, a_b, aXb
+        2: qf.Wildcard(r"a\_b", field="srcid"),   # only a_b
+        3: qf.Wildcard(r"100\%", field="srcid"),
+        4: qf.Wildcard(r"back\\%", field="srcid"),  # literal backslash + any
+        5: qf.Wildcard("back\\", field="srcid"),  # lenient trailing escape
+    }
+    s = IndexSearcher(spark, store)
+    res = s.search_batch(queries, k=20, with_urls=True)
+    got: dict[int, set] = {}
+    for r in res.collect():
+        got.setdefault(r["qid"], set()).add(r["url"])
+    for qid, tree in queries.items():
+        want = {u for _s, _d, u, _sc in oracle.search(tree, k=20)}
+        assert got.get(qid, set()) == want, (qid, got.get(qid), want)
+    assert got[0] == {"00"}
+    assert got[1] == {"00", "01", "02", "03"}
+    assert got[2] == {"02"}
+    assert got[3] == {"04"}
+    assert got[4] == {"06"}

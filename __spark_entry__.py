@@ -42,6 +42,7 @@ _LIFECYCLE: dict[str, IndexSearcher] = {}
 _TIER: dict[str, IndexSearcher] = {}
 _STREAMING: dict[str, IndexSearcher] = {}
 _NESTED: dict[str, IndexSearcher] = {}
+_SORTED: dict[str, IndexSearcher] = {}
 
 # Contract index fields (SURVEY.md §2b): the default web text field plus
 # one field per analyzer family — A1 identity, A3 delimiter, A4 ngram,
@@ -336,6 +337,31 @@ def _nested_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+def _sorted_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Primary-sorted index (cached): documents indexed with
+    sort_by='lang' — per-segment docIDs follow (lang, url), merges would
+    re-sort by the same manifest spec, and sorted_topk reads index-order
+    heads without scoring ([up] core/index/comparer.hpp)."""
+    key = sf_dir.rstrip("/")
+    got = _SORTED.get(key)
+    if got is not None:
+        return got
+    store = SnapshotStore(
+        os.path.join(
+            _CACHE_ROOT, "sorted_index", key.strip("/").replace("/", "_")
+        )
+    )
+    if store.current_snapshot_id() is None:
+        corpus = documents_as_corpus(spark, key)
+        build_index(
+            spark, corpus, store, n_segments=2, source=key + "|sorted",
+            sort_by="lang",
+        )
+    s = IndexSearcher(spark, store)
+    _SORTED[key] = s
+    return s
+
+
 def _bm25_query(
     flt: qf.Filter, scorer: str = "bm25", b: float | None = None
 ) -> Callable[[SparkSession, str], DataFrame]:
@@ -542,6 +568,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_nested"] = bm25_nested
+
+    # Index sort / primary sort ([up] core/index/comparer.hpp): first 20
+    # docs matching 'table' in (lang, url) index order, no scoring — the
+    # sorted-index early-termination read
+    def sorted_term_head(spark, sf_dir):
+        from pyspark.sql import Window
+
+        s = _sorted_searcher(spark, sf_dir)
+        head = s.sorted_topk(qf.Term("table"), k=20)
+        w = Window.orderBy(F.asc("lang"), F.asc("url"))
+        return head.withColumn("rank", F.row_number().over(w)).select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.col("lang"),
+        )
+
+    q["sorted_term_head"] = sorted_term_head
 
     # M2 tier policy end-to-end: three append generations -> consolidate
     # under consolidate_tier -> stats + ranking must equal a fresh build
@@ -906,6 +949,17 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
          row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 10 ORDER BY rank"""
+    o["sorted_term_head"] = f"""
+WITH matched AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang, {tokens_expr()} AS toks FROM documents
+  ) WHERE list_contains(toks, 'table')
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (ORDER BY lang, doc_id) AS rank
+  FROM matched
+) WHERE rank <= 20 ORDER BY rank"""
     o["bm15_term"] = bm25_topk_sql(["table"], b=0.0)
     o["bm11_or2"] = bm25_topk_sql(["data", "dup"], b=1.0)
     o["term_dict_stats"] = f"""{base_ctes()},

@@ -76,6 +76,7 @@ def staging_key(
     seg_base: int,
     field_specs,
     segment_key: str | None = None,
+    sort_by: str | None = None,
 ) -> str:
     """Identity of a staged (resumable) build: same key -> the interrupted
     commit dir's completed stages can be reused (BASELINE.json checkpoint
@@ -87,7 +88,7 @@ def staging_key(
     )
     return (
         f"{source}|{n_segments}|{band_bits}|{mode}|{seg_base}|{fields_key}"
-        f"|{segment_key or 'url'}"
+        f"|{segment_key or 'url'}|{sort_by or 'url'}"
     )
 
 
@@ -104,6 +105,7 @@ def build_index(
     mode: str = "replace",
     streams: dict[str, int] | None = None,
     segment_key: str | None = None,
+    sort_by: str | None = None,
 ) -> int:
     """Build a new index generation from `corpus`; returns the snapshot id.
 
@@ -112,6 +114,16 @@ def build_index(
     (seg_ids continue past the existing maximum) — the incremental-ingest
     path of the reference's index_writer ([up] index_writer.cpp: new
     flush segments join the committed generation; readers reopen()).
+
+    sort_by: primary-sort expression — a SQL expression over the STORED
+    doc columns (url, warc_ts, lang) — giving the index sort of the
+    reference ([up] core/index/comparer.hpp; index_writer constructed
+    with a comparer): per-segment docIDs follow (sort_by ASC, url ASC)
+    instead of plain url order, merges re-sort by the same spec (it is
+    frozen in the snapshot manifest like the field specs), and
+    IndexSearcher.sorted_topk reads the first-k matches in index order
+    without scoring. Restricting the expression to stored columns mirrors
+    upstream keeping the sorted column in the columnstore.
 
     Resumable: stage outputs live under one commit dir with parquet
     _SUCCESS markers; if the docs/postings table for this commit already
@@ -131,6 +143,10 @@ def build_index(
             raise ValueError(
                 "append with a different field spec than the live index"
             )
+        if prev_snap.get("sort") != sort_by:
+            raise ValueError(
+                "append with a different primary sort than the live index"
+            )
     seg_base = (
         max((int(s["seg_id"]) for s in prev_snap["segments"]), default=-1) + 1
         if prev_snap
@@ -143,7 +159,7 @@ def build_index(
     staging_path = os.path.join(store.root, "_staging.json")
     stage_key = staging_key(
         source, n_segments, band_bits, mode, seg_base, field_specs,
-        segment_key,
+        segment_key, sort_by,
     )
     staged = {}
     if os.path.exists(staging_path):
@@ -211,7 +227,11 @@ def build_index(
         # takes a second JVM->Python->JVM round trip
         from pyspark.sql import Window as W
 
-        w_assign = W.partitionBy("seg_id").orderBy("url")
+        w_assign = (
+            W.partitionBy("seg_id").orderBy(F.expr(sort_by).asc(), "url")
+            if sort_by
+            else W.partitionBy("seg_id").orderBy("url")
+        )
         (
             tokenized.repartition(n_segments, "seg_id")
             .withColumn(
@@ -459,6 +479,7 @@ def build_index(
         operation="append" if prev_snap else "rebuild",
         fields=[f.to_json() for f in field_specs],
         streams=streams,
+        sort=sort_by,
     )
     if os.path.exists(staging_path):
         os.remove(staging_path)

@@ -137,10 +137,21 @@ def merge_segments(
     # the ids the docs write reads back. orderBy carries (old_seg, old_doc)
     # tiebreakers so duplicate urls stay deterministic under any
     # parallelism; with unique urls this matches a fresh build exactly.
-    w_local = W.partitionBy("pid").orderBy("url", "old_seg", "old_doc")
+    # A primary-sorted index ([up] core/index/comparer.hpp — merge_writer
+    # re-sorts merged docs with the writer's comparer) leads the ordering
+    # with the manifest's frozen sort expression, computable from the
+    # stored doc columns exactly like upstream reads its sorted column
+    # back out of the columnstore.
+    sort_spec = snap.get("sort")
+    order_cols = (
+        [F.expr(sort_spec).asc(), F.col("url"), F.col("old_seg"), F.col("old_doc")]
+        if sort_spec
+        else [F.col("url"), F.col("old_seg"), F.col("old_doc")]
+    )
+    w_local = W.partitionBy("pid").orderBy(*order_cols)
     (
         spark.read.parquet(surv_dir)
-        .repartitionByRange(parts, "url", "old_seg", "old_doc")
+        .repartitionByRange(parts, *order_cols)
         .withColumn("pid", F.spark_partition_id())
         .withColumn("local_idx", F.row_number().over(w_local).cast("bigint"))
         .write.parquet(remap_dir, mode="overwrite")

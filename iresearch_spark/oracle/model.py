@@ -95,13 +95,17 @@ class OracleIndex:
         b: float = BM25_B,
         extra_fields: list[tuple[str, list, str]] | None = None,
         segment_keys: list[str] | None = None,
+        sort_keys: list | None = None,
     ):
         """extra_fields: [(field_name, values aligned with urls, analyzer
         spec)] indexed alongside the default ("text", texts, "text").
         segment_keys (aligned with urls, default urls) picks each doc's
         segment — the block-ingestion hook: docs sharing a key land in one
         segment (build_index's segment_key option, used by the F19 nested
-        block-join, which needs whole blocks co-resident per segment)."""
+        block-join, which needs whole blocks co-resident per segment).
+        sort_keys (aligned with urls) is the primary-sort value: docIDs
+        then follow (sort_key, url) within each segment — build_index's
+        sort_by ([up] core/index/comparer.hpp)."""
         from iresearch_spark.analysis.analyzers import analyze_one
 
         self.n_segments = n_segments
@@ -125,11 +129,17 @@ class OracleIndex:
         self.postings: dict[tuple[str, str], dict[int, tuple[list, list, list]]] = {}
         n_total = 0
         dl_total: dict[str, int] = {name: 0 for name, _, _ in fields}
+        self.doc_sort_key: dict[tuple[int, int], object] = {}
         for seg in range(n_segments):
-            rows = sorted(per_seg[seg], key=lambda i: urls[i])
+            if sort_keys is not None:
+                rows = sorted(per_seg[seg], key=lambda i: (sort_keys[i], urls[i]))
+            else:
+                rows = sorted(per_seg[seg], key=lambda i: urls[i])
             for di, i in enumerate(rows):
                 doc = di + 1  # docIDs start at 1 ([up] core/shared.hpp)
                 self.doc_url[(seg, doc)] = urls[i]
+                if sort_keys is not None:
+                    self.doc_sort_key[(seg, doc)] = sort_keys[i]
                 n_total += 1
                 for name, values, spec in fields:
                     toks = analyze_one(values[i], spec)
@@ -429,6 +439,21 @@ class OracleIndex:
         return out
 
     # -------------------------------------------------------------- top-k
+
+    def sorted_topk(self, node: qf.Filter, k: int = 10):
+        """First k matching docs in index order — (sort_key, url) when
+        sort_keys were given, plain url order otherwise; no scoring
+        (the sorted-index early-termination read, [up]
+        core/index/comparer.hpp)."""
+        matched = self.evaluate(node)
+
+        def key(sd):
+            if self.doc_sort_key:
+                return (self.doc_sort_key[sd], self.doc_url[sd])
+            return (self.doc_url[sd],)
+
+        ordered = sorted(matched, key=key)[:k]
+        return [(seg, doc, self.doc_url[(seg, doc)]) for seg, doc in ordered]
 
     def search(self, node: qf.Filter, k: int = 10):
         """Top-k as [(seg_id, doc_id, url, score)] with the frozen tie-break

@@ -299,6 +299,8 @@ class IndexSearcher:
         if not self.avgdl_by_field:  # legacy single-field snapshot
             self.avgdl_by_field = {self.field_names[0]: self.avgdl}
         self.k1, self.b = k1, b
+        # primary-sort expression frozen in the manifest (None = url order)
+        self.sort = store.sort_spec(self.sid)
         if scorer not in ("bm25", "tfidf"):
             raise ValueError(scorer)
         self.scorer = scorer
@@ -672,6 +674,15 @@ class IndexSearcher:
             .applyInPandas(kernel, RESULT_SCHEMA)
         )
         if tie == "url":
+            if self.sort:
+                # per-segment doc order is (sort_by, url), not url — the
+                # kernel's (score, doc) tie-truncation could cut a tied
+                # candidate that url order would keep. Use the reference
+                # tie (tie="segdoc") on primary-sorted indexes.
+                raise ValueError(
+                    "tie='url' requires the default url docID order; this "
+                    f"index is primary-sorted by {self.sort!r}"
+                )
             # per-segment doc order IS url order (docIDs assigned by url
             # sort), so per-segment top-k prefixes merge exactly into the
             # global (score desc, url asc) top-k
@@ -837,6 +848,34 @@ class IndexSearcher:
             "seg_id int, doc_id bigint, pos int, start int, length int, "
             "payload string",
         )
+
+    def sorted_topk(self, flt: qf.Filter, k: int = 10) -> DataFrame:
+        """First k matching docs in INDEX order — url order by default,
+        the primary-sort order (sort_by expr, url) for a sorted index —
+        WITHOUT any scoring work ([up] core/index/comparer.hpp index
+        sort; the sorted-index early-termination read ArangoSearch's
+        primarySort optimization performs). Per segment, ascending docID
+        IS index order, so the per-segment head-k (a JVM window over the
+        match set) already contains every global candidate; the global
+        merge then orders ≤ k·n_segments rows by the STORED sort columns.
+        Returns (seg_id, doc_id, url, warc_ts, lang) rows, k of them."""
+        matched = self.match_docs(flt)
+        w = Window.partitionBy("seg_id").orderBy("doc_id")
+        heads = (
+            matched.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+        docs = self.store.read_docs(self.spark, self.sid).select(
+            "seg_id", "doc_id", "url", "warc_ts", "lang"
+        )
+        cand = docs.join(F.broadcast(heads), ["seg_id", "doc_id"])
+        order = (
+            [F.expr(self.sort).asc(), F.col("url").asc()]
+            if self.sort
+            else [F.col("url").asc()]
+        )
+        return cand.orderBy(*order).limit(k)
 
     def match_docs(self, flt: qf.Filter) -> DataFrame:
         """Match-only execution: every (seg_id, doc_id) the filter matches,

@@ -91,6 +91,7 @@ class SnapshotStore:
         operation: str = "append",
         fields: list[dict] | None = None,
         streams: dict[str, int] | None = None,
+        sort: str | None = "__inherit__",
     ) -> int:
         """Publish a new snapshot. `segments` is the FULL live segment list:
         [{seg_id, docs_path, postings_path, n_docs, sum_dl, n_terms, ...}];
@@ -107,6 +108,15 @@ class SnapshotStore:
         parent_snap = self.snapshot(parent) if parent is not None else None
         if fields is None and parent_snap is not None:
             fields = parent_snap.get("fields")
+        if sort == "__inherit__":
+            # the primary-sort spec is part of the index identity (like the
+            # field specs): maintenance commits (which don't pass `sort`)
+            # carry it forward so merges keep re-sorting by it ([up]
+            # core/index/comparer.hpp — the index_writer's comparer is
+            # fixed at writer construction). build_index passes its
+            # sort_by explicitly (None included), so a replace-mode
+            # rebuild can clear or change it.
+            sort = (parent_snap or {}).get("sort")
         parent_streams = (parent_snap or {}).get("streams") or {}
         streams = {**parent_streams, **(streams or {})}
         sid = (parent or 0) + 1
@@ -121,6 +131,7 @@ class SnapshotStore:
             "metrics": metrics or {},
             "fields": fields or [],
             "streams": streams,
+            "sort": sort,
         }
         snap_path = self._snap_path(sid)
         if os.path.exists(snap_path):
@@ -259,6 +270,16 @@ class SnapshotStore:
             name: (v / n if n else 0.0) for name, v in fsums.items()
         }
         return st
+
+    def sort_spec(self, snapshot_id: int | None = None) -> str | None:
+        """The index's primary-sort expression (a SQL expression over the
+        stored doc columns url/warc_ts/lang), or None for the default url
+        order. When set, per-segment docID order is (sort expr ASC, url
+        ASC) — the reference's index sort ([up] core/index/comparer.hpp;
+        index_writer::init with a comparer), with the sort value living in
+        the columnstore exactly as upstream stores its sorted column."""
+        snap = self.snapshot(snapshot_id)
+        return (snap or {}).get("sort")
 
     def fields(self, snapshot_id: int | None = None) -> list[dict]:
         """Indexed-field specs frozen at build time (empty = legacy

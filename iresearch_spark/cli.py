@@ -186,6 +186,12 @@ def cmd_search(args, spark) -> int:
 
     flt = parse_query(args.query, field=args.field, require_all=args.all)
     s = IndexSearcher(spark, SnapshotStore(args.store), scorer=args.scorer)
+    if getattr(args, "sorted", False):
+        # scoring-free first-k matches in index order (url order, or the
+        # primary sort of a build_index(sort_by=...) index — S10)
+        for i, r in enumerate(s.sorted_topk(flt, k=args.k).collect(), 1):
+            print(json.dumps({"rank": i, "url": r["url"]}))
+        return 0
     res = s.search_batch({0: flt}, k=args.k, with_urls=True, score_round=6)
     for r in res.select("rank", "url", "score").collect():
         print(
@@ -323,6 +329,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     s.add_argument("--field", default="text")
     s.add_argument("--all", action="store_true", help="AND clauses (default OR)")
     s.add_argument("--scorer", choices=("bm25", "tfidf"), default="bm25")
+    s.add_argument(
+        "--sorted", action="store_true",
+        help="first-k matches in index (primary-sort) order, no scoring",
+    )
     s.set_defaults(fn=cmd_search)
 
     sb = sub.add_parser(

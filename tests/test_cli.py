@@ -100,6 +100,16 @@ def test_cli_round_trip(spark, corpus_path, tmp_path, capsys):
     assert [h["rank"] for h in hits] == list(range(1, len(hits) + 1))
     assert all(hits[i]["score"] >= hits[i + 1]["score"] for i in range(len(hits) - 1))
 
+    # --sorted: first-k matches in index (url) order, scoring-free
+    rc = cli.main(
+        ["search", "--store", store, "w3", "-k", "5", "--sorted"], spark=spark
+    )
+    assert rc == 0
+    sorted_hits = _out_lines(capsys)
+    assert sorted_hits and "score" not in sorted_hits[0]
+    urls = [h["url"] for h in sorted_hits]
+    assert urls == sorted(urls)
+
     rc = cli.main(["stats", "--store", store], spark=spark)
     assert rc == 0
     stats = _out_lines(capsys)[-1]

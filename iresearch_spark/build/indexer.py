@@ -107,6 +107,34 @@ def build_index(
     segment_key: str | None = None,
     sort_by: str | None = None,
 ) -> int:
+    # Whole-build single-writer exclusivity ([up] core/index/index_writer
+    # .cpp :: index_writer::make holding the directory's index_lock for
+    # the writer's lifetime): staging (_staging.json, commit dirs) and
+    # the generation bump are one critical section, so a concurrent
+    # builder fails FAST here instead of late at commit().
+    with store.write_lock(owner=f"build_index:{source or 'corpus'}"):
+        return _build_index_impl(
+            spark, corpus, store, n_segments, fields=fields,
+            band_bits=band_bits, parts=parts, source=source, mode=mode,
+            streams=streams, segment_key=segment_key, sort_by=sort_by,
+        )
+
+
+def _build_index_impl(
+    spark,
+    corpus: DataFrame,
+    store: SnapshotStore,
+    n_segments: int = 8,
+    *,
+    fields: list[FieldSpec] | None = None,
+    band_bits: int | None = None,
+    parts: int | None = None,
+    source: str = "",
+    mode: str = "replace",
+    streams: dict[str, int] | None = None,
+    segment_key: str | None = None,
+    sort_by: str | None = None,
+) -> int:
     """Build a new index generation from `corpus`; returns the snapshot id.
 
     mode="replace" commits the new segments as the whole index;

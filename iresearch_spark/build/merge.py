@@ -82,7 +82,15 @@ def merge_segments(
     spark, store: SnapshotStore, seg_ids: list[int], *, parts: int | None = None
 ) -> int:
     """Merge `seg_ids` of the current snapshot into one new segment and
-    commit; returns the new snapshot id."""
+    commit; returns the new snapshot id. Holds the index write lock for
+    the whole stage+commit span (reentrant under consolidate())."""
+    with store.write_lock(owner=f"merge:{','.join(map(str, seg_ids))}"):
+        return _merge_segments_impl(spark, store, seg_ids, parts=parts)
+
+
+def _merge_segments_impl(
+    spark, store: SnapshotStore, seg_ids: list[int], *, parts: int | None = None
+) -> int:
     snap = store.snapshot()
     segs = {int(s["seg_id"]): s for s in snap["segments"]}
     seg_ids = sorted(seg_ids)
@@ -561,6 +569,11 @@ def _permute_ragged(
 
 def delete_by_query(spark, store: SnapshotStore, flt) -> int:
     """Mark matching docs deleted (tombstone mask) in a new snapshot."""
+    with store.write_lock(owner="delete_by_query"):
+        return _delete_by_query_impl(spark, store, flt)
+
+
+def _delete_by_query_impl(spark, store: SnapshotStore, flt) -> int:
     from iresearch_spark.query.executor import IndexSearcher
 
     snap = store.snapshot()

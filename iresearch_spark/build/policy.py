@@ -200,7 +200,18 @@ def consolidate(
     **policy_kwargs,
 ) -> list[int]:
     """Run policy->merge rounds until the policy returns no candidates.
-    Returns the snapshot ids committed (one per merge round)."""
+    Returns the snapshot ids committed (one per merge round). The index
+    write lock is held across ALL rounds (merge_segments re-enters it), so
+    a consolidation is one writer session, as upstream's."""
+    with store.write_lock(owner=f"consolidate:{policy.__name__}"):
+        return _consolidate_impl(
+            spark, store, policy, max_rounds=max_rounds, **policy_kwargs
+        )
+
+
+def _consolidate_impl(
+    spark, store, policy, *, max_rounds, **policy_kwargs
+) -> list[int]:
     import inspect
 
     committed: list[int] = []

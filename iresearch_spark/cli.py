@@ -301,6 +301,40 @@ def cmd_delete(args, spark) -> int:
     return 0
 
 
+def cmd_unlock(args, _spark) -> int:
+    """Operator escape hatch for the single-writer lock: a live holder on
+    THIS host is refused without --force (killing a running writer's lock
+    corrupts no data — commits are atomic — but lets a second writer race
+    the staging dir); dead/remote holders are removed."""
+    import os
+    import socket
+
+    from iresearch_spark.store.snapshot import WriteLock
+
+    lk = WriteLock(os.path.abspath(args.store))
+    holder = lk._holder()
+    if holder is None:
+        print(json.dumps({"removed": False, "reason": "not locked"}))
+        return 0
+    alive_here = holder.get("host") == socket.gethostname() and lk._pid_alive(
+        int(holder.get("pid", -1))
+    )
+    if alive_here and not args.force:
+        print(
+            json.dumps(
+                {"removed": False, "reason": "holder alive on this host",
+                 "holder": holder}
+            )
+        )
+        return 1
+    try:
+        os.remove(lk.path)
+    except FileNotFoundError:
+        pass
+    print(json.dumps({"removed": True, "holder": holder}))
+    return 0
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     p = argparse.ArgumentParser(
         prog="iresearch_spark",
@@ -372,7 +406,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     d.add_argument("--all", action="store_true")
     d.set_defaults(fn=cmd_delete)
 
+    u = sub.add_parser(
+        "unlock", help="force-remove a dead writer's write.lock"
+    )
+    u.add_argument("--store", required=True)
+    u.add_argument(
+        "--force",
+        action="store_true",
+        help="remove even if the holder looks alive on this host",
+    )
+    u.set_defaults(fn=cmd_unlock, no_spark=True)
+
     args = p.parse_args(argv)
+    if getattr(args, "no_spark", False):
+        return args.fn(args, None)
     own = spark is None
     if own:
         spark = _get_spark(args.master)

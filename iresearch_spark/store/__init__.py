@@ -1,3 +1,7 @@
-from iresearch_spark.store.snapshot import SnapshotStore
+from iresearch_spark.store.snapshot import (
+    LockHeldError,
+    SnapshotStore,
+    WriteLock,
+)
 
-__all__ = ["SnapshotStore"]
+__all__ = ["LockHeldError", "SnapshotStore", "WriteLock"]

@@ -28,10 +28,159 @@ already recorded in a staged checkpoint (see build.indexer.build_index).
 
 from __future__ import annotations
 
+import errno
 import json
 import os
+import socket
+import threading
 import time
 import uuid
+
+
+class LockHeldError(RuntimeError):
+    """Another writer holds the index's write lock."""
+
+
+# Per-process reentrancy: root path -> {"count": int, "token": str}.
+# Mirrors the reference's one-index_writer-per-directory rule ([up]
+# core/index/index_writer.cpp :: index_writer::make acquiring
+# index_lock via directory::make_lock) — within one process the same
+# writer may nest (build -> commit); across processes the lock file is
+# the arbiter.
+_HELD: dict[str, dict] = {}
+_HELD_GUARD = threading.Lock()
+
+
+class WriteLock:
+    """Single-writer lock on an index root ([up] core/store/directory.hpp
+    :: index_lock; fs_directory::make_lock("write.lock") — Lucene-style).
+
+    Acquisition is an atomic create-if-absent of `<root>/write.lock`
+    (O_CREAT|O_EXCL — POSIX-atomic; on HDFS/S3 this maps to the usual
+    create-if-absent / putIfAbsent primitive). The file body records
+    {owner, host, pid, ts, token}; release removes the file only if the
+    token still matches, so a stolen/broken lock is never double-freed.
+
+    A lock whose recorded pid is provably dead ON THIS HOST is broken
+    automatically (a crashed writer must not brick the index — upstream
+    surfaces this as the index_lock being forcibly unlocked); a live or
+    remote holder raises LockHeldError after `timeout_s`. Reentrant per
+    process per root: maintenance entry points hold it for their whole
+    stage+commit span while commit() re-enters freely.
+    """
+
+    def __init__(self, root: str, owner: str = "", timeout_s: float = 0.0):
+        self.root = root
+        self.path = os.path.join(root, "write.lock")
+        self.owner = owner
+        self.timeout_s = timeout_s
+        self._token: str | None = None
+
+    # ---------------------------------------------------------- internals
+
+    def _holder(self) -> dict | None:
+        try:
+            with open(self.path) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None  # gone, or mid-write — caller retries
+
+    @staticmethod
+    def _pid_alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+        return True
+
+    def _try_break_stale(self) -> bool:
+        """Remove the lock if its holder is a dead pid on this host."""
+        h = self._holder()
+        if not h:
+            return True  # already gone
+        if h.get("host") == socket.gethostname() and not self._pid_alive(
+            int(h.get("pid", -1))
+        ):
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass
+            return True
+        return False
+
+    # ------------------------------------------------------------- public
+
+    def acquire(self) -> "WriteLock":
+        with _HELD_GUARD:
+            held = _HELD.get(self.root)
+            if held:
+                held["count"] += 1
+                self._token = held["token"]
+                return self
+        deadline = time.time() + self.timeout_s
+        while True:
+            token = uuid.uuid4().hex
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except OSError as e:
+                if e.errno != errno.EEXIST:
+                    raise
+                if self._try_break_stale():
+                    continue
+                if time.time() >= deadline:
+                    h = self._holder() or {}
+                    raise LockHeldError(
+                        f"index at {self.root} is write-locked by "
+                        f"{h.get('owner') or '?'} (pid {h.get('pid')} on "
+                        f"{h.get('host')}, since {h.get('ts')}); pass a "
+                        "timeout to wait, or remove write.lock if the "
+                        "holder is known dead"
+                    ) from None
+                time.sleep(0.05)
+                continue
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {
+                        "owner": self.owner,
+                        "host": socket.gethostname(),
+                        "pid": os.getpid(),
+                        "ts": int(time.time()),
+                        "token": token,
+                    },
+                    f,
+                )
+                f.flush()
+                os.fsync(f.fileno())
+            self._token = token
+            with _HELD_GUARD:
+                _HELD[self.root] = {"count": 1, "token": token}
+            return self
+
+    def release(self) -> None:
+        if self._token is None:
+            return
+        with _HELD_GUARD:
+            held = _HELD.get(self.root)
+            if held and held["token"] == self._token:
+                held["count"] -= 1
+                if held["count"] > 0:
+                    return
+                del _HELD[self.root]
+        h = self._holder()
+        if h and h.get("token") == self._token:
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass
+        self._token = None
+
+    def __enter__(self) -> "WriteLock":
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
 class SnapshotStore:
@@ -41,6 +190,13 @@ class SnapshotStore:
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
 
     # ------------------------------------------------------------- paths
+
+    def write_lock(self, owner: str = "", timeout_s: float = 0.0) -> WriteLock:
+        """Single-writer lock for this index root (see WriteLock). Entry
+        points that stage data before committing hold it for their whole
+        span; commit() re-enters it, so bare commit() calls are serialized
+        too."""
+        return WriteLock(self.root, owner=owner, timeout_s=timeout_s)
 
     def new_commit_dir(self) -> str:
         """Fresh data directory for a pending (uncommitted) write."""
@@ -104,6 +260,16 @@ class SnapshotStore:
         data publish are ONE atomic rename — the exactly-once anchor for
         streaming ingest (see streaming.ingest). Returns the new snapshot
         id."""
+        with self.write_lock(owner=f"commit:{operation}"):
+            return self._commit_locked(
+                segments, stats, lineage, metrics, operation, fields,
+                streams, sort,
+            )
+
+    def _commit_locked(
+        self, segments, stats, lineage, metrics, operation, fields,
+        streams, sort,
+    ) -> int:
         parent = self.current_snapshot_id()
         parent_snap = self.snapshot(parent) if parent is not None else None
         if fields is None and parent_snap is not None:
@@ -227,36 +393,50 @@ class SnapshotStore:
         (Iceberg's expire_snapshots; the reference's retired index
         generations). Returns the expired snapshot ids; data files are
         reclaimed by gc()."""
-        sids = self.snapshots()
-        expired = sids[:-keep_last] if keep_last > 0 else sids
-        for sid in expired:
-            os.remove(self._snap_path(sid))
-        return expired
+        with self.write_lock(owner="expire_snapshots"):
+            sids = self.snapshots()
+            expired = sids[:-keep_last] if keep_last > 0 else sids
+            for sid in expired:
+                os.remove(self._snap_path(sid))
+            return expired
 
     def gc(self) -> list[str]:
         """Delete commit data directories referenced by NO remaining
         snapshot (safe after expire_snapshots / consolidation retired
-        them). Returns removed directories."""
+        them). Returns removed directories. Holds the write lock — a
+        concurrent writer's staged-but-uncommitted data is referenced by
+        no snapshot yet and must not be swept from under it — and spares
+        the _staging.json checkpoint dir, so an interrupted build's
+        resume point survives a gc run."""
         import shutil
 
-        live: set[str] = set()
-        for sid in self.snapshots():
-            snap = self.snapshot(sid)
-            for seg in snap["segments"]:
-                for key in ("docs_path", "postings_path", "norms_path", "mask_path"):
-                    rel = seg.get(key)
-                    if rel:
-                        # data/<commit>/<table>/seg_part=N -> data/<commit>
-                        parts = rel.split(os.sep)
-                        if len(parts) >= 2:
-                            live.add(parts[1])
-        removed = []
-        data_root = os.path.join(self.root, "data")
-        for d in sorted(os.listdir(data_root)):
-            if d not in live:
-                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
-                removed.append(d)
-        return removed
+        with self.write_lock(owner="gc"):
+            live: set[str] = set()
+            for sid in self.snapshots():
+                snap = self.snapshot(sid)
+                for seg in snap["segments"]:
+                    for key in (
+                        "docs_path", "postings_path", "norms_path", "mask_path",
+                    ):
+                        rel = seg.get(key)
+                        if rel:
+                            # data/<commit>/<table>/seg_part=N -> data/<commit>
+                            parts = rel.split(os.sep)
+                            if len(parts) >= 2:
+                                live.add(parts[1])
+            staging_path = os.path.join(self.root, "_staging.json")
+            if os.path.exists(staging_path):
+                with open(staging_path) as f:
+                    staged_dir = json.load(f).get("dir", "")
+                if staged_dir:
+                    live.add(os.path.basename(os.path.normpath(staged_dir)))
+            removed = []
+            data_root = os.path.join(self.root, "data")
+            for d in sorted(os.listdir(data_root)):
+                if d not in live:
+                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                    removed.append(d)
+            return removed
 
     def global_stats(self, snapshot_id: int | None = None) -> dict:
         snap = self.snapshot(snapshot_id)

@@ -151,3 +151,33 @@ def test_cli_round_trip(spark, corpus_path, tmp_path, capsys):
     assert out[-1]["n_queries"] == 2 and out[-1]["qps"] > 0
     assert out[0]["query"] == "w7 w40" and out[0]["hits"] == solo
     assert out[1]["query"] == "w41~1"
+
+
+def test_cli_unlock(tmp_path, capsys):
+    """unlock: refuses a live same-host holder without --force, removes
+    dead or forced locks, and never needs a Spark session."""
+    import os
+    import socket
+
+    from iresearch_spark.store import SnapshotStore
+
+    root = str(tmp_path / "idx")
+    st = SnapshotStore(root)
+    assert cli.main(["unlock", "--store", root]) == 0  # not locked
+
+    lk = st.write_lock(owner="live-writer").acquire()
+    try:
+        assert cli.main(["unlock", "--store", root]) == 1
+        assert cli.main(["unlock", "--store", root, "--force"]) == 0
+        assert not os.path.exists(os.path.join(st.root, "write.lock"))
+    finally:
+        lk.release()  # no-op on the already-removed file (token-checked)
+
+    with open(os.path.join(st.root, "write.lock"), "w") as f:
+        json.dump(
+            {"owner": "crashed", "host": socket.gethostname(),
+             "pid": 2**22 + 1, "ts": 0, "token": "x"}, f,
+        )
+    assert cli.main(["unlock", "--store", root]) == 0
+    out = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert [o["removed"] for o in out] == [False, False, True, True]

@@ -30,7 +30,9 @@ from iresearch_spark.textops.sqlgen import (
     base_ctes,
     bm25_phrase_sql,
     bm25_topk_sql,
+    granular_range_cond,
     minhash_tokens_expr,
+    numeric_tokens_expr,
     stem_tokens_expr,
     tokens_expr,
     ws_tokens_expr,
@@ -58,6 +60,9 @@ _MF_FIELDS = [
     FieldSpec("stem", "text", "text|stem"),
     FieldSpec("stempay", "text", "text|stem", offsets=True, payloads=True),
     FieldSpec("mh", "__text__", _MH_SPEC),
+    # A7 numeric token stream over the stored n_chars column (cast to
+    # string by _searcher) — the F5 granular-range query target
+    FieldSpec("nch", "n_chars", "numeric:8"),
 ]
 
 # ---- frozen query specs (terms exist across sf0.001/0.01/0.1 corpora)
@@ -111,9 +116,21 @@ def _mh_query_terms() -> list[str]:
 
 
 _FILTERS["bm25_minhash_sim"] = qf.Terms(_mh_query_terms(), field="mh")
+
+# F5 by_granular_range over the A7 numeric field: docs with n_chars in
+# [200, 400) — the trie decomposition (edges at full precision, middle at
+# level 8) expands against the term dictionary and scores like any other
+# multiterm node ([up] core/search/granular_range_filter.cpp)
+_FILTERS["bm25_granular"] = qf.GranularRange(200, 400, step=8, field="nch")
+
 _BM25_ORACLE_EXTRA = {
     "bm25_minhash_sim": bm25_topk_sql(
         _mh_query_terms(), tokens_sql=minhash_tokens_expr(8)
+    ),
+    "bm25_granular": bm25_topk_sql(
+        [],
+        expand_cond=granular_range_cond(200, 400, 8),
+        tokens_sql=numeric_tokens_expr("n_chars", 8),
     ),
 }
 
@@ -240,11 +257,13 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         return got
     store = SnapshotStore(
         os.path.join(
-            _CACHE_ROOT, "contract_index_v4", key.strip("/").replace("/", "_")
+            _CACHE_ROOT, "contract_index_v5", key.strip("/").replace("/", "_")
         )
     )
     if store.current_snapshot_id() is None:
-        corpus = documents_as_corpus(spark, key, extra_cols=("source",))
+        corpus = documents_as_corpus(
+            spark, key, extra_cols=("source", "n_chars")
+        ).withColumn("n_chars", F.col("n_chars").cast("string"))
         build_index(
             spark, corpus, store, n_segments=4, fields=_MF_FIELDS, source=key
         )

@@ -59,6 +59,14 @@ import unicodedata
 import numpy as np
 import pandas as pd
 
+from iresearch_spark.analysis.numeric import (
+    double_to_sortable,
+    doubles_to_sortable_batch,
+    numeric_terms,
+    numeric_terms_batch,
+    parse_numeric_spec_typed,
+    shifts,
+)
 from iresearch_spark.analysis.tokenizer import STOPWORDS, _TOKEN_RE
 
 PIPE_STRIDE = 4096  # position packing stride per pipeline level
@@ -339,6 +347,22 @@ def _one_stage(value: str | None, stage: str) -> list[tuple[str, int, int, int]]
         return [(stem_token(value), 0, 0, len(value))]
     if stage == "segmentation":
         return _segment_one(value)
+    nspec = parse_numeric_spec_typed(stage)
+    if nspec is not None:
+        # A7 numeric token stream ([up] core/analysis/token_streams.hpp ::
+        # numeric_token_stream): one term per precision level, all spanning
+        # the whole input; position = level index (positions are
+        # meaningless for numeric terms — phrase queries don't apply).
+        # The double variant maps through the sortable bit pattern first.
+        step, dtype = nspec
+        sv = value.strip()
+        if not sv:
+            return []
+        v = double_to_sortable(float(sv)) if dtype == "f64" else int(sv)
+        return [
+            (t, i, 0, len(value))
+            for i, t in enumerate(numeric_terms(v, step))
+        ]
     raise ValueError(f"unknown analyzer stage: {stage!r}")
 
 
@@ -593,7 +617,34 @@ def _batch_stage(values: pd.Series, stage: str):
         return stemmed, counts, pos, starts, lens
     if stage == "segmentation":
         return _batch_segmentation(values)
+    nspec = parse_numeric_spec_typed(stage)
+    if nspec is not None:
+        return _batch_numeric(values, *nspec)
     raise ValueError(f"unknown analyzer stage: {stage!r}")
+
+
+def _batch_numeric(values: pd.Series, step: int, dtype: str = "i64"):
+    """Vectorized A7 numeric token stream: sign-flip + per-level shift are
+    pure uint64 numpy; term strings come from numpy's own decimal
+    formatting (no per-row Python). Null/blank rows emit no tokens;
+    non-numeric input raises (the reference's numeric stream is typed).
+    dtype "f64" first maps values through the sortable double bit
+    pattern (order-preserving float64 -> int64)."""
+    raw = values.fillna("").astype(str)
+    sv = raw.str.strip()
+    mask = (sv != "").to_numpy()
+    kept = sv.to_numpy(dtype=object)[mask]
+    if dtype == "f64":
+        ints = doubles_to_sortable_batch(kept.astype(np.float64))
+    else:
+        ints = kept.astype(np.int64)
+    nlev = len(shifts(step))
+    terms = numeric_terms_batch(ints, step)
+    counts = np.where(mask, nlev, 0).astype(np.int64)
+    pos = np.tile(np.arange(nlev, dtype=np.int64), int(mask.sum()))
+    starts = np.zeros(len(terms), dtype=np.int64)
+    lens = np.repeat(raw.str.len().to_numpy(np.int64)[mask], nlev)
+    return terms, counts, pos, starts, lens
 
 
 def _batch_minhash(values: pd.Series, k: int, inner: str):

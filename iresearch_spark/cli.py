@@ -18,7 +18,10 @@ Query syntax (`parse_query`):
              | 'term~1'         fuzzy (Levenshtein; '~1t' = OSA/
                                 transpositions; distance 1 or 2)
              | '[lo TO hi]'     term range (lo inclusive, hi exclusive —
-                                the engine's TermRange default)
+                                the engine's TermRange default; '*' =
+                                open bound; over a numeric-analyzed
+                                field this resolves to the F5 granular
+                                range with the manifest's frozen step)
              | 'term'           exact term
 
 Clauses combine as a disjunction (`Or`, min_match=1); `--all` combines
@@ -56,7 +59,10 @@ def _atom_filter(atom: str, field: str) -> qf.Filter:
         m = re.match(r"^\[(\S+)\s+TO\s+(\S+)\]$", atom)
         if not m:
             raise ValueError(f"bad range syntax: {atom!r} (want '[lo TO hi]')")
-        return qf.TermRange(m.group(1), m.group(2), field=field)
+        lo, hi = m.group(1), m.group(2)  # '*' = open bound
+        return qf.TermRange(
+            None if lo == "*" else lo, None if hi == "*" else hi, field=field
+        )
     m = _FUZZY_RE.match(atom)
     if m:
         return qf.Fuzzy(
@@ -114,6 +120,70 @@ def parse_query(
     if neg:
         base = qf.Not(base, neg[0] if len(neg) == 1 else qf.Or(*neg))
     return base
+
+
+def resolve_numeric_ranges(node: qf.Filter, analyzers: dict[str, str]) -> qf.Filter:
+    """Rewrite `[lo TO hi]` ranges over numeric-analyzed fields (A7) into
+    the F5 granular filter with the field's FROZEN analyzer step — the CLI
+    consults the snapshot manifest exactly as the reference resolves a
+    range filter against the field's indexed type
+    ([up] core/search/granular_range_filter.cpp expecting the
+    numeric_token_stream's granularity terms)."""
+    from iresearch_spark.analysis.numeric import parse_numeric_spec_typed
+
+    if isinstance(node, qf.TermRange):
+        nspec = parse_numeric_spec_typed(analyzers.get(node.field, ""))
+        if nspec is None:
+            return node
+        step, dtype = nspec
+        cast = float if dtype == "f64" else int
+        try:
+            lo = None if node.lo is None else cast(node.lo)
+            hi = None if node.hi is None else cast(node.hi)
+        except ValueError:
+            raise ValueError(
+                f"field {node.field!r} is numeric-indexed; range bounds "
+                f"must be numbers (got [{node.lo} TO {node.hi}])"
+            ) from None
+        return qf.GranularRange(
+            lo,
+            hi,
+            include_lo=node.include_lo,
+            include_hi=node.include_hi,
+            step=step,
+            dtype=dtype,
+            scored_terms_limit=node.scored_terms_limit,
+            boost=node.boost,
+            field=node.field,
+        )
+    if isinstance(node, qf.And):
+        return qf.And(
+            *[resolve_numeric_ranges(c, analyzers) for c in node.children],
+            boost=node.boost,
+        )
+    if isinstance(node, qf.Or):
+        return qf.Or(
+            *[resolve_numeric_ranges(c, analyzers) for c in node.children],
+            boost=node.boost,
+            min_match=node.min_match,
+        )
+    if isinstance(node, qf.Not):
+        return qf.Not(
+            resolve_numeric_ranges(node.child, analyzers),
+            resolve_numeric_ranges(node.excluded, analyzers),
+            node.boost,
+        )
+    if isinstance(node, qf.Boost):
+        return qf.Boost(
+            resolve_numeric_ranges(node.child, analyzers), node.boost
+        )
+    return node
+
+
+def _field_analyzers(store, sid=None) -> dict[str, str]:
+    return {
+        d["name"]: d.get("analyzer", "") for d in store.fields(sid)
+    }
 
 
 # ------------------------------------------------------------- commands
@@ -186,6 +256,7 @@ def cmd_search(args, spark) -> int:
 
     flt = parse_query(args.query, field=args.field, require_all=args.all)
     s = IndexSearcher(spark, SnapshotStore(args.store), scorer=args.scorer)
+    flt = resolve_numeric_ranges(flt, _field_analyzers(s.store, s.sid))
     if getattr(args, "sorted", False):
         # scoring-free first-k matches in index order (url order, or the
         # primary sort of a build_index(sort_by=...) index — S10)
@@ -223,6 +294,8 @@ def cmd_search_batch(args, spark) -> int:
         for qid, q in lines
     }
     s = IndexSearcher(spark, SnapshotStore(args.store), scorer=args.scorer)
+    an = _field_analyzers(s.store, s.sid)
+    batch = {qid: resolve_numeric_ranges(f, an) for qid, f in batch.items()}
     t0 = time.time()
     rows = s.search_batch(
         batch, k=args.k, with_urls=True, score_round=6

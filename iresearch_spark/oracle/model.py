@@ -212,6 +212,18 @@ class OracleIndex:
             if node.hi is not None:
                 cand = [t for t in cand if (t <= node.hi if node.include_hi else t < node.hi)]
             return list(cand)
+        if isinstance(node, qf.GranularRange):
+            from iresearch_spark.analysis.numeric import granular_term_ranges
+
+            trs = granular_term_ranges(
+                node.lo,
+                node.hi,
+                node.step,
+                include_lo=node.include_lo,
+                include_hi=node.include_hi,
+                dtype=node.dtype,
+            )
+            return [t for t in d if any(a <= t <= b for a, b in trs)]
         if isinstance(node, qf.Wildcard):
             rx = re.compile(wildcard_to_regex(node.pattern))
             return [t for t in d if rx.fullmatch(t)]
@@ -262,7 +274,10 @@ class OracleIndex:
                     ]
                 )
             )
-        if isinstance(node, (qf.Prefix, qf.TermRange, qf.Wildcard, qf.Fuzzy)):
+        if isinstance(
+            node,
+            (qf.Prefix, qf.TermRange, qf.GranularRange, qf.Wildcard, qf.Fuzzy),
+        ):
             tw = self.expand_weighted(node)
             if not tw:
                 return {}

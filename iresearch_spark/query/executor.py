@@ -38,6 +38,7 @@ from iresearch_spark.codec.postings import (
     decode_positions_for,
     decode_postings,
 )
+from iresearch_spark.analysis.numeric import granular_term_ranges
 from iresearch_spark.oracle.model import wildcard_to_regex
 from iresearch_spark.query import filters as qf
 from iresearch_spark.query.fuzzy import damerau_leq_mask, levenshtein_leq_mask
@@ -46,7 +47,13 @@ from iresearch_spark.store import SnapshotStore
 
 RESULT_SCHEMA = "qid bigint, seg_id int, doc_id bigint, score double"
 
-_EXPANDABLE = (qf.Prefix, qf.TermRange, qf.Wildcard, qf.Fuzzy)
+_EXPANDABLE = (
+    qf.Prefix,
+    qf.TermRange,
+    qf.GranularRange,
+    qf.Wildcard,
+    qf.Fuzzy,
+)
 
 # Safety bound on the driver-side multiterm expansion (matched terms are
 # collected so their postings can be fetched — the reference holds the same
@@ -395,6 +402,24 @@ class IndexSearcher:
                         else (F.col("term") < node.hi)
                     )
                 conds.append(c)
+            elif isinstance(node, qf.GranularRange):
+                # F5: fewest-terms trie decomposition; each sub-range is a
+                # contiguous slice of the (fixed-width, level-prefixed)
+                # term dictionary — pure JVM comparisons, pushdown-friendly
+                trs = granular_term_ranges(
+                    node.lo,
+                    node.hi,
+                    node.step,
+                    include_lo=node.include_lo,
+                    include_hi=node.include_hi,
+                    dtype=node.dtype,
+                )
+                c = F.lit(False)
+                for t_lo, t_hi in trs:
+                    c = c | (
+                        (F.col("term") >= t_lo) & (F.col("term") <= t_hi)
+                    )
+                conds.append(in_field & c)
             elif isinstance(node, qf.Wildcard):
                 conds.append(
                     in_field

@@ -96,6 +96,29 @@ class TermRange(Filter):
 
 
 @dataclass(frozen=True)
+class GranularRange(Filter):
+    """F5 by_granular_range ([up] core/search/granular_range_filter.cpp)
+    over a `numeric`-analyzed field (A7): the signed-integer range is
+    decomposed into the fewest per-precision-level term ranges (full
+    precision only at the ragged edges — see analysis.numeric), expanded
+    against the term dictionary and scored exactly like every other
+    multiterm node (top scored_terms_limit by df weighted, the rest
+    matched-unscored). `step` must equal the field's analyzer step;
+    dtype "f64" (for `numericd` fields) takes float bounds through the
+    sortable double bit pattern."""
+
+    lo: int | float | None
+    hi: int | float | None
+    include_lo: bool = True
+    include_hi: bool = False
+    step: int = 16
+    dtype: str = "i64"
+    scored_terms_limit: int = 64
+    boost: float = 1.0
+    field: str = "text"
+
+
+@dataclass(frozen=True)
 class Wildcard(Filter):
     pattern: str  # '%' = any run, '_' = any single char (reference syntax)
     scored_terms_limit: int = 64

@@ -68,6 +68,48 @@ def minhash_tokens_expr(k: int = 8, text_col: str = "text") -> str:
 )"""
 
 
+def numeric_tokens_expr(col: str, step: int = 16) -> str:
+    """A7 numeric token stream twin (`numeric:<step>` over an integer
+    column): one fixed-width term per precision level —
+    f"{shift:02d}:{((v XOR 2^63 as unsigned) >> shift):020d}". DuckDB does
+    the sign-bit flip as HUGEINT `v + 2^63` and the shift as integer
+    division by a 2^shift literal (analysis.numeric freezes the spec)."""
+    parts = []
+    for s in range(0, 64, step):
+        div = 1 << s
+        parts.append(
+            f"'{s:02d}:' || lpad(CAST(((9223372036854775808::HUGEINT + {col})"
+            f" // {div}::HUGEINT) AS VARCHAR), 20, '0')"
+        )
+    return (
+        f"(CASE WHEN {col} IS NULL THEN []::VARCHAR[] "
+        f"ELSE [{', '.join(parts)}] END)"
+    )
+
+
+def granular_range_cond(
+    lo: int | None,
+    hi: int | None,
+    step: int,
+    *,
+    include_lo: bool = True,
+    include_hi: bool = False,
+) -> str:
+    """F5 expand_cond twin: the SAME fewest-terms trie decomposition the
+    engine runs (analysis.numeric.granular_term_ranges), rendered as an OR
+    of contiguous term BETWEENs over the dictionary."""
+    from iresearch_spark.analysis.numeric import granular_term_ranges
+
+    trs = granular_term_ranges(
+        lo, hi, step, include_lo=include_lo, include_hi=include_hi
+    )
+    if not trs:
+        return "FALSE"
+    return " OR ".join(
+        f"(term >= '{a}' AND term <= '{b}')" for a, b in trs
+    )
+
+
 def base_ctes(doc_table: str = "documents", tokens_sql: str | None = None) -> str:
     """Shared CTE prefix: tokenized docs, doc lengths, tf, df, stats.
     `tokens_sql` swaps the analyzer (defaults to the frozen text spec) —

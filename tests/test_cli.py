@@ -181,3 +181,72 @@ def test_cli_unlock(tmp_path, capsys):
     assert cli.main(["unlock", "--store", root]) == 0
     out = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
     assert [o["removed"] for o in out] == [False, False, True, True]
+
+
+def test_parse_open_bound_range():
+    assert cli.parse_query("[* TO sort]") == qf.TermRange(None, "sort")
+    assert cli.parse_query("[query TO *]") == qf.TermRange("query", None)
+
+
+def test_resolve_numeric_ranges_unit():
+    an = {"n": "numeric:8", "text": "text"}
+    got = cli.resolve_numeric_ranges(
+        qf.Or(
+            qf.TermRange("100", "200", field="n"),
+            qf.Boost(qf.TermRange(None, "50", field="n"), 2.0),
+            qf.TermRange("a", "b"),  # text field: untouched
+        ),
+        an,
+    )
+    assert got == qf.Or(
+        qf.GranularRange(100, 200, step=8, field="n"),
+        qf.Boost(qf.GranularRange(None, 50, step=8, field="n"), 2.0),
+        qf.TermRange("a", "b"),
+    )
+    with pytest.raises(ValueError, match="must be numbers"):
+        cli.resolve_numeric_ranges(qf.TermRange("x", "y", field="n"), an)
+
+
+def test_cli_numeric_range_search(spark, corpus_path, tmp_path, capsys):
+    """End-to-end F5 through the CLI: a numeric:8 field over a derived
+    doc-length column, queried with plain range syntax — the searcher
+    resolves it to GranularRange via the manifest's frozen analyzer."""
+    from pyspark.sql import functions as F
+
+    num_corpus = str(tmp_path / "numcorpus.parquet")
+    spark.read.parquet(corpus_path).withColumn(
+        "nch", F.length("text").cast("string")
+    ).write.parquet(num_corpus)
+    store = str(tmp_path / "numidx")
+    rc = cli.main(
+        ["build", "--input", num_corpus, "--store", store, "--segments", "2",
+         "--field", "text,__text__,text", "--field", "n,nch,numeric:8"],
+        spark=spark,
+    )
+    assert rc == 0
+    _out_lines(capsys)
+
+    rc = cli.main(
+        ["search", "--store", store, "n:[100 TO 200]", "-k", "8"], spark=spark
+    )
+    assert rc == 0
+    hits = _out_lines(capsys)
+    assert hits and [h["rank"] for h in hits] == list(range(1, len(hits) + 1))
+
+    # open bound + verify the match set against the raw column
+    rc = cli.main(
+        ["search", "--store", store, "n:[400 TO *]", "-k", "700"], spark=spark
+    )
+    assert rc == 0
+    got = {h["url"] for h in _out_lines(capsys)}
+    want = {
+        r["url"]
+        for r in spark.read.parquet(num_corpus)
+        .filter(F.col("nch").cast("long") >= 400)
+        .collect()
+    }
+    assert got == want and want
+
+    # non-integer bounds over the numeric field fail with a clear error
+    with pytest.raises(ValueError, match="must be numbers"):
+        cli.main(["search", "--store", store, "n:[aa TO bb]"], spark=spark)

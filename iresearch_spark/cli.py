@@ -263,13 +263,16 @@ def cmd_search(args, spark) -> int:
         for i, r in enumerate(s.sorted_topk(flt, k=args.k).collect(), 1):
             print(json.dumps({"rank": i, "url": r["url"]}))
         return 0
-    res = s.search_batch({0: flt}, k=args.k, with_urls=True, score_round=6)
-    for r in res.select("rank", "url", "score").collect():
-        print(
-            json.dumps(
-                {"rank": int(r["rank"]), "url": r["url"], "score": float(r["score"])}
-            )
-        )
+    cols = tuple(
+        c for c in (args.cols or "").split(",") if c
+    )  # stored-column retrieval (columnstore surface)
+    res = s.search_batch(
+        {0: flt}, k=args.k, with_urls=True, score_round=6, with_cols=cols
+    )
+    for r in res.select("rank", "url", "score", *cols).collect():
+        out = {"rank": int(r["rank"]), "url": r["url"], "score": float(r["score"])}
+        out.update({c: (None if r[c] is None else str(r[c])) for c in cols})
+        print(json.dumps(out))
     return 0
 
 
@@ -436,6 +439,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     s.add_argument("--field", default="text")
     s.add_argument("--all", action="store_true", help="AND clauses (default OR)")
     s.add_argument("--scorer", choices=("bm25", "tfidf"), default="bm25")
+    s.add_argument(
+        "--cols",
+        default="",
+        help="comma-separated stored doc columns to return with each hit",
+    )
     s.add_argument(
         "--sorted", action="store_true",
         help="first-k matches in index (primary-sort) order, no scoring",

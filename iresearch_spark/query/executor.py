@@ -587,10 +587,12 @@ class IndexSearcher:
         with_urls: bool = True,
         tie: str = "segdoc",
         score_round: int | None = None,
+        with_cols: tuple[str, ...] = (),
         _ship_all: bool = False,
     ) -> DataFrame:
         """Run a batch of queries; returns DataFrame
-        (qid, rank, seg_id, doc_id[, url], score) with global top-k rows.
+        (qid, rank, seg_id, doc_id[, url], score[, *with_cols]) with
+        global top-k rows.
 
         tie: "segdoc" (reference order: score desc, seg asc, doc asc) or
         "url" (score desc, url asc — a total order that external oracles
@@ -598,8 +600,25 @@ class IndexSearcher:
         score_round: round scores to N dp INSIDE the kernel before
         per-segment top-k, so rank ties are decided on the same values an
         external double-precision oracle computes (absorbs last-ulp
-        numpy-vs-libm noise; see SURVEY.md §7 hard-part (a))."""
+        numpy-vs-libm noise; see SURVEY.md §7 hard-part (a)).
+        with_cols: extra STORED doc columns (the columnstore surface —
+        [up] core/formats/columnstore2, ArangoSearch storedValues)
+        appended to each hit row via the same broadcast top-k join that
+        fetches urls: k·|queries| lookup rows, never a corpus scan."""
         trees, terms, idf, need_pos = self.prepare(queries)
+        extra_cols: list[str] = []
+        if with_cols:
+            stored = set(
+                self.store.read_docs(self.spark, self.sid).columns
+            ) - {"seg_id", "doc_id", "dl", "fdls"}
+            for c in dict.fromkeys(with_cols):
+                if c not in stored:
+                    raise ValueError(
+                        f"with_cols: {c!r} is not a stored doc column "
+                        f"(available: {sorted(stored)})"
+                    )
+                if not (c == "url" and with_urls):
+                    extra_cols.append(c)
         # Duplicate queries are evaluated ONCE: filter trees are frozen
         # value objects, so identical normalized trees hash equal. The
         # kernel runs each distinct tree under a representative qid; the
@@ -671,7 +690,15 @@ class IndexSearcher:
                     "qid bigint, rank int, seg_id int, doc_id bigint, "
                     "url string, score double"
                 )
-            return self.spark.createDataFrame([], schema)
+            empty = self.spark.createDataFrame([], schema)
+            if extra_cols:
+                dsch = {
+                    f_.name: f_.dataType
+                    for f_ in self.store.read_docs(self.spark, self.sid).schema
+                }
+                for c in extra_cols:
+                    empty = empty.withColumn(c, F.lit(None).cast(dsch[c]))
+            return empty
 
         cols = ["seg_id", "field", "term", "df", "blob", "skip", "bmax"]
         if need_pos:
@@ -712,7 +739,8 @@ class IndexSearcher:
             # sort), so per-segment top-k prefixes merge exactly into the
             # global (score desc, url asc) top-k
             docs = self.store.read_docs(self.spark, self.sid).select(
-                "seg_id", "doc_id", "url"
+                "seg_id", "doc_id", "url",
+                *[c for c in extra_cols if c != "url"],
             )
             cand = docs.join(F.broadcast(per_seg), ["seg_id", "doc_id"])
             w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
@@ -722,7 +750,7 @@ class IndexSearcher:
             cols_out = ["qid", "rank", "seg_id", "doc_id", "url", "score"]
             if not with_urls:
                 cols_out.remove("url")
-            final = _fan_out(topk.select(*cols_out))
+            final = _fan_out(topk.select(*cols_out, *extra_cols))
         else:
             w = Window.partitionBy("qid").orderBy(
                 F.desc("score"), F.asc("seg_id"), F.asc("doc_id")
@@ -731,13 +759,17 @@ class IndexSearcher:
                 per_seg.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
             )
-            if with_urls:
+            if with_urls or extra_cols:
+                url_col = ["url"] if with_urls else []
                 docs = self.store.read_docs(self.spark, self.sid).select(
-                    "seg_id", "doc_id", "url"
+                    "seg_id", "doc_id", *url_col, *extra_cols
                 )
                 topk = docs.join(
                     F.broadcast(topk), ["seg_id", "doc_id"]
-                ).select("qid", "rank", "seg_id", "doc_id", "url", "score")
+                ).select(
+                    "qid", "rank", "seg_id", "doc_id", *url_col, "score",
+                    *extra_cols,
+                )
             else:
                 topk = topk.select("qid", "rank", "seg_id", "doc_id", "score")
             final = _fan_out(topk)
@@ -767,6 +799,7 @@ class IndexSearcher:
                 with_urls=with_urls,
                 tie=tie,
                 score_round=score_round,
+                with_cols=tuple(extra_cols),
                 _ship_all=True,
             ).collect()
             for qid in triggered:
@@ -775,8 +808,16 @@ class IndexSearcher:
         out = self.spark.createDataFrame(pass1, schema=final.schema)
         return out.orderBy("qid", "rank")
 
-    def search(self, flt: qf.Filter, k: int = 10, with_urls: bool = True) -> DataFrame:
-        return self.search_batch({0: flt}, k=k, with_urls=with_urls).drop("qid")
+    def search(
+        self,
+        flt: qf.Filter,
+        k: int = 10,
+        with_urls: bool = True,
+        with_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
+        return self.search_batch(
+            {0: flt}, k=k, with_urls=with_urls, with_cols=with_cols
+        ).drop("qid")
 
     def occurrences(self, term: str, field: str = "text") -> DataFrame:
         """Every occurrence of one term as (seg_id, doc_id, pos, start,

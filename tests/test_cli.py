@@ -100,6 +100,16 @@ def test_cli_round_trip(spark, corpus_path, tmp_path, capsys):
     assert [h["rank"] for h in hits] == list(range(1, len(hits) + 1))
     assert all(hits[i]["score"] >= hits[i + 1]["score"] for i in range(len(hits) - 1))
 
+    # --cols: stored-column retrieval rides the same hit rows
+    rc = cli.main(
+        ["search", "--store", store, "w3 w7", "-k", "5", "--cols", "lang"],
+        spark=spark,
+    )
+    assert rc == 0
+    chits = _out_lines(capsys)
+    assert [h["url"] for h in chits] == [h["url"] for h in hits]
+    assert all(h["lang"] for h in chits)
+
     # --sorted: first-k matches in index (url) order, scoring-free
     rc = cli.main(
         ["search", "--store", store, "w3", "-k", "5", "--sorted"], spark=spark

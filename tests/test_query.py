@@ -426,3 +426,40 @@ def test_tail_elision_two_pass_matches_ship_all(searcher):
                 label,
                 tie,
             )
+
+
+def test_with_cols_stored_column_retrieval(searcher, unit_corpus):
+    """Columnstore value reads ([up] core/formats/columnstore2 /
+    ArangoSearch storedValues): with_cols appends stored doc columns to
+    each hit via the same broadcast top-k join as urls — values must
+    equal the source corpus row's, under both tie modes and with/without
+    urls."""
+    import pandas as pd
+
+    flt = Term("w3")
+    by_url = unit_corpus.set_index("url")
+    for kw in (
+        {"with_urls": True},
+        {"with_urls": True, "tie": "url"},
+        {"with_urls": False, "with_cols": ("url", "lang")},
+    ):
+        rows = searcher.search_batch(
+            {0: flt}, k=8, with_cols=kw.pop("with_cols", ("lang", "warc_ts")),
+            **kw,
+        ).collect()
+        assert rows
+        for r in rows:
+            src = by_url.loc[r["url"]]
+            if "lang" in r.asDict():
+                assert r["lang"] == src["lang"]
+            if "warc_ts" in r.asDict():
+                assert pd.Timestamp(r["warc_ts"]) == pd.Timestamp(src["warc_ts"])
+    # ranks/scores are unchanged by the column fetch
+    base = searcher.search_batch({0: flt}, k=8).collect()
+    aug = searcher.search_batch({0: flt}, k=8, with_cols=("lang",)).collect()
+    assert [(r["rank"], r["url"], r["score"]) for r in aug] == [
+        (r["rank"], r["url"], r["score"]) for r in base
+    ]
+    # unknown column fails loudly
+    with pytest.raises(ValueError, match="not a stored doc column"):
+        searcher.search_batch({0: flt}, k=3, with_cols=("nosuch",))

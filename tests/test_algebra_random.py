@@ -34,7 +34,7 @@ WORDS = [
 
 def _corpus(n=120, seed=11):
     rng = random.Random(seed)
-    urls, texts, kinds = [], [], []
+    urls, texts, kinds, nums = [], [], [], []
     for i in range(n // 3):
         pfx = f"{i:04d}"
         for j in range(2):
@@ -44,19 +44,23 @@ def _corpus(n=120, seed=11):
         urls.append(f"{pfx}~p")
         texts.append(" ".join(rng.choices(WORDS, k=rng.randint(0, 4))))
         kinds.append("p")
-    return urls, texts, kinds
+    # deterministic signed ints for the A7 numeric field (F5 leaves)
+    nums = [len(t) * 7 - 300 for t in texts]
+    return urls, texts, kinds, nums
 
 
 @pytest.fixture(scope="module")
 def rnd_index(spark, tmp_path_factory):
-    urls, texts, kinds = _corpus()
+    urls, texts, kinds, nums = _corpus()
     store = SnapshotStore(str(tmp_path_factory.mktemp("rnd_idx")))
     sdf = spark.createDataFrame(
-        list(zip(urls, texts, kinds)), "url string, text string, kind string"
+        list(zip(urls, texts, kinds, [str(v) for v in nums])),
+        "url string, text string, kind string, num string",
     )
     fields = [
         FieldSpec("text", "__text__", "text"),
         FieldSpec("kind", "kind", "identity"),
+        FieldSpec("num", "num", "numeric:8"),
     ]
     build_index(
         spark, sdf, store, n_segments=2, fields=fields, source="rnd",
@@ -64,7 +68,10 @@ def rnd_index(spark, tmp_path_factory):
     )
     oracle = OracleIndex(
         urls, texts, n_segments=2,
-        extra_fields=[("kind", kinds, "identity")],
+        extra_fields=[
+            ("kind", kinds, "identity"),
+            ("num", [str(v) for v in nums], "numeric:8"),
+        ],
         segment_keys=[u[:4] for u in urls],
     )
     return store, oracle
@@ -72,7 +79,7 @@ def rnd_index(spark, tmp_path_factory):
 
 def _leaf(rng: random.Random) -> qf.Filter:
     w = rng.choice(WORDS)
-    kind = rng.randrange(9)
+    kind = rng.randrange(10)
     boost = rng.choice([1.0, 1.0, 0.5, 2.0])
     if kind == 0:
         return qf.Term(w, boost=boost)
@@ -107,6 +114,14 @@ def _leaf(rng: random.Random) -> qf.Filter:
     if kind == 7:
         return qf.NgramSimilarity(w, threshold=0.5, n=2, boost=boost,
                                   field="text")
+    if kind == 8:
+        # F5 granular numeric range (values span roughly [-300, 200])
+        lo, hi = sorted(rng.sample(range(-320, 220), 2))
+        return qf.GranularRange(
+            lo, hi, step=8, field="num", boost=boost,
+            include_lo=rng.random() < 0.8, include_hi=rng.random() < 0.3,
+            scored_terms_limit=rng.choice([3, 64]),
+        )
     return qf.AllDocs(boost=boost)
 
 

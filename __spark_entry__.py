@@ -463,6 +463,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm15_term"] = _bm25_query(qf.Term("table"), b=0.0)
     q["bm11_or2"] = _bm25_query(qf.Or(qf.Term("data"), qf.Term("dup")), b=1.0)
 
+    # S5 columnstore value reads: with_cols fetches stored doc columns
+    # through the broadcast top-k join (never a corpus scan)
+    def bm25_with_cols(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        res = s.search_batch(
+            {0: qf.Term("table")}, k=10, with_urls=True, tie="url",
+            score_round=6, with_cols=("lang",),
+        )
+        return res.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.col("score"),
+            F.col("lang"),
+        )
+
+    q["bm25_with_cols"] = bm25_with_cols
+
     def term_dict_stats(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         return (
@@ -899,6 +916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o = dict(_BM25_ORACLES)
     o.update(_BM25_ORACLE_EXTRA)
+    o["bm25_with_cols"] = f"""SELECT t.rank, t.doc_id, t.score, d.lang
+FROM ({bm25_topk_sql(["table"])}) t
+JOIN documents d USING (doc_id) ORDER BY t.rank"""
     o["tfidf_or2"] = f"""{base_ctes()},
 qterms(term) AS (VALUES ('data'), ('dup')),
 scored AS (

@@ -43,6 +43,7 @@ _SEARCHERS: dict[str, IndexSearcher] = {}
 _LIFECYCLE: dict[str, IndexSearcher] = {}
 _TIER: dict[str, IndexSearcher] = {}
 _STREAMING: dict[str, IndexSearcher] = {}
+_ENCRYPTED: dict[str, IndexSearcher] = {}
 _NESTED: dict[str, IndexSearcher] = {}
 _SORTED: dict[str, IndexSearcher] = {}
 
@@ -299,6 +300,32 @@ def _lifecycle_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+def _encrypted_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """S9 encryption at rest: the same documents corpus indexed under an
+    AES-GCM store key (store/crypto.py — every content-bearing column of
+    every persisted table is ciphertext, [up] core/utils/encryption.hpp).
+    Queries decrypt at load JVM-side; results must be hash-identical to
+    the plaintext DuckDB oracle."""
+    from iresearch_spark.store import derive_key
+
+    key = sf_dir.rstrip("/")
+    got = _ENCRYPTED.get(key)
+    if got is not None:
+        return got
+    store = SnapshotStore(
+        os.path.join(
+            _CACHE_ROOT, "encrypted_index", key.strip("/").replace("/", "_")
+        ),
+        key=derive_key("driver-demo-key"),
+    )
+    if store.current_snapshot_id() is None:
+        corpus = documents_as_corpus(spark, key)
+        build_index(spark, corpus, store, n_segments=4, source=key)
+    s = IndexSearcher(spark, store)
+    _ENCRYPTED[key] = s
+    return s
+
+
 def _nested_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """F19 block-join index (cached): every documents row becomes one
     block — two child rows (first 8 space-words / the rest) and one
@@ -479,6 +506,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_with_cols"] = bm25_with_cols
+
+    # S9 encryption at rest: BM25 over an AES-GCM-encrypted store must be
+    # hash-identical to the plaintext oracle
+    def bm25_encrypted(spark, sf_dir):
+        s = _encrypted_searcher(spark, sf_dir)
+        res = s.search_batch(
+            {0: qf.Term("table")}, k=10, with_urls=True, tie="url",
+            score_round=6,
+        )
+        return res.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.col("score"),
+        )
+
+    q["bm25_encrypted"] = bm25_encrypted
 
     def term_dict_stats(spark, sf_dir):
         s = _searcher(spark, sf_dir)
@@ -1077,6 +1120,8 @@ SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS sum_dl,
        1::BIGINT AS n_segments, 2::BIGINT AS last_batch
 FROM t"""
     o["streaming_term"] = bm25_topk_sql(["table"])
+    # S9: the encrypted index must reproduce the PLAINTEXT oracle exactly
+    o["bm25_encrypted"] = bm25_topk_sql(["table"])
     # A8: first occurrence of 'customer' — token index via list_position,
     # char span via strpos (the corpus text is single-spaced ASCII and no
     # vocabulary word contains 'customer' as a substring)

@@ -77,18 +77,21 @@ def staging_key(
     field_specs,
     segment_key: str | None = None,
     sort_by: str | None = None,
+    cipher_kcv: str | None = None,
 ) -> str:
     """Identity of a staged (resumable) build: same key -> the interrupted
     commit dir's completed stages can be reused (BASELINE.json checkpoint
     resume). Any field-spec change (including offsets/payloads features)
-    changes the key and forces a clean rebuild."""
+    changes the key and forces a clean rebuild; so does the encryption
+    key (staged tables are encrypted with it — a resume under a different
+    key must not reuse them)."""
     fields_key = ",".join(
         f"{f.name}={f.source}:{f.analyzer}:{int(f.offsets)}{int(f.payloads)}"
         for f in field_specs
     )
     return (
         f"{source}|{n_segments}|{band_bits}|{mode}|{seg_base}|{fields_key}"
-        f"|{segment_key or 'url'}|{sort_by or 'url'}"
+        f"|{segment_key or 'url'}|{sort_by or 'url'}|{cipher_kcv or ''}"
     )
 
 
@@ -166,6 +169,14 @@ def _build_index_impl(
     field_names = [f.name for f in field_specs]
     prev_snap = store.snapshot() if mode == "append" else None
     if prev_snap is not None:
+        # fail fast, not after the whole build at commit time
+        prev_cipher = prev_snap.get("cipher") or None
+        cur_cipher = store.cipher.describe() if store.cipher else None
+        if prev_cipher != cur_cipher:
+            raise ValueError(
+                "append requires the live index's encryption key "
+                "(cipher/key mismatch with the current snapshot)"
+            )
         prev_fields = [FieldSpec.from_json(d) for d in prev_snap.get("fields", [])]
         if prev_fields and prev_fields != field_specs:
             raise ValueError(
@@ -188,6 +199,7 @@ def _build_index_impl(
     stage_key = staging_key(
         source, n_segments, band_bits, mode, seg_base, field_specs,
         segment_key, sort_by,
+        store.cipher.kcv if store.cipher else None,
     )
     staged = {}
     if os.path.exists(staging_path):
@@ -260,7 +272,7 @@ def _build_index_impl(
             if sort_by
             else W.partitionBy("seg_id").orderBy("url")
         )
-        (
+        assigned_plain = (
             tokenized.repartition(n_segments, "seg_id")
             .withColumn(
                 "doc_id", F.row_number().over(w_assign).cast("bigint")
@@ -270,13 +282,16 @@ def _build_index_impl(
                 "terms", "tfids", "tfs", "positions", "ostarts", "olens",
                 "pchars",
             )
+        )
+        (
+            store.encrypt_table(assigned_plain, "assigned")
             .withColumn("seg_part", F.col("seg_id"))
             .write.partitionBy("seg_part")
             .parquet(tok_dir, mode="overwrite")
         )
     timings["tokenize_assign_s"] = time.time() - t0
     assigned = (
-        spark.read.parquet(tok_dir)
+        store.decrypt_staged(spark.read.parquet(tok_dir), "assigned")
         if not (docs_done and post_done and norms_done)
         else None
     )
@@ -299,8 +314,12 @@ def _build_index_impl(
         # dirs are named seg_part=N while seg_id stays a data column, so
         # per-segment dir reads keep the column without basePath.
         (
-            assigned.select(
-                "seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls"
+            store.encrypt_table(
+                assigned.select(
+                    "seg_id", "doc_id", "url", "warc_ts", "lang", "dl",
+                    "fdls"
+                ),
+                "docs",
             )
             .withColumn("seg_part", F.col("seg_id"))
             .write.partitionBy("seg_part")
@@ -349,9 +368,9 @@ def _build_index_impl(
                 kernels.POSTING_SCHEMA,
             )
         )
-        final.withColumn("seg_part", F.col("seg_id")).write.partitionBy(
-            "seg_part"
-        ).parquet(post_dir, mode="overwrite")
+        store.encrypt_table(final, "postings").withColumn(
+            "seg_part", F.col("seg_id")
+        ).write.partitionBy("seg_part").parquet(post_dir, mode="overwrite")
         # sidecar complete only when every task of THIS successful write
         # has landed its file; staged resumes from pre-sidecar attempts
         # fall back to the scan below
@@ -365,9 +384,12 @@ def _build_index_impl(
         # un-partitioned parquet dir; readers filter to the snapshot's
         # live segments (store.read_norms).
         (
-            assigned.select("seg_id", "doc_id", "fdls")
-            .groupBy("seg_id")
-            .applyInPandas(kernels.norms_builder, kernels.NORMS_SCHEMA)
+            store.encrypt_table(
+                assigned.select("seg_id", "doc_id", "fdls")
+                .groupBy("seg_id")
+                .applyInPandas(kernels.norms_builder, kernels.NORMS_SCHEMA),
+                "norms",
+            )
             .write.parquet(norms_dir, mode="overwrite")
         )
 

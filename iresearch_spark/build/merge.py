@@ -116,8 +116,9 @@ def _merge_segments_impl(
     # window, then add per-partition offsets (tiny cumsum, broadcast join)
     # to get the globally sequential ids the single-threaded reference
     # merge_writer would emit — at `parts`-way parallelism.
-    docs = spark.read.parquet(
-        *[store.abs_path(segs[s]["docs_path"]) for s in seg_ids]
+    docs = store.read_parquet(
+        spark, [store.abs_path(segs[s]["docs_path"]) for s in seg_ids],
+        "docs",
     )
 
     def drop_masked(_key, pdf: pd.DataFrame, mask_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -130,11 +131,16 @@ def _merge_segments_impl(
 
     surv_dir = os.path.join(commit_dir, "survivors")
     (
-        docs.select("seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls")
-        .groupBy("seg_id")
-        .cogroup(masks_df.groupBy("seg_id"))
-        .applyInPandas(drop_masked, survivors_schema)
-        .withColumnsRenamed({"seg_id": "old_seg", "doc_id": "old_doc"})
+        store.encrypt_table(
+            docs.select(
+                "seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls"
+            )
+            .groupBy("seg_id")
+            .cogroup(masks_df.groupBy("seg_id"))
+            .applyInPandas(drop_masked, survivors_schema)
+            .withColumnsRenamed({"seg_id": "old_seg", "doc_id": "old_doc"}),
+            "survivors",
+        )
         .write.parquet(surv_dir, mode="overwrite")
     )
 
@@ -158,14 +164,19 @@ def _merge_segments_impl(
     )
     w_local = W.partitionBy("pid").orderBy(*order_cols)
     (
-        spark.read.parquet(surv_dir)
-        .repartitionByRange(parts, *order_cols)
-        .withColumn("pid", F.spark_partition_id())
-        .withColumn("local_idx", F.row_number().over(w_local).cast("bigint"))
+        store.encrypt_table(
+            store.decrypt_staged(spark.read.parquet(surv_dir), "survivors")
+            .repartitionByRange(parts, *order_cols)
+            .withColumn("pid", F.spark_partition_id())
+            .withColumn(
+                "local_idx", F.row_number().over(w_local).cast("bigint")
+            ),
+            "survivors",
+        )
         .write.parquet(remap_dir, mode="overwrite")
     )
 
-    staged = spark.read.parquet(remap_dir)
+    staged = store.decrypt_staged(spark.read.parquet(remap_dir), "survivors")
     counts = {
         int(r["pid"]): int(r["n"])
         for r in staged.groupBy("pid").agg(F.count("*").alias("n")).collect()
@@ -212,10 +223,15 @@ def _merge_segments_impl(
         [(p, o) for p, o in offsets.items()], "pid int, off bigint"
     )
     (
-        staged.join(F.broadcast(offsets_df), "pid")
-        .withColumn("doc_id", (F.col("off") + F.col("local_idx")))
-        .withColumn("seg_id", F.lit(new_seg_id).cast("int"))
-        .select("seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls")
+        store.encrypt_table(
+            staged.join(F.broadcast(offsets_df), "pid")
+            .withColumn("doc_id", (F.col("off") + F.col("local_idx")))
+            .withColumn("seg_id", F.lit(new_seg_id).cast("int"))
+            .select(
+                "seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls"
+            ),
+            "docs",
+        )
         .withColumn("seg_part", F.col("seg_id"))
         .write.partitionBy("seg_part")
         .parquet(docs_dir, mode="overwrite")
@@ -247,8 +263,9 @@ def _merge_segments_impl(
     )
 
     # ---- postings: two grouped stages, no per-doc broadcast.
-    post = spark.read.parquet(
-        *[store.abs_path(segs[s]["postings_path"]) for s in seg_ids]
+    post = store.read_parquet(
+        spark, [store.abs_path(segs[s]["postings_path"]) for s in seg_ids],
+        "postings",
     )
 
     field_names = [d["name"] for d in store.fields()]
@@ -259,8 +276,10 @@ def _merge_segments_impl(
     # invariant under merge, so the OLD segment's array indexed by the OLD
     # docID equals the merged segment's dl for that doc.
     norms_old = (
-        spark.read.parquet(
-            *sorted({store.abs_path(segs[s]["norms_path"]) for s in seg_ids})
+        store.read_parquet(
+            spark,
+            sorted({store.abs_path(segs[s]["norms_path"]) for s in seg_ids}),
+            "norms",
         )
         .filter(F.col("seg_id").isin(seg_ids))
         .select("seg_id", "fidx", "dls_bin")
@@ -471,10 +490,13 @@ def _merge_segments_impl(
     # stats); the dls blobs stay on disk — blockmax recompute reads dls
     # per entry from phase 1, not from a broadcast.
     (
-        spark.read.parquet(docs_dir)
-        .select("seg_id", "doc_id", "fdls")
-        .groupBy("seg_id")
-        .applyInPandas(kernels.norms_builder, kernels.NORMS_SCHEMA)
+        store.encrypt_table(
+            spark.read.parquet(docs_dir)
+            .select("seg_id", "doc_id", "fdls")
+            .groupBy("seg_id")
+            .applyInPandas(kernels.norms_builder, kernels.NORMS_SCHEMA),
+            "norms",
+        )
         .write.parquet(norms_dir, mode="overwrite")
     )
     import pyarrow.parquet as pq
@@ -497,7 +519,8 @@ def _merge_segments_impl(
         .applyInPandas(merge_term_rows, kernels.POSTING_SCHEMA)
     )
     (
-        merged_post.withColumn("seg_part", F.col("seg_id"))
+        store.encrypt_table(merged_post, "postings")
+        .withColumn("seg_part", F.col("seg_id"))
         .write.partitionBy("seg_part")
         .parquet(post_dir, mode="overwrite")
     )
@@ -605,7 +628,8 @@ def _delete_by_query_impl(spark, store: SnapshotStore, flt) -> int:
         .applyInPandas(to_blob, MASK_SCHEMA)
     )
     (
-        masked.withColumn("seg_part", F.col("seg_id"))
+        store.encrypt_table(masked, "masks")
+        .withColumn("seg_part", F.col("seg_id"))
         .write.partitionBy("seg_part")
         .parquet(masks_dir, mode="overwrite")
     )

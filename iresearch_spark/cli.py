@@ -220,12 +220,25 @@ def _parse_field(spec: str):
     )
 
 
+def _open_store(args):
+    """SnapshotStore honoring the S9 encryption flags: --key-hex takes a
+    raw 16/24/32-byte AES key in hex; --key derives one from a
+    passphrase (store.derive_key)."""
+    from iresearch_spark.store import SnapshotStore, derive_key
+
+    key = None
+    if getattr(args, "key_hex", None):
+        key = bytes.fromhex(args.key_hex)
+    elif getattr(args, "key", None):
+        key = derive_key(args.key)
+    return SnapshotStore(args.store, key=key)
+
+
 def cmd_build(args, spark) -> int:
     from iresearch_spark.build.indexer import build_index
-    from iresearch_spark.store import SnapshotStore
 
     corpus = spark.read.parquet(args.input)
-    store = SnapshotStore(args.store)
+    store = _open_store(args)
     fields = [_parse_field(s) for s in args.field] or None
     sid = build_index(
         spark,
@@ -252,10 +265,9 @@ def cmd_build(args, spark) -> int:
 
 def cmd_search(args, spark) -> int:
     from iresearch_spark.query.executor import IndexSearcher
-    from iresearch_spark.store import SnapshotStore
 
     flt = parse_query(args.query, field=args.field, require_all=args.all)
-    s = IndexSearcher(spark, SnapshotStore(args.store), scorer=args.scorer)
+    s = IndexSearcher(spark, _open_store(args), scorer=args.scorer)
     flt = resolve_numeric_ranges(flt, _field_analyzers(s.store, s.sid))
     if getattr(args, "sorted", False):
         # scoring-free first-k matches in index order (url order, or the
@@ -284,7 +296,6 @@ def cmd_search_batch(args, spark) -> int:
     import time
 
     from iresearch_spark.query.executor import IndexSearcher
-    from iresearch_spark.store import SnapshotStore
 
     with open(args.queries) as f:
         lines = [
@@ -296,7 +307,7 @@ def cmd_search_batch(args, spark) -> int:
         qid: parse_query(q, field=args.field, require_all=args.all)
         for qid, q in lines
     }
-    s = IndexSearcher(spark, SnapshotStore(args.store), scorer=args.scorer)
+    s = IndexSearcher(spark, _open_store(args), scorer=args.scorer)
     an = _field_analyzers(s.store, s.sid)
     batch = {qid: resolve_numeric_ranges(f, an) for qid, f in batch.items()}
     t0 = time.time()
@@ -324,9 +335,7 @@ def cmd_search_batch(args, spark) -> int:
 
 
 def cmd_stats(args, spark) -> int:
-    from iresearch_spark.store import SnapshotStore
-
-    store = SnapshotStore(args.store)
+    store = _open_store(args)
     snap = store.snapshot()
     print(
         json.dumps(
@@ -345,7 +354,6 @@ def cmd_stats(args, spark) -> int:
 
 def cmd_consolidate(args, spark) -> int:
     from iresearch_spark.build import policy as pol
-    from iresearch_spark.store import SnapshotStore
 
     policy = getattr(pol, f"consolidate_{args.policy}")
     kwargs = {}
@@ -353,7 +361,7 @@ def cmd_consolidate(args, spark) -> int:
         k, _, v = opt.partition("=")
         kwargs[k] = float(v) if "." in v else int(v)
     sids = pol.consolidate(
-        spark, SnapshotStore(args.store), policy=policy, **kwargs
+        spark, _open_store(args), policy=policy, **kwargs
     )
     print(json.dumps({"merge_rounds": len(sids), "snapshot_ids": sids}))
     return 0
@@ -361,10 +369,9 @@ def cmd_consolidate(args, spark) -> int:
 
 def cmd_delete(args, spark) -> int:
     from iresearch_spark.build.merge import delete_by_query
-    from iresearch_spark.store import SnapshotStore
 
     flt = parse_query(args.query, field=args.field, require_all=args.all)
-    store = SnapshotStore(args.store)
+    store = _open_store(args)
     sid = delete_by_query(spark, store, flt)
     snap = store.snapshot(sid)
     # stats stay pre-delete until compaction (tombstone semantics): report
@@ -417,9 +424,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         description="index-put / index-search style utilities",
     )
     p.add_argument("--master", default=None, help="Spark master (default: session default)")
+    keyp = argparse.ArgumentParser(add_help=False)
+    keyp.add_argument(
+        "--key", default=None,
+        help="encryption passphrase (S9 at-rest AES-GCM; key derived "
+        "via sha256)",
+    )
+    keyp.add_argument(
+        "--key-hex", default=None,
+        help="raw 16/24/32-byte AES key as hex (overrides --key)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    b = sub.add_parser("build", help="build an index from a parquet corpus")
+    b = sub.add_parser("build", parents=[keyp], help="build an index from a parquet corpus")
     b.add_argument("--input", required=True)
     b.add_argument("--store", required=True)
     b.add_argument("--segments", type=int, default=8)
@@ -432,7 +449,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     b.set_defaults(fn=cmd_build)
 
-    s = sub.add_parser("search", help="BM25 top-k search")
+    s = sub.add_parser("search", parents=[keyp], help="BM25 top-k search")
     s.add_argument("--store", required=True)
     s.add_argument("query")
     s.add_argument("-k", type=int, default=10)
@@ -451,7 +468,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     s.set_defaults(fn=cmd_search)
 
     sb = sub.add_parser(
-        "search-batch", help="run a query file as one amortized batch"
+        "search-batch", parents=[keyp],
+        help="run a query file as one amortized batch",
     )
     sb.add_argument("--store", required=True)
     sb.add_argument("--queries", required=True, help="file, one query per line")
@@ -461,11 +479,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sb.add_argument("--scorer", choices=("bm25", "tfidf"), default="bm25")
     sb.set_defaults(fn=cmd_search_batch)
 
-    st = sub.add_parser("stats", help="print current snapshot stats")
+    st = sub.add_parser("stats", parents=[keyp], help="print current snapshot stats")
     st.add_argument("--store", required=True)
     st.set_defaults(fn=cmd_stats)
 
-    c = sub.add_parser("consolidate", help="run a consolidation policy")
+    c = sub.add_parser("consolidate", parents=[keyp], help="run a consolidation policy")
     c.add_argument("--store", required=True)
     c.add_argument(
         "--policy",
@@ -480,7 +498,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     c.set_defaults(fn=cmd_consolidate)
 
-    d = sub.add_parser("delete", help="delete-by-query (tombstones)")
+    d = sub.add_parser("delete", parents=[keyp], help="delete-by-query (tombstones)")
     d.add_argument("--store", required=True)
     d.add_argument("query")
     d.add_argument("--field", default="text")

@@ -184,10 +184,79 @@ class WriteLock:
 
 
 class SnapshotStore:
-    def __init__(self, root: str):
+    def __init__(self, root: str, key: bytes | str | None = None):
         self.root = os.path.abspath(root)
         os.makedirs(os.path.join(self.root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+        # S9 encryption at rest ([up] core/utils/encryption.hpp — the
+        # cipher is a property of the directory): when a key is given,
+        # every table write encrypts its content-bearing columns and
+        # every committed-table read decrypts them (store/crypto.py).
+        if key is not None:
+            from iresearch_spark.store.crypto import IndexCipher
+
+            self.cipher = IndexCipher(key)
+        else:
+            self.cipher = None
+
+    # ---------------------------------------------------------- encryption
+
+    def encrypt_table(self, df, kind: str):
+        """Writer-side hook: encrypt `df`'s content columns for table
+        `kind` when this store holds a key; identity otherwise. Every
+        persisted table — committed AND staged (crash-surviving staging
+        is at-rest data too) — passes through here."""
+        if self.cipher is None:
+            return df
+        return self.cipher.encrypt_df(df, kind)
+
+    def decrypt_staged(self, df, kind: str):
+        """Reader-side hook for THIS writer's own staged tables (the
+        assigned checkpoint, merge survivors/remap): these were written
+        with self.cipher — the snapshot may not even exist yet."""
+        if self.cipher is None:
+            return df
+        return self.cipher.decrypt_df(df, kind)
+
+    def reader_cipher(self, snapshot_id: int | None = None):
+        """The cipher needed to read the given snapshot's data, derived
+        from the MANIFEST (not from what the caller happens to hold):
+        returns None for plaintext snapshots, the store's verified cipher
+        for encrypted ones, and fails fast with a clear error when the
+        key is missing or wrong (kcv mismatch) — instead of a cryptic
+        executor-side GCM tag failure."""
+        snap = self.snapshot(snapshot_id)
+        rec = (snap or {}).get("cipher")
+        if not rec:
+            return None
+        if self.cipher is None:
+            raise ValueError(
+                f"index at {self.root} is encrypted ({rec.get('name')}); "
+                "open SnapshotStore with its key"
+            )
+        if self.cipher.kcv != rec.get("kcv"):
+            raise ValueError(
+                f"wrong key for encrypted index at {self.root} "
+                "(key-check mismatch)"
+            )
+        return self.cipher
+
+    def decrypt_table(self, df, kind: str, snapshot_id: int | None = None):
+        """Reader-side hook for committed tables: decrypt per the
+        snapshot's cipher record (identity for plaintext snapshots)."""
+        cipher = self.reader_cipher(snapshot_id)
+        if cipher is None:
+            return df
+        return cipher.decrypt_df(df, kind)
+
+    def read_parquet(self, spark, paths: list[str], kind: str,
+                     snapshot_id: int | None = None):
+        """Read committed table files by absolute path, decrypted per the
+        snapshot cipher — the funnel for maintenance jobs that read
+        per-segment paths directly (merge/consolidate)."""
+        return self.decrypt_table(
+            spark.read.parquet(*paths), kind, snapshot_id
+        )
 
     # ------------------------------------------------------------- paths
 
@@ -285,6 +354,19 @@ class SnapshotStore:
             sort = (parent_snap or {}).get("sort")
         parent_streams = (parent_snap or {}).get("streams") or {}
         streams = {**parent_streams, **(streams or {})}
+        # Encryption is part of the index identity like the field specs:
+        # non-rebuild commits must keep the parent's cipher (same kcv);
+        # a replace-mode rebuild may switch (its data dirs are fresh and
+        # the old generation's are retired by expire+gc).
+        cipher_rec = self.cipher.describe() if self.cipher else None
+        parent_cipher = (parent_snap or {}).get("cipher")
+        if parent_snap is not None and operation != "rebuild":
+            if (parent_cipher or None) != (cipher_rec or None):
+                raise ValueError(
+                    "commit cipher does not match the live index's "
+                    "(encrypted indexes require the same key for every "
+                    "append/maintenance commit; rebuild to change it)"
+                )
         sid = (parent or 0) + 1
         manifest = {
             "snapshot_id": sid,
@@ -298,6 +380,7 @@ class SnapshotStore:
             "fields": fields or [],
             "streams": streams,
             "sort": sort,
+            "cipher": cipher_rec,
         }
         snap_path = self._snap_path(sid)
         if os.path.exists(snap_path):
@@ -345,7 +428,9 @@ class SnapshotStore:
             }
         )
         if mask_paths:
-            return spark.read.parquet(*mask_paths).select("seg_id", "mask_bin")
+            return self.decrypt_table(
+                spark.read.parquet(*mask_paths), "masks", snapshot_id
+            ).select("seg_id", "mask_bin")
         return spark.createDataFrame([], "seg_id int, mask_bin binary")
 
     def read_norms(self, spark, snapshot_id: int | None = None):
@@ -384,7 +469,11 @@ class SnapshotStore:
             }
             return spark.createDataFrame([], schemas[key])
         paths = sorted({self.abs_path(s[key]) for s in snap["segments"]})
-        return spark.read.parquet(*paths)
+        kind = {"docs_path": "docs", "postings_path": "postings",
+                "norms_path": "norms"}[key]
+        return self.decrypt_table(
+            spark.read.parquet(*paths), kind, snapshot_id
+        )
 
     # -------------------------------------------------------- maintenance
 

@@ -260,3 +260,31 @@ def test_cli_numeric_range_search(spark, corpus_path, tmp_path, capsys):
     # non-integer bounds over the numeric field fail with a clear error
     with pytest.raises(ValueError, match="must be numbers"):
         cli.main(["search", "--store", store, "n:[aa TO bb]"], spark=spark)
+
+
+def test_cli_encrypted_round_trip(spark, corpus_path, tmp_path, capsys):
+    """S9 via the CLI: --key builds an AES-GCM-encrypted store; searching
+    with the key matches a plaintext build, without it fails fast."""
+    plain = str(tmp_path / "idx_p")
+    enc = str(tmp_path / "idx_e")
+    for argv in (
+        ["build", "--input", corpus_path, "--store", plain, "--segments", "2"],
+        ["build", "--input", corpus_path, "--store", enc, "--segments", "2",
+         "--key", "s3cret"],
+    ):
+        assert cli.main(argv, spark=spark) == 0
+    capsys.readouterr()
+
+    assert cli.main(["search", "--store", plain, "w3 w7", "-k", "5"],
+                    spark=spark) == 0
+    p_hits = _out_lines(capsys)
+    assert cli.main(["search", "--store", enc, "w3 w7", "-k", "5",
+                     "--key", "s3cret"], spark=spark) == 0
+    e_hits = _out_lines(capsys)
+    assert p_hits == e_hits and len(p_hits) == 5
+
+    with pytest.raises(ValueError, match="encrypted"):
+        cli.main(["search", "--store", enc, "w3", "-k", "5"], spark=spark)
+    with pytest.raises(ValueError, match="wrong key"):
+        cli.main(["search", "--store", enc, "w3", "-k", "5",
+                  "--key", "wrong"], spark=spark)

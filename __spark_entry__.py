@@ -46,6 +46,7 @@ _STREAMING: dict[str, IndexSearcher] = {}
 _ENCRYPTED: dict[str, IndexSearcher] = {}
 _NESTED: dict[str, IndexSearcher] = {}
 _SORTED: dict[str, IndexSearcher] = {}
+_ROLLBACK: dict[str, IndexSearcher] = {}
 
 # Contract index fields (SURVEY.md §2b): the default web text field plus
 # one field per analyzer family — A1 identity, A3 delimiter, A4 ngram,
@@ -297,6 +298,34 @@ def _lifecycle_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         merge_segments(spark, store, seg_ids)
     s = IndexSearcher(spark, store)
     _LIFECYCLE[key] = s
+    return s
+
+
+def _rollback_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Snapshot rollback (Iceberg rollback_to_snapshot; the reference
+    abandoning a bad generation by reopening an older index_meta): build
+    the full corpus (gen 1), delete every 'dup' doc (gen 2), then
+    rollback_to(1) (gen 3). Queries against gen 3 must equal the ORIGINAL
+    full-corpus build — the DuckDB oracle is the plain documents table,
+    proving the tombstoned docs came back byte-identically."""
+    from iresearch_spark.build.merge import delete_by_query
+
+    key = sf_dir.rstrip("/")
+    got = _ROLLBACK.get(key)
+    if got is not None:
+        return got
+    store = SnapshotStore(
+        os.path.join(
+            _CACHE_ROOT, "rollback_index", key.strip("/").replace("/", "_")
+        )
+    )
+    if store.current_snapshot_id() is None:
+        corpus = documents_as_corpus(spark, key)
+        first = build_index(spark, corpus, store, n_segments=4, source=key)
+        delete_by_query(spark, store, qf.Term("dup"))
+        store.rollback_to(first)
+    s = IndexSearcher(spark, store)
+    _ROLLBACK[key] = s
     return s
 
 
@@ -599,6 +628,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lifecycle_stats"] = lifecycle_stats
     q["lifecycle_term"] = lifecycle_term
+
+    # S2/S3 rollback: delete-by-query then rollback_to the pre-delete
+    # generation; rankings must equal the ORIGINAL full-corpus build
+    def rollback_term(spark, sf_dir):
+        s = _rollback_searcher(spark, sf_dir)
+        res = s.search_batch(
+            {0: qf.Term("dup")}, k=10, with_urls=True, tie="url",
+            score_round=6,
+        )
+        return res.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.col("score"),
+        )
+
+    q["rollback_term"] = rollback_term
 
     # F18 cached DocSet: a pre-materialized per-segment doc-id set (a prior
     # query's cached result, [up] bitset_doc_iterator) composed with BM25 —
@@ -1086,6 +1131,9 @@ WITH live AS (
 )
 SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS sum_dl FROM live"""
     o["lifecycle_term"] = bm25_topk_sql(["table"], doc_table=_LIVE_DOCS)
+    # rollback restored the tombstoned 'dup' docs: the oracle is the PLAIN
+    # full corpus — querying the deleted term itself proves restoration
+    o["rollback_term"] = bm25_topk_sql(["dup"])
     # F18 DocSet: constant-score set membership (doc_id % 3 == 0) summed
     # into the BM25 term score, exactly like the colexists composition
     o["bm25_docset"] = f"""{base_ctes()},

@@ -384,6 +384,49 @@ def cmd_delete(args, spark) -> int:
     return 0
 
 
+def cmd_snapshots(args, _spark) -> int:
+    """List the store's generations (Iceberg snapshot history)."""
+    store = _open_store(args)
+    out = []
+    for sid in store.snapshots():
+        snap = store.snapshot(sid)
+        out.append(
+            {
+                "snapshot_id": sid,
+                "operation": snap.get("operation"),
+                "timestamp_ms": snap.get("timestamp_ms"),
+                "n_segments": len(snap["segments"]),
+                "n_docs": snap["stats"].get("n_docs"),
+                "current": sid == store.current_snapshot_id(),
+                **(
+                    {"rolled_back_to": snap["rolled_back_to"]}
+                    if "rolled_back_to" in snap
+                    else {}
+                ),
+            }
+        )
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_rollback(args, _spark) -> int:
+    """Restore an older generation as a NEW snapshot (Iceberg
+    rollback_to_snapshot; the reference abandoning a bad generation by
+    reopening an older index_meta)."""
+    store = _open_store(args)
+    sid = store.rollback_to(args.to)
+    print(json.dumps({"snapshot_id": sid, "restored": args.to}))
+    return 0
+
+
+def cmd_abort_staged(args, _spark) -> int:
+    """Discard a staged-but-uncommitted build checkpoint
+    (index_writer::rollback)."""
+    store = _open_store(args)
+    print(json.dumps({"discarded": store.abort_staged()}))
+    return 0
+
+
 def cmd_unlock(args, _spark) -> int:
     """Operator escape hatch for the single-writer lock: a live holder on
     THIS host is refused without --force (killing a running writer's lock
@@ -504,6 +547,27 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     d.add_argument("--field", default="text")
     d.add_argument("--all", action="store_true")
     d.set_defaults(fn=cmd_delete)
+
+    sn = sub.add_parser(
+        "snapshots", parents=[keyp], help="list the index's generations"
+    )
+    sn.add_argument("--store", required=True)
+    sn.set_defaults(fn=cmd_snapshots, no_spark=True)
+
+    rb = sub.add_parser(
+        "rollback", parents=[keyp],
+        help="restore an older generation as a new snapshot",
+    )
+    rb.add_argument("--store", required=True)
+    rb.add_argument("--to", type=int, required=True, help="target snapshot id")
+    rb.set_defaults(fn=cmd_rollback, no_spark=True)
+
+    ab = sub.add_parser(
+        "abort-staged", parents=[keyp],
+        help="discard a staged-but-uncommitted build checkpoint",
+    )
+    ab.add_argument("--store", required=True)
+    ab.set_defaults(fn=cmd_abort_staged, no_spark=True)
 
     u = sub.add_parser(
         "unlock", help="force-remove a dead writer's write.lock"

@@ -389,6 +389,93 @@ class SnapshotStore:
         self._atomic_write(os.path.join(self.root, "CURRENT"), str(sid))
         return sid
 
+    def rollback_to(self, snapshot_id: int) -> int:
+        """Publish a NEW generation that restores an older snapshot's
+        state — Iceberg's `rollback_to_snapshot`, and the directory-level
+        analogue of the reference recovering by opening an older
+        index_meta generation ([up] core/index/index_meta.hpp — every
+        commit keeps the prior segments_N files until cleaned, exactly so
+        a bad generation can be abandoned). History is preserved: the
+        rolled-back-over generations keep their manifests (until
+        `expire_snapshots`) and their data dirs stay gc-live, so a
+        rollback can itself be rolled back.
+
+        Everything that defines the restored state is copied from the
+        TARGET manifest — segments (incl. tombstone masks), stats,
+        fields, primary sort, cipher, and the streaming watermarks
+        (a rolled-back stream batch's data is gone, so its watermark
+        must revert with it or exactly-once replay would skip it).
+        Requires the store to be opened with the target generation's key
+        (or no key for a plaintext target): the new generation's reads
+        decrypt per its manifest, so committing a cipher we cannot
+        verify would publish an unreadable index."""
+        with self.write_lock(owner=f"rollback:{snapshot_id}"):
+            cur = self.current_snapshot_id()
+            if cur is None:
+                raise FileNotFoundError("no committed snapshot to roll back")
+            try:
+                target = self.snapshot(int(snapshot_id))
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"snapshot {snapshot_id} does not exist (expired?); "
+                    f"available: {self.snapshots()}"
+                ) from None
+            mine = self.cipher.describe() if self.cipher else None
+            theirs = target.get("cipher") or None
+            if (theirs or {}).get("kcv") != (mine or {}).get("kcv"):
+                raise ValueError(
+                    "rollback target's cipher does not match this store's "
+                    "key (open SnapshotStore with the target generation's "
+                    "key, or with no key for a plaintext target)"
+                )
+            if int(snapshot_id) == cur:
+                return cur
+            sid = cur + 1
+            manifest = {
+                "snapshot_id": sid,
+                "parent_id": cur,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": "rollback",
+                "rolled_back_to": int(snapshot_id),
+                "segments": target["segments"],
+                "stats": target["stats"],
+                "lineage": target.get("lineage") or [],
+                "metrics": {"restored_snapshot": int(snapshot_id)},
+                "fields": target.get("fields") or [],
+                "streams": target.get("streams") or {},
+                "sort": target.get("sort"),
+                "cipher": theirs,
+            }
+            snap_path = self._snap_path(sid)
+            if os.path.exists(snap_path):
+                raise RuntimeError(
+                    f"snapshot {sid} already exists (concurrent commit?)"
+                )
+            self._atomic_write(snap_path, json.dumps(manifest, indent=1))
+            self._atomic_write(os.path.join(self.root, "CURRENT"), str(sid))
+            return sid
+
+    def abort_staged(self) -> bool:
+        """Discard the staged-but-uncommitted build checkpoint — the
+        reference's `index_writer::rollback()` (drop everything buffered
+        since the last commit without publishing it). Removes the
+        `_staging.json` pointer and its commit dir; committed
+        generations are untouched. Returns True if anything was
+        discarded. Holds the write lock so a concurrent writer's live
+        staging is never swept from under it."""
+        import shutil
+
+        with self.write_lock(owner="abort_staged"):
+            staging_path = os.path.join(self.root, "_staging.json")
+            if not os.path.exists(staging_path):
+                return False
+            with open(staging_path) as f:
+                staged_dir = json.load(f).get("dir", "")
+            os.remove(staging_path)
+            if staged_dir and os.path.isdir(staged_dir):
+                shutil.rmtree(staged_dir, ignore_errors=True)
+            return True
+
     def stream_watermark(self, name: str) -> int | None:
         """Highest micro-batch id committed for stream `name` (None if the
         stream has never committed). Read from the CURRENT manifest only —

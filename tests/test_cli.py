@@ -288,3 +288,33 @@ def test_cli_encrypted_round_trip(spark, corpus_path, tmp_path, capsys):
     with pytest.raises(ValueError, match="wrong key"):
         cli.main(["search", "--store", enc, "w3", "-k", "5",
                   "--key", "wrong"], spark=spark)
+
+
+def test_cli_snapshots_rollback(spark, corpus_path, tmp_path, capsys):
+    store = str(tmp_path / "idx_rb")
+    assert cli.main(
+        ["build", "--input", corpus_path, "--store", store, "--segments", "2"],
+        spark=spark,
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(["search", "--store", store, "w3", "-k", "5"], spark=spark) == 0
+    golden = _out_lines(capsys)
+    assert cli.main(["delete", "--store", store, "w3"], spark=spark) == 0
+    capsys.readouterr()
+
+    assert cli.main(["snapshots", "--store", store], spark=spark) == 0
+    gens = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [g["snapshot_id"] for g in gens] == [1, 2]
+    assert gens[-1]["operation"] == "delete" and gens[-1]["current"]
+
+    assert cli.main(["rollback", "--store", store, "--to", "1"], spark=spark) == 0
+    rb = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rb == {"snapshot_id": 3, "restored": 1}
+
+    assert cli.main(["search", "--store", store, "w3", "-k", "5"], spark=spark) == 0
+    assert _out_lines(capsys) == golden
+
+    assert cli.main(["abort-staged", "--store", store], spark=spark) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {
+        "discarded": False
+    }

@@ -387,3 +387,92 @@ def test_merge_holds_no_perdoc_driver_state(
         m.setattr(SparkContext, "broadcast", _no_broadcast)
         merge_segments(spark, store, seg_ids)
     assert len(store.snapshot()["segments"]) == 1
+
+
+# --------------------------------------------------------------- rollback
+# Iceberg rollback_to_snapshot / the reference abandoning a bad generation
+# by reopening an older index_meta ([up] core/index/index_meta.hpp keeps
+# prior segments_N files until cleaned for exactly this recovery path).
+
+
+def test_rollback_restores_deleted_docs(spark, unit_index, split_store, tmp_path):
+    base_store, _sid, _oracle = unit_index
+    store = _copy_store(split_store, tmp_path)
+    pre = store.current_snapshot_id()
+    golden = _results(spark, base_store)
+    delete_by_query(spark, store, qf.Term("w3"))
+    assert _results(spark, store) != golden
+    sid = store.rollback_to(pre)
+    snap = store.snapshot()
+    assert sid == store.current_snapshot_id() == pre + 2  # delete, rollback
+    assert snap["operation"] == "rollback"
+    assert snap["rolled_back_to"] == pre
+    assert snap["parent_id"] == pre + 1
+    # byte-identical restoration: segments, stats, sort, fields
+    target = store.snapshot(pre)
+    assert snap["segments"] == target["segments"]
+    assert snap["stats"] == target["stats"]
+    assert _results(spark, store) == golden
+
+
+def test_rollback_survives_expire_and_gc_then_append(
+    spark, unit_corpus, split_store, tmp_path
+):
+    """After rolling back over a consolidation, expire+gc must sweep the
+    abandoned merge generation's data but keep every dir the rollback
+    references; appends on top of the rollback keep working."""
+    store = _copy_store(split_store, tmp_path)
+    pre = store.current_snapshot_id()
+    golden = _results(spark, store)
+    seg_ids = [int(s["seg_id"]) for s in store.snapshot()["segments"]]
+    merge_segments(spark, store, seg_ids)
+    merged_dirs = {
+        s["docs_path"].split("/")[1] for s in store.snapshot()["segments"]
+    }
+    store.rollback_to(pre)
+    store.expire_snapshots(keep_last=1)  # drops build/append/merge manifests
+    removed = store.gc()
+    # the abandoned merge generation is swept; the restored dirs survive
+    assert merged_dirs <= set(removed)
+    assert _results(spark, store) == golden
+    extra = spark.createDataFrame(unit_corpus.iloc[:50])
+    build_index(spark, extra, store, n_segments=1, source="post_rb",
+                mode="append")
+    assert len(store.snapshot()["segments"]) == 9
+
+
+def test_rollback_edge_cases(spark, split_store, tmp_path):
+    store = _copy_store(split_store, tmp_path)
+    cur = store.current_snapshot_id()
+    # no-op: rolling back to the current generation publishes nothing
+    assert store.rollback_to(cur) == cur
+    assert store.current_snapshot_id() == cur
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        store.rollback_to(cur + 5)
+    # cipher identity: a key-opened store cannot restore a plaintext
+    # generation (the published manifest must be readable with the key
+    # the caller holds)
+    from iresearch_spark.store import derive_key
+
+    keyed = SnapshotStore(store.root, key=derive_key("nope"))
+    with pytest.raises(ValueError, match="cipher"):
+        keyed.rollback_to(cur - 1)
+
+
+def test_abort_staged_discards_checkpoint(tmp_path):
+    """index_writer::rollback(): drop the staged-but-uncommitted build
+    checkpoint without touching committed generations."""
+    import json
+    import os
+
+    store = SnapshotStore(str(tmp_path / "abort_store"))
+    assert store.abort_staged() is False  # nothing staged
+    staged_dir = store.new_commit_dir()
+    with open(os.path.join(staged_dir, "part-0"), "w") as f:
+        f.write("x")
+    with open(os.path.join(store.root, "_staging.json"), "w") as f:
+        json.dump({"key": "k", "dir": staged_dir}, f)
+    assert store.abort_staged() is True
+    assert not os.path.exists(os.path.join(store.root, "_staging.json"))
+    assert not os.path.isdir(staged_dir)
+    assert store.abort_staged() is False

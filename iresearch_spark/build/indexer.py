@@ -78,6 +78,7 @@ def staging_key(
     segment_key: str | None = None,
     sort_by: str | None = None,
     cipher_kcv: str | None = None,
+    stored_cols: tuple[str, ...] = (),
 ) -> str:
     """Identity of a staged (resumable) build: same key -> the interrupted
     commit dir's completed stages can be reused (BASELINE.json checkpoint
@@ -92,6 +93,7 @@ def staging_key(
     return (
         f"{source}|{n_segments}|{band_bits}|{mode}|{seg_base}|{fields_key}"
         f"|{segment_key or 'url'}|{sort_by or 'url'}|{cipher_kcv or ''}"
+        f"|{','.join(stored_cols)}"
     )
 
 
@@ -109,6 +111,7 @@ def build_index(
     streams: dict[str, int] | None = None,
     segment_key: str | None = None,
     sort_by: str | None = None,
+    stored_cols: tuple[str, ...] = (),
 ) -> int:
     # Whole-build single-writer exclusivity ([up] core/index/index_writer
     # .cpp :: index_writer::make holding the directory's index_lock for
@@ -120,6 +123,7 @@ def build_index(
             spark, corpus, store, n_segments, fields=fields,
             band_bits=band_bits, parts=parts, source=source, mode=mode,
             streams=streams, segment_key=segment_key, sort_by=sort_by,
+            stored_cols=stored_cols,
         )
 
 
@@ -137,8 +141,19 @@ def _build_index_impl(
     streams: dict[str, int] | None = None,
     segment_key: str | None = None,
     sort_by: str | None = None,
+    stored_cols: tuple[str, ...] = (),
 ) -> int:
     """Build a new index generation from `corpus`; returns the snapshot id.
+
+    stored_cols: extra corpus columns persisted verbatim in the per-segment
+    docs table (the user columnstore — ArangoSearch storedValues, [up]
+    core/formats/columnstore2 user columns). They ride the tokenize
+    kernel's Arrow pass-through and the existing segment shuffle (no extra
+    corpus scan or join), survive merges, and surface at query time via
+    IndexSearcher.search_batch(with_cols=...) and highlights(). Part of
+    the index identity: append-mode builds must pass the same list.
+    String-typed stored columns are encrypted at rest like url/lang;
+    other types ride plaintext (like the structural int columns).
 
     mode="replace" commits the new segments as the whole index;
     mode="append" adds them after the current snapshot's live segments
@@ -186,6 +201,30 @@ def _build_index_impl(
             raise ValueError(
                 "append with a different primary sort than the live index"
             )
+        prev_stored = [d["name"] for d in prev_snap.get("stored") or []]
+        if prev_stored != list(stored_cols):
+            raise ValueError(
+                "append with different stored_cols than the live index "
+                f"(live: {prev_stored}, got: {list(stored_cols)})"
+            )
+    # stored-column contract: must exist in the corpus and not collide
+    # with the engine's structural/output names
+    _RESERVED = {
+        "seg_id", "doc_id", "seg_part", "dl", "fdls", "terms", "tfids",
+        "tfs", "positions", "ostarts", "olens", "pchars", "url",
+        "warc_ts", "lang", "pid", "local_idx", "old_seg", "old_doc",
+    }
+    corpus_types = dict(corpus.dtypes)
+    stored_cols = tuple(dict.fromkeys(stored_cols))
+    for c in stored_cols:
+        if c in _RESERVED:
+            raise ValueError(
+                f"stored_cols: {c!r} collides with a built-in docs column"
+            )
+        if c not in corpus_types:
+            raise ValueError(f"stored_cols: {c!r} is not a corpus column")
+    stored_spec = [(c, corpus_types[c]) for c in stored_cols]
+    stored_str = tuple(c for c, t in stored_spec if t == "string")
     seg_base = (
         max((int(s["seg_id"]) for s in prev_snap["segments"]), default=-1) + 1
         if prev_snap
@@ -200,6 +239,7 @@ def _build_index_impl(
         source, n_segments, band_bits, mode, seg_base, field_specs,
         segment_key, sort_by,
         store.cipher.kcv if store.cipher else None,
+        stored_cols,
     )
     staged = {}
     if os.path.exists(staging_path):
@@ -237,6 +277,7 @@ def _build_index_impl(
             }
         )
         cols += extra_sources
+        cols += [c for c in stored_cols if c not in cols]
         corpus_cols = set(corpus.columns)
         src = _with_seg_id(corpus, n_segments, seg_base, segment_key)
         if "html" not in corpus_cols:
@@ -257,8 +298,8 @@ def _build_index_impl(
         if sel.rdd.getNumPartitions() < max(parts // 2, 1):
             sel = sel.repartition(parts)
         tokenized = sel.mapInArrow(
-            kernels.make_tokenize_kernel(field_specs),
-            kernels.TOKENIZED_SCHEMA,
+            kernels.make_tokenize_kernel(field_specs, stored_cols),
+            kernels.with_stored(kernels.TOKENIZED_SCHEMA, stored_spec),
         )
         # docID assignment stays JVM-side (whole-stage codegen): the hash
         # repartition co-locates each segment, and row_number over
@@ -280,18 +321,20 @@ def _build_index_impl(
             .select(
                 "seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls",
                 "terms", "tfids", "tfs", "positions", "ostarts", "olens",
-                "pchars",
+                "pchars", *stored_cols,
             )
         )
         (
-            store.encrypt_table(assigned_plain, "assigned")
+            store.encrypt_table(assigned_plain, "assigned", extra_str=stored_str)
             .withColumn("seg_part", F.col("seg_id"))
             .write.partitionBy("seg_part")
             .parquet(tok_dir, mode="overwrite")
         )
     timings["tokenize_assign_s"] = time.time() - t0
     assigned = (
-        store.decrypt_staged(spark.read.parquet(tok_dir), "assigned")
+        store.decrypt_staged(
+            spark.read.parquet(tok_dir), "assigned", extra_str=stored_str
+        )
         if not (docs_done and post_done and norms_done)
         else None
     )
@@ -317,9 +360,10 @@ def _build_index_impl(
             store.encrypt_table(
                 assigned.select(
                     "seg_id", "doc_id", "url", "warc_ts", "lang", "dl",
-                    "fdls"
+                    "fdls", *stored_cols,
                 ),
                 "docs",
+                extra_str=stored_str,
             )
             .withColumn("seg_part", F.col("seg_id"))
             .write.partitionBy("seg_part")
@@ -530,6 +574,7 @@ def _build_index_impl(
         fields=[f.to_json() for f in field_specs],
         streams=streams,
         sort=sort_by,
+        stored=[{"name": c, "type": t} for c, t in stored_spec],
     )
     if os.path.exists(staging_path):
         os.remove(staging_path)

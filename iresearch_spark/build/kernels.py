@@ -67,10 +67,21 @@ NORMS_SCHEMA = (
 )
 # The docs (columnstore) table as written by build_index's write_docs and
 # merge_segments — the canonical row a reader of any docs_path sees.
+# Indexes built with stored_cols append those columns after fdls
+# (ArangoSearch storedValues / [up] core/formats/columnstore2 user
+# columns); readers discover them from the parquet schema + manifest.
 DOCS_TABLE_SCHEMA = (
     "seg_id int, doc_id bigint, url string, warc_ts timestamp, "
     "lang string, dl int, fdls array<int>"
 )
+
+
+def with_stored(schema: str, stored: list[tuple[str, str]]) -> str:
+    """Append stored-column (name, spark-sql type) pairs to one of the
+    frozen schema strings above."""
+    if not stored:
+        return schema
+    return schema + ", " + ", ".join(f"{n} {t}" for n, t in stored)
 
 
 def norms_builder(key, pdf):
@@ -219,9 +230,14 @@ def _bin_view(batch: pa.RecordBatch, name: str) -> tuple[np.ndarray, np.ndarray]
 # ------------------------------------------------------------ tokenization
 
 
-def make_tokenize_kernel(field_specs):
+def make_tokenize_kernel(field_specs, stored_cols: tuple[str, ...] = ()):
     """corpus (seg_id, url, warc_ts, lang, html, text[, extra sources]) ->
-    TOKENIZED_SCHEMA, for an arbitrary field-spec list.
+    TOKENIZED_SCHEMA (+ stored_cols appended verbatim), for an arbitrary
+    field-spec list. stored_cols are user columnstore values (ArangoSearch
+    storedValues): the kernel passes the input Arrow columns straight
+    through — zero copy, no Python objects — so they ride the existing
+    token-table shuffle into the docs table instead of costing a second
+    corpus join.
 
     Per field: run its analyzer over the source column — the "__text__"
     source is html -> frozen extraction with `text` fallback for null
@@ -450,7 +466,8 @@ def make_tokenize_kernel(field_specs):
                     pa.ListArray.from_arrays(span_off_arr, sts_arr),
                     pa.ListArray.from_arrays(span_off_arr, lns_arr),
                     pa.ListArray.from_arrays(pchar_off_arr, pchar_vals),
-                ],
+                ]
+                + [batch.column(c) for c in stored_cols],
                 names=[
                     "seg_id",
                     "url",
@@ -465,7 +482,8 @@ def make_tokenize_kernel(field_specs):
                     "ostarts",
                     "olens",
                     "pchars",
-                ],
+                ]
+                + list(stored_cols),
             )
 
     return kernel

@@ -127,19 +127,30 @@ def _merge_segments_impl(
             pdf = pdf[~pdf["doc_id"].isin(mask)]
         return pdf
 
-    survivors_schema = kernels.DOCS_TABLE_SCHEMA
+    # user stored_cols (manifest "stored") ride every docs rewrite
+    # verbatim — merged segments keep the full columnstore surface
+    stored_spec = [
+        (d["name"], d["type"]) for d in snap.get("stored") or []
+    ]
+    doc_cols = [
+        "seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls",
+        *[n for n, _ in stored_spec],
+    ]
+    stored_str = tuple(n for n, t in stored_spec if t == "string")
+    survivors_schema = kernels.with_stored(
+        kernels.DOCS_TABLE_SCHEMA, stored_spec
+    )
 
     surv_dir = os.path.join(commit_dir, "survivors")
     (
         store.encrypt_table(
-            docs.select(
-                "seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls"
-            )
+            docs.select(*doc_cols)
             .groupBy("seg_id")
             .cogroup(masks_df.groupBy("seg_id"))
             .applyInPandas(drop_masked, survivors_schema)
             .withColumnsRenamed({"seg_id": "old_seg", "doc_id": "old_doc"}),
             "survivors",
+            extra_str=stored_str,
         )
         .write.parquet(surv_dir, mode="overwrite")
     )
@@ -165,18 +176,24 @@ def _merge_segments_impl(
     w_local = W.partitionBy("pid").orderBy(*order_cols)
     (
         store.encrypt_table(
-            store.decrypt_staged(spark.read.parquet(surv_dir), "survivors")
+            store.decrypt_staged(
+                spark.read.parquet(surv_dir), "survivors",
+                extra_str=stored_str,
+            )
             .repartitionByRange(parts, *order_cols)
             .withColumn("pid", F.spark_partition_id())
             .withColumn(
                 "local_idx", F.row_number().over(w_local).cast("bigint")
             ),
             "survivors",
+            extra_str=stored_str,
         )
         .write.parquet(remap_dir, mode="overwrite")
     )
 
-    staged = store.decrypt_staged(spark.read.parquet(remap_dir), "survivors")
+    staged = store.decrypt_staged(
+        spark.read.parquet(remap_dir), "survivors", extra_str=stored_str
+    )
     counts = {
         int(r["pid"]): int(r["n"])
         for r in staged.groupBy("pid").agg(F.count("*").alias("n")).collect()
@@ -227,10 +244,9 @@ def _merge_segments_impl(
             staged.join(F.broadcast(offsets_df), "pid")
             .withColumn("doc_id", (F.col("off") + F.col("local_idx")))
             .withColumn("seg_id", F.lit(new_seg_id).cast("int"))
-            .select(
-                "seg_id", "doc_id", "url", "warc_ts", "lang", "dl", "fdls"
-            ),
+            .select(*doc_cols),
             "docs",
+            extra_str=stored_str,
         )
         .withColumn("seg_part", F.col("seg_id"))
         .write.partitionBy("seg_part")

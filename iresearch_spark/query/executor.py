@@ -827,12 +827,23 @@ class IndexSearcher:
         the field was indexed without the corresponding feature.
         Distributed: posting rows explode inside mapInArrow; no driver
         materialization."""
-        cols = ["seg_id", "blob", "pos_off", "pos_pay", "span_off", "span_pay"]
+        return self._occurrences_df([(field, term)]).drop("field", "term")
+
+    def _occurrences_df(self, keys) -> DataFrame:
+        """Decoded occurrence rows (seg_id, doc_id, field, term, pos,
+        start, length, payload) for a SET of (field, term) keys — the
+        shared kernel behind occurrences() and highlights(). The postings
+        scan is pushdown-pruned to the requested keys (one isin per
+        field), so cost is O(matched posting rows), never a corpus scan."""
+        cols = [
+            "seg_id", "field", "term", "blob", "pos_off", "pos_pay",
+            "span_off", "span_pay",
+        ]
         has_pay_cols = "pay_pay" in self._postings.columns
         if has_pay_cols:
             cols += ["pay_off", "pay_pay"]
         rows = self._postings.filter(
-            (F.col("field") == field) & (F.col("term") == term)
+            _keys_condition(sorted(set(keys)))
         ).select(*cols)
 
         def explode(batches):
@@ -894,6 +905,8 @@ class IndexSearcher:
                                 np.full(len(doc_rep), r.seg_id, dtype=np.int32)
                             ),
                             pa.array(doc_rep),
+                            pa.array([r.field] * len(doc_rep), pa.string()),
+                            pa.array([r.term] * len(doc_rep), pa.string()),
                             pa.array(pos_flat.astype(np.int32)),
                             pa.array(starts.astype(np.int32)),
                             pa.array(lens_.astype(np.int32)),
@@ -904,16 +917,122 @@ class IndexSearcher:
                             ),
                         ],
                         names=[
-                            "seg_id", "doc_id", "pos", "start", "length",
-                            "payload",
+                            "seg_id", "doc_id", "field", "term", "pos",
+                            "start", "length", "payload",
                         ],
                     )
 
         return rows.mapInArrow(
             explode,
-            "seg_id int, doc_id bigint, pos int, start int, length int, "
-            "payload string",
+            "seg_id int, doc_id bigint, field string, term string, "
+            "pos int, start int, length int, payload string",
         )
+
+    def highlights(
+        self,
+        flt: qf.Filter,
+        k: int = 10,
+        field: str = "text",
+        source_col: str | None = None,
+        context: int = 24,
+        max_spans: int = 8,
+        tie: str = "segdoc",
+        score_round: int | None = None,
+    ) -> DataFrame:
+        """Top-k with match highlighting: each hit row carries the query's
+        matched-term character spans (A8 offsets the field was indexed
+        with — [up] core/analysis/token_attributes.hpp :: offset; the
+        ArangoSearch OFFSET_INFO surface) and, when `source_col` names a
+        stored doc column, a `snippet` of ±context chars around the first
+        match read from the columnstore.
+
+        Cost shape: the normal top-k job + ONE pushdown-pruned postings
+        scan over the query's RESOLVED terms (expansions included),
+        joined to the broadcast k-row hit set — work is O(query-term
+        posting rows), never a corpus scan, so the plan is
+        scale-invariant in the corpus size.
+
+        Returns (rank, seg_id, doc_id, url, score, n_matches, spans
+        [, snippet]): spans = array<struct<start,length>> sorted by start
+        (capped at max_spans; empty when the field lacks the offsets
+        feature), n_matches = total occurrences of the matched terms in
+        the hit doc's `field`."""
+        trees, terms, _idf, _ = self.prepare({0: flt})
+        # every resolved scoring key on the requested field, plus
+        # positional slot keys (phrases / same-position)
+        t2: set[tuple[str, str]] = set()
+        phrases: list = []
+        pos_keys: set[tuple[str, str]] = set()
+        for t in trees.values():
+            _walk_terms(t, t2, phrases, pos_keys)
+        keys = sorted({kk for kk in (t2 | pos_keys) if kk[0] == field})
+        with_cols = (source_col,) if source_col else ()
+        hits = self.search_batch(
+            {0: flt}, k=k, with_urls=True, tie=tie,
+            score_round=score_round, with_cols=with_cols,
+        ).drop("qid")
+        if not keys:
+            out = hits.withColumn("n_matches", F.lit(0)).withColumn(
+                "spans",
+                F.lit(None).cast("array<struct<start:int,length:int>>"),
+            )
+        else:
+            occ = self._occurrences_df(keys)
+            spans = (
+                occ.join(
+                    F.broadcast(hits.select("seg_id", "doc_id").distinct()),
+                    ["seg_id", "doc_id"],
+                )
+                .groupBy("seg_id", "doc_id")
+                .agg(
+                    F.count("*").cast("int").alias("n_matches"),
+                    F.slice(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("start") >= 0,
+                                    F.struct("start", "length"),
+                                )
+                            )
+                        ),
+                        1,
+                        max_spans,
+                    ).alias("spans"),
+                )
+            )
+            out = hits.join(spans, ["seg_id", "doc_id"], "left")
+        out = out.withColumn(
+            "n_matches", F.coalesce(F.col("n_matches"), F.lit(0))
+        ).withColumn(
+            "spans",
+            F.coalesce(
+                F.col("spans"),
+                F.lit(None).cast("array<struct<start:int,length:int>>"),
+            ),
+        )
+        base = ["rank", "seg_id", "doc_id", "url", "score", "n_matches",
+                "spans"]
+        if source_col:
+            # F.get is null-safe out of bounds (no ANSI error on empty)
+            first = F.get("spans", 0)
+            # window = [start-context, start+length+context), clipped at
+            # the string head (no compensation on the other side)
+            snip_from = F.greatest(
+                F.lit(1), first["start"] + 1 - F.lit(context)
+            )
+            snip_len = (
+                first["start"] + first["length"] + F.lit(1 + context)
+                - snip_from
+            )
+            out = out.withColumn(
+                "snippet",
+                F.when(
+                    F.size("spans") > 0,
+                    F.col(source_col).substr(snip_from, snip_len),
+                ),
+            )
+            base.append("snippet")
+        return out.select(*base).orderBy("rank")
 
     def sorted_topk(self, flt: qf.Filter, k: int = 10) -> DataFrame:
         """First k matching docs in INDEX order — url order by default,

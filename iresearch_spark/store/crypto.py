@@ -121,13 +121,15 @@ class IndexCipher:
     def _dec(self, col):
         return F.aes_decrypt(col, self._k(), F.lit(_MODE))
 
-    def encrypt_df(self, df: DataFrame, kind: str) -> DataFrame:
+    def encrypt_df(
+        self, df: DataFrame, kind: str, extra_str: tuple[str, ...] = ()
+    ) -> DataFrame:
         spec = KIND_SPECS.get(kind)
         if spec is None:
             raise ValueError(f"unknown table kind {kind!r}")
         cols = set(df.columns)
         out = df
-        for c in spec.get("str", ()):
+        for c in tuple(spec.get("str", ())) + tuple(extra_str):
             if c in cols:
                 out = out.withColumn(c, self._enc(F.col(c).cast("binary")))
         for c in spec.get("ts", ()):
@@ -148,13 +150,15 @@ class IndexCipher:
                 )
         return out
 
-    def decrypt_df(self, df: DataFrame, kind: str) -> DataFrame:
+    def decrypt_df(
+        self, df: DataFrame, kind: str, extra_str: tuple[str, ...] = ()
+    ) -> DataFrame:
         spec = KIND_SPECS.get(kind)
         if spec is None:
             raise ValueError(f"unknown table kind {kind!r}")
         cols = set(df.columns)
         out = df
-        for c in spec.get("str", ()):
+        for c in tuple(spec.get("str", ())) + tuple(extra_str):
             if c in cols:
                 out = out.withColumn(c, F.decode(self._dec(F.col(c)), "UTF-8"))
         for c in spec.get("ts", ()):

@@ -201,22 +201,34 @@ class SnapshotStore:
 
     # ---------------------------------------------------------- encryption
 
-    def encrypt_table(self, df, kind: str):
+    def encrypt_table(self, df, kind: str, extra_str: tuple[str, ...] = ()):
         """Writer-side hook: encrypt `df`'s content columns for table
         `kind` when this store holds a key; identity otherwise. Every
         persisted table — committed AND staged (crash-surviving staging
-        is at-rest data too) — passes through here."""
+        is at-rest data too) — passes through here. extra_str: dynamic
+        string-typed content columns (user stored_cols) encrypted like
+        url/lang."""
         if self.cipher is None:
             return df
-        return self.cipher.encrypt_df(df, kind)
+        return self.cipher.encrypt_df(df, kind, extra_str=extra_str)
 
-    def decrypt_staged(self, df, kind: str):
+    def decrypt_staged(self, df, kind: str, extra_str: tuple[str, ...] = ()):
         """Reader-side hook for THIS writer's own staged tables (the
         assigned checkpoint, merge survivors/remap): these were written
         with self.cipher — the snapshot may not even exist yet."""
         if self.cipher is None:
             return df
-        return self.cipher.decrypt_df(df, kind)
+        return self.cipher.decrypt_df(df, kind, extra_str=extra_str)
+
+    def stored_str_cols(self, snapshot_id: int | None = None) -> tuple:
+        """Names of the snapshot's string-typed stored user columns — the
+        dynamic at-rest-encrypted set for docs/survivors tables."""
+        snap = self.snapshot(snapshot_id) or {}
+        return tuple(
+            d["name"]
+            for d in snap.get("stored") or []
+            if d.get("type") == "string"
+        )
 
     def reader_cipher(self, snapshot_id: int | None = None):
         """The cipher needed to read the given snapshot's data, derived
@@ -243,11 +255,18 @@ class SnapshotStore:
 
     def decrypt_table(self, df, kind: str, snapshot_id: int | None = None):
         """Reader-side hook for committed tables: decrypt per the
-        snapshot's cipher record (identity for plaintext snapshots)."""
+        snapshot's cipher record (identity for plaintext snapshots).
+        Stored user columns (string-typed) are derived from the manifest
+        so readers need no out-of-band schema knowledge."""
         cipher = self.reader_cipher(snapshot_id)
         if cipher is None:
             return df
-        return cipher.decrypt_df(df, kind)
+        extra = (
+            self.stored_str_cols(snapshot_id)
+            if kind in ("docs", "survivors")
+            else ()
+        )
+        return cipher.decrypt_df(df, kind, extra_str=extra)
 
     def read_parquet(self, spark, paths: list[str], kind: str,
                      snapshot_id: int | None = None):
@@ -317,6 +336,7 @@ class SnapshotStore:
         fields: list[dict] | None = None,
         streams: dict[str, int] | None = None,
         sort: str | None = "__inherit__",
+        stored: list[dict] | str = "__inherit__",
     ) -> int:
         """Publish a new snapshot. `segments` is the FULL live segment list:
         [{seg_id, docs_path, postings_path, n_docs, sum_dl, n_terms, ...}];
@@ -332,12 +352,12 @@ class SnapshotStore:
         with self.write_lock(owner=f"commit:{operation}"):
             return self._commit_locked(
                 segments, stats, lineage, metrics, operation, fields,
-                streams, sort,
+                streams, sort, stored,
             )
 
     def _commit_locked(
         self, segments, stats, lineage, metrics, operation, fields,
-        streams, sort,
+        streams, sort, stored="__inherit__",
     ) -> int:
         parent = self.current_snapshot_id()
         parent_snap = self.snapshot(parent) if parent is not None else None
@@ -352,6 +372,11 @@ class SnapshotStore:
             # sort_by explicitly (None included), so a replace-mode
             # rebuild can clear or change it.
             sort = (parent_snap or {}).get("sort")
+        if stored == "__inherit__":
+            # stored-column spec is index identity exactly like `sort`:
+            # maintenance commits carry it forward; build_index passes its
+            # stored_cols explicitly (empty list included).
+            stored = (parent_snap or {}).get("stored")
         parent_streams = (parent_snap or {}).get("streams") or {}
         streams = {**parent_streams, **(streams or {})}
         # Encryption is part of the index identity like the field specs:
@@ -380,6 +405,7 @@ class SnapshotStore:
             "fields": fields or [],
             "streams": streams,
             "sort": sort,
+            "stored": stored or [],
             "cipher": cipher_rec,
         }
         snap_path = self._snap_path(sid)
@@ -444,6 +470,7 @@ class SnapshotStore:
                 "fields": target.get("fields") or [],
                 "streams": target.get("streams") or {},
                 "sort": target.get("sort"),
+                "stored": target.get("stored") or [],
                 "cipher": theirs,
             }
             snap_path = self._snap_path(sid)
@@ -550,7 +577,13 @@ class SnapshotStore:
             from iresearch_spark.build import kernels
 
             schemas = {
-                "docs_path": kernels.DOCS_TABLE_SCHEMA,
+                "docs_path": kernels.with_stored(
+                    kernels.DOCS_TABLE_SCHEMA,
+                    [
+                        (d["name"], d["type"])
+                        for d in snap.get("stored") or []
+                    ],
+                ),
                 "postings_path": kernels.POSTING_SCHEMA,
                 "norms_path": kernels.NORMS_SCHEMA,
             }

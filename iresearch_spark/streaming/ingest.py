@@ -59,6 +59,7 @@ def index_microbatch(
     policy_kwargs: dict | None = None,
     parts: int | None = None,
     band_bits: int | None = None,
+    stored_cols: tuple[str, ...] = (),
 ) -> int | None:
     """Index ONE micro-batch (the foreachBatch body). Returns the snapshot
     id committed for this batch, or None when the batch was skipped
@@ -87,6 +88,7 @@ def index_microbatch(
         source=f"{name}#batch={batch_id}",
         mode="append" if store.current_snapshot_id() is not None else "replace",
         streams={name: int(batch_id)},
+        stored_cols=stored_cols,
     )
     if consolidate_policy is not None:
         from iresearch_spark.build.policy import consolidate
@@ -111,6 +113,7 @@ def start_index_stream(
     policy_kwargs: dict | None = None,
     parts: int | None = None,
     band_bits: int | None = None,
+    stored_cols: tuple[str, ...] = (),
     available_now: bool = False,
     processing_time: str | None = None,
 ):
@@ -137,6 +140,7 @@ def start_index_stream(
             policy_kwargs=policy_kwargs,
             parts=parts,
             band_bits=band_bits,
+            stored_cols=stored_cols,
         )
 
     writer = (

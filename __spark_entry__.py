@@ -259,7 +259,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         return got
     store = SnapshotStore(
         os.path.join(
-            _CACHE_ROOT, "contract_index_v5", key.strip("/").replace("/", "_")
+            _CACHE_ROOT, "contract_index_v6", key.strip("/").replace("/", "_")
         )
     )
     if store.current_snapshot_id() is None:
@@ -267,7 +267,10 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
             spark, key, extra_cols=("source", "n_chars")
         ).withColumn("n_chars", F.col("n_chars").cast("string"))
         build_index(
-            spark, corpus, store, n_segments=4, fields=_MF_FIELDS, source=key
+            spark, corpus, store, n_segments=4, fields=_MF_FIELDS, source=key,
+            # user columnstore: the raw text (highlight snippets read it)
+            # and the source id (a stored facet dimension)
+            stored_cols=("text", "source"),
         )
     s = IndexSearcher(spark, store)
     _SEARCHERS[key] = s
@@ -535,6 +538,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_with_cols"] = bm25_with_cols
+
+    # Highlighting: top-k hits carrying matched-term character spans (A8
+    # offsets) + a snippet cut from the stored text column — one
+    # pushdown-pruned postings scan joined to the broadcast hit set
+    def bm25_highlight(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        h = s.highlights(
+            qf.Term("customer"), k=10, source_col="text", context=30,
+            tie="url", score_round=6,
+        )
+        first = F.get("spans", 0)
+        return h.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.col("score"),
+            F.col("n_matches"),
+            first["start"].alias("start"),
+            first["length"].alias("length"),
+            F.col("snippet"),
+        )
+
+    q["bm25_highlight"] = bm25_highlight
+
+    # Faceted aggregation over the FULL match set (ArangoSearch
+    # SEARCH..COLLECT): group matching docs by a stored dimension
+    def facet_lang(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.facets(qf.Term("table"), group_by=("lang",)).select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sum_dl").cast("long").alias("sum_dl"),
+        )
+
+    def facet_source(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.facets(
+            qf.Or(qf.Term("data"), qf.Term("dup")), group_by=("source",)
+        ).select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sum_dl").cast("long").alias("sum_dl"),
+        )
+
+    q["facet_lang"] = facet_lang
+    q["facet_source"] = facet_source
 
     # S9 encryption at rest: BM25 over an AES-GCM-encrypted store must be
     # hash-identical to the plaintext oracle
@@ -1007,6 +1055,36 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_with_cols"] = f"""SELECT t.rank, t.doc_id, t.score, d.lang
 FROM ({bm25_topk_sql(["table"])}) t
 JOIN documents d USING (doc_id) ORDER BY t.rank"""
+    # engine snippet window (1-based): from = greatest(1, start+1-context),
+    # len = start+length+1+context-from; start = strpos-1 (the corpus has
+    # no token containing 'customer' as a proper substring, same
+    # assumption term_spans relies on)
+    o["bm25_highlight"] = f"""SELECT t.rank, t.doc_id, t.score,
+       len(list_filter({tokens_expr("d.text")}, x -> x = 'customer'))::INT
+         AS n_matches,
+       (strpos(d.text, 'customer') - 1)::INT AS start,
+       8::INT AS length,
+       substr(d.text, greatest(1, strpos(d.text, 'customer') - 30),
+              strpos(d.text, 'customer') + 38
+              - greatest(1, strpos(d.text, 'customer') - 30)) AS snippet
+FROM ({bm25_topk_sql(["customer"])}) t
+JOIN documents d USING (doc_id) ORDER BY t.rank"""
+    _facet_sql = """WITH t AS (
+  SELECT doc_id, lang, source, {toks} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, lang, source, len(toks) AS dl FROM t WHERE {cond}
+)
+SELECT {dim}, count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+FROM m GROUP BY {dim} ORDER BY {dim}"""
+    o["facet_lang"] = _facet_sql.format(
+        toks=tokens_expr(), dim="lang",
+        cond="list_contains(toks, 'table')",
+    )
+    o["facet_source"] = _facet_sql.format(
+        toks=tokens_expr(), dim="source",
+        cond="list_contains(toks, 'data') OR list_contains(toks, 'dup')",
+    )
     o["tfidf_or2"] = f"""{base_ctes()},
 qterms(term) AS (VALUES ('data'), ('dup')),
 scored AS (

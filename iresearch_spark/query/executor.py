@@ -1062,6 +1062,46 @@ class IndexSearcher:
         )
         return cand.orderBy(*order).limit(k)
 
+    def facets(
+        self,
+        flt: qf.Filter,
+        group_by: tuple[str, ...] = ("lang",),
+        aggs: dict[str, "F.Column"] | None = None,
+    ) -> DataFrame:
+        """Faceted aggregation over the FULL match set — the ArangoSearch
+        `SEARCH ... COLLECT` surface over a view: group every doc the
+        filter matches (not just a top-k head) by stored doc columns
+        (built-ins url/warc_ts/lang or user stored_cols) and aggregate.
+        Default aggs: n_docs (count) + sum_dl (token mass).
+
+        Scale shape: match_docs is the match-only kernel (no scoring, no
+        global window, WAND machinery skipped); the docs join is a
+        (seg_id, doc_id) hash equijoin between two distributed tables and
+        the groupBy aggregates with map-side partial combine, so shuffle
+        volume is one row per matched doc narrowed to the group/agg
+        columns — no corpus collect, no rank cap. A filter matching the
+        whole corpus costs one pruned postings scan + one docs-table
+        pass, the same plan at any corpus size."""
+        if aggs is None:
+            aggs = {
+                "n_docs": F.count(F.lit(1)).cast("long"),
+                "sum_dl": F.sum("dl").cast("long"),
+            }
+        matched = self.match_docs(flt)
+        docs = self.store.read_docs(self.spark, self.sid)
+        missing = [c for c in group_by if c not in docs.columns]
+        if missing:
+            raise ValueError(
+                f"facets: {missing} are not stored doc columns "
+                f"(available: {sorted(set(docs.columns) - {'seg_id', 'doc_id'})})"
+            )
+        joined = docs.join(matched, ["seg_id", "doc_id"])
+        return (
+            joined.groupBy(*group_by)
+            .agg(*[expr.alias(n) for n, expr in aggs.items()])
+            .orderBy(*group_by)
+        )
+
     def match_docs(self, flt: qf.Filter) -> DataFrame:
         """Match-only execution: every (seg_id, doc_id) the filter matches,
         straight from the per-segment kernel — no scoring pass, no

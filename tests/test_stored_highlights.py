@@ -235,3 +235,49 @@ def test_highlights_without_source_col(spark, stored_index):
     assert rows
     assert "snippet" not in rows[0].asDict()
     assert all(r["n_matches"] >= 1 and len(r["spans"]) >= 1 for r in rows)
+
+
+def _toks(text: str) -> list[str]:
+    return re.findall(r"[a-z0-9]+", text.lower())
+
+
+def test_facets_over_stored_col(spark, stored_index):
+    """Facets group the FULL match set (not top-k) by a stored user
+    column with default n_docs/sum_dl aggregates."""
+    store, pdf = stored_index
+    s = IndexSearcher(spark, store)
+    rows = s.facets(qf.Term("merge"), group_by=("site",)).collect()
+    m = pdf[pdf["text"].str.contains(r"\bmerge\b")]
+    exp = {
+        site: (len(g), sum(len(_toks(t)) for t in g["text"]))
+        for site, g in m.groupby("site")
+    }
+    got = {r["site"]: (r["n_docs"], r["sum_dl"]) for r in rows}
+    assert got == exp
+    assert [r["site"] for r in rows] == sorted(got)
+
+
+def test_facets_custom_aggs_and_alldocs(spark, stored_index):
+    from pyspark.sql import functions as F
+
+    store, pdf = stored_index
+    s = IndexSearcher(spark, store)
+    rows = s.facets(
+        qf.AllDocs(),
+        group_by=("lang",),
+        aggs={
+            "n_docs": F.count(F.lit(1)).cast("long"),
+            "max_chars": F.max("n_chars").cast("int"),
+        },
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["lang"] == "en"
+    assert rows[0]["n_docs"] == len(pdf)
+    assert rows[0]["max_chars"] == int(pdf["n_chars"].max())
+
+
+def test_facets_unknown_column_fails(spark, stored_index):
+    store, _ = stored_index
+    s = IndexSearcher(spark, store)
+    with pytest.raises(ValueError, match="not stored doc columns"):
+        s.facets(qf.Term("merge"), group_by=("nosuch",))

@@ -102,6 +102,9 @@ _FILTERS: dict[str, qf.Filter] = {
     # F6 phrase with an explicit slot-offset GAP ([up] by_phrase
     # push_back(part, offs)): 'table', any one token, then 'hash'
     "bm25_phrase_gap": qf.Phrase(["table", "hash"], offsets=(0, 2)),
+    # multiterm regexp (ArangoSearch REGEX_TEST / Lucene RegexpQuery):
+    # full-match dictionary expansion in the portable regex subset
+    "bm25_regexp": qf.Regexp("(tab|has|jo)[a-z]+"),
     # F12 match-all with boost
     "alldocs_boost": qf.AllDocs(boost=1.5),
 }
@@ -241,6 +244,9 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
         [], expand_cond="term LIKE 's%'", expand_limit=3
     ),
     "bm25_stem": bm25_topk_sql(["custom"], tokens_sql=stem_tokens_expr()),
+    "bm25_regexp": bm25_topk_sql(
+        [], expand_cond="regexp_full_match(term, '(tab|has|jo)[a-z]+')"
+    ),
     "alldocs_boost": _ALLDOCS_SQL,
 }
 
@@ -583,6 +589,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["facet_lang"] = facet_lang
     q["facet_source"] = facet_source
+
+    # S7 suggester: top-k prefix completions from the term dictionary by
+    # (global df desc, term asc) — one pushdown dictionary filter
+    def suggest_terms(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.suggest("s", k=15)
+
+    q["suggest_terms"] = suggest_terms
 
     # S9 encryption at rest: BM25 over an AES-GCM-encrypted store must be
     # hash-identical to the plaintext oracle
@@ -1085,6 +1099,9 @@ FROM m GROUP BY {dim} ORDER BY {dim}"""
         toks=tokens_expr(), dim="source",
         cond="list_contains(toks, 'data') OR list_contains(toks, 'dup')",
     )
+    o["suggest_terms"] = f"""{base_ctes()}
+SELECT term, df::BIGINT AS df FROM df
+WHERE term LIKE 's%' ORDER BY df DESC, term ASC LIMIT 15"""
     o["tfidf_or2"] = f"""{base_ctes()},
 qterms(term) AS (VALUES ('data'), ('dup')),
 scored AS (

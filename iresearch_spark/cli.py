@@ -22,6 +22,7 @@ Query syntax (`parse_query`):
                                 open bound; over a numeric-analyzed
                                 field this resolves to the F5 granular
                                 range with the manifest's frozen step)
+             | '/pat/'          regexp (full-match, portable subset)
              | 'term'           exact term
 
 Clauses combine as a disjunction (`Or`, min_match=1); `--all` combines
@@ -63,6 +64,9 @@ def _atom_filter(atom: str, field: str) -> qf.Filter:
         return qf.TermRange(
             None if lo == "*" else lo, None if hi == "*" else hi, field=field
         )
+    if atom.startswith("/") and atom.endswith("/") and len(atom) > 2:
+        # /pattern/ — multiterm regexp, implicit full-match anchoring
+        return qf.Regexp(atom[1:-1], field=field)
     m = _FUZZY_RE.match(atom)
     if m:
         return qf.Fuzzy(
@@ -334,6 +338,16 @@ def cmd_search_batch(args, spark) -> int:
     return 0
 
 
+def cmd_suggest(args, spark) -> int:
+    """Prefix autocomplete from the term dictionary (df-ranked)."""
+    from iresearch_spark.query.executor import IndexSearcher
+
+    s = IndexSearcher(spark, _open_store(args))
+    for r in s.suggest(args.prefix, k=args.k, field=args.field).collect():
+        print(json.dumps({"term": r["term"], "df": int(r["df"])}))
+    return 0
+
+
 def cmd_stats(args, spark) -> int:
     store = _open_store(args)
     snap = store.snapshot()
@@ -521,6 +535,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sb.add_argument("--all", action="store_true")
     sb.add_argument("--scorer", choices=("bm25", "tfidf"), default="bm25")
     sb.set_defaults(fn=cmd_search_batch)
+
+    sg = sub.add_parser(
+        "suggest", parents=[keyp],
+        help="prefix autocomplete from the term dictionary (df-ranked)",
+    )
+    sg.add_argument("--store", required=True)
+    sg.add_argument("prefix")
+    sg.add_argument("-k", type=int, default=10)
+    sg.add_argument("--field", default="text")
+    sg.set_defaults(fn=cmd_suggest)
 
     st = sub.add_parser("stats", parents=[keyp], help="print current snapshot stats")
     st.add_argument("--store", required=True)

@@ -227,6 +227,9 @@ class OracleIndex:
         if isinstance(node, qf.Wildcard):
             rx = re.compile(wildcard_to_regex(node.pattern))
             return [t for t in d if rx.fullmatch(t)]
+        if isinstance(node, qf.Regexp):
+            rx = re.compile(node.pattern)
+            return [t for t in d if rx.fullmatch(t)]
         if isinstance(node, qf.Fuzzy):
             return [
                 t
@@ -276,7 +279,8 @@ class OracleIndex:
             )
         if isinstance(
             node,
-            (qf.Prefix, qf.TermRange, qf.GranularRange, qf.Wildcard, qf.Fuzzy),
+            (qf.Prefix, qf.TermRange, qf.GranularRange, qf.Wildcard,
+             qf.Regexp, qf.Fuzzy),
         ):
             tw = self.expand_weighted(node)
             if not tw:

@@ -52,6 +52,7 @@ _EXPANDABLE = (
     qf.TermRange,
     qf.GranularRange,
     qf.Wildcard,
+    qf.Regexp,
     qf.Fuzzy,
 )
 
@@ -426,6 +427,13 @@ class IndexSearcher:
                     & F.col("term").rlike(
                         "^(?:" + wildcard_to_regex(node.pattern) + ")$"
                     )
+                )
+            elif isinstance(node, qf.Regexp):
+                # full-match semantics (RegexpQuery / REGEX_TEST): the
+                # anchors make JVM rlike behave as a fullmatch
+                conds.append(
+                    in_field
+                    & F.col("term").rlike("^(?:" + node.pattern + ")$")
                 )
             elif isinstance(node, qf.Fuzzy):
                 q, d = node.term, node.max_distance
@@ -1100,6 +1108,25 @@ class IndexSearcher:
             joined.groupBy(*group_by)
             .agg(*[expr.alias(n) for n, expr in aggs.items()])
             .orderBy(*group_by)
+        )
+
+    def suggest(
+        self, prefix: str, k: int = 10, field: str = "text"
+    ) -> DataFrame:
+        """Prefix autocomplete over the S7 term dictionary: the top-k
+        completions of `prefix` by (global df desc, term asc) — the
+        classic suggester the reference serves from its FST by walking
+        the prefix's subtree with term frequencies. Here it is one
+        filter over the searcher's materialized O(vocabulary) dictionary
+        (pushdown startswith) + a k-row global sort; no postings decode,
+        no corpus scan. Returns (term, df)."""
+        d = self._term_dict().filter(
+            (F.col("field") == field) & F.col("term").startswith(prefix)
+        )
+        return (
+            d.select("term", F.col("df").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
         )
 
     def match_docs(self, flt: qf.Filter) -> DataFrame:

@@ -127,6 +127,24 @@ class Wildcard(Filter):
 
 
 @dataclass(frozen=True)
+class Regexp(Filter):
+    """Multiterm regular-expression filter: the term dictionary is
+    expanded by FULL-match against `pattern` and the matches score like
+    any other multiterm node (top scored_terms_limit by df weighted, the
+    rest matched-unscored). The ArangoSearch REGEX_TEST / Lucene
+    RegexpQuery surface; the engine evaluates the pattern JVM-side
+    (`rlike`), the oracles with `re.fullmatch` / DuckDB
+    `regexp_full_match` — stick to the portable RE2-ish subset
+    (character classes, alternation, `*+?{m,n}` quantifiers; anchoring
+    is implicit, don't write ^ $)."""
+
+    pattern: str
+    scored_terms_limit: int = 64
+    boost: float = 1.0
+    field: str = "text"
+
+
+@dataclass(frozen=True)
 class Fuzzy(Filter):
     term: str
     max_distance: int = 1

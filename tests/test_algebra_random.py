@@ -1,7 +1,7 @@
 """Seeded randomized filter-algebra rank-identity: generate bounded random
-query trees over the full node set (Term/Terms/Prefix/Wildcard/Fuzzy/
-TermRange/Phrase incl. gap offsets/SamePosition/NgramSimilarity/And/Or/
-Not/Boost/Nested/AllDocs) and assert the Spark engine reproduces the
+query trees over the full node set (Term/Terms/Prefix/Wildcard/Regexp/
+Fuzzy/TermRange/Phrase incl. gap offsets/SamePosition/NgramSimilarity/
+And/Or/Not/Boost/Nested/AllDocs) and assert the Spark engine reproduces the
 pure-Python oracle exactly — scores AND order. This is the combinatorial
 guard the per-feature suites can't give: every composite evaluator path
 (kernel eval_node, WAND flattenings, scored-head elision re-runs,
@@ -79,7 +79,7 @@ def rnd_index(spark, tmp_path_factory):
 
 def _leaf(rng: random.Random) -> qf.Filter:
     w = rng.choice(WORDS)
-    kind = rng.randrange(10)
+    kind = rng.randrange(11)
     boost = rng.choice([1.0, 1.0, 0.5, 2.0])
     if kind == 0:
         return qf.Term(w, boost=boost)
@@ -122,6 +122,16 @@ def _leaf(rng: random.Random) -> qf.Filter:
             include_lo=rng.random() < 0.8, include_hi=rng.random() < 0.3,
             scored_terms_limit=rng.choice([3, 64]),
         )
+    if kind == 9:
+        # portable full-match regex subset (JVM rlike == re.fullmatch)
+        pat = rng.choice([
+            w[:2] + "[a-z]*",
+            "(" + "|".join(rng.sample(WORDS, 2)) + ")",
+            w[:1] + ".{2,5}",
+            "[dfh][a-z]+",
+        ])
+        return qf.Regexp(pat, boost=boost,
+                         scored_terms_limit=rng.choice([2, 64]))
     return qf.AllDocs(boost=boost)
 
 

@@ -36,6 +36,12 @@ def test_parse_prefix_wildcard():
     assert q == qf.Wildcard("w_ld%")
 
 
+def test_parse_regexp():
+    assert cli.parse_query("/w1[0-9]/") == qf.Regexp("w1[0-9]")
+    q = cli.parse_query("srcid:/s.c[0-9]+/")
+    assert q == qf.Regexp("s.c[0-9]+", field="srcid")
+
+
 def test_parse_fuzzy():
     assert cli.parse_query("tble~1") == qf.Fuzzy("tble", max_distance=1)
     assert cli.parse_query("tble~2t") == qf.Fuzzy(
@@ -119,6 +125,24 @@ def test_cli_round_trip(spark, corpus_path, tmp_path, capsys):
     assert sorted_hits and "score" not in sorted_hits[0]
     urls = [h["url"] for h in sorted_hits]
     assert urls == sorted(urls)
+
+    # /regex/ multiterm search: full-match dictionary expansion
+    rc = cli.main(
+        ["search", "--store", store, "/w3[0-9]?/", "-k", "5"], spark=spark
+    )
+    assert rc == 0
+    rhits = _out_lines(capsys)
+    assert rhits and all(h["score"] > 0 for h in rhits)
+
+    # suggest: df-ranked prefix completions from the term dictionary
+    rc = cli.main(["suggest", "--store", store, "w1", "-k", "5"], spark=spark)
+    assert rc == 0
+    sugg = _out_lines(capsys)
+    assert 0 < len(sugg) <= 5
+    assert all(s["term"].startswith("w1") for s in sugg)
+    assert all(
+        sugg[i]["df"] >= sugg[i + 1]["df"] for i in range(len(sugg) - 1)
+    )
 
     rc = cli.main(["stats", "--store", store], spark=spark)
     assert rc == 0

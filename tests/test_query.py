@@ -463,3 +463,48 @@ def test_with_cols_stored_column_retrieval(searcher, unit_corpus):
     # unknown column fails loudly
     with pytest.raises(ValueError, match="not a stored doc column"):
         searcher.search_batch({0: flt}, k=3, with_cols=("nosuch",))
+
+
+def test_regexp_filter_rank_identical(searcher, unit_index):
+    """Multiterm regexp (ArangoSearch REGEX_TEST / Lucene RegexpQuery):
+    full-match dictionary expansion, scored like every multiterm node,
+    composable with the rest of the algebra."""
+    from iresearch_spark.query.filters import Regexp
+
+    _store, _sid, oracle = unit_index
+    trees = {
+        0: Regexp("w1[0-9]"),
+        1: Regexp("(w3|w7)"),
+        2: Regexp("w1.{1,2}", scored_terms_limit=5),
+        3: And(Term("w3"), Regexp("w4[0-9]")),
+        4: Phrase(["w0", Regexp("w1[0-9]?")]),
+    }
+    got = _spark_results(searcher, trees, k=10)
+    n_nonempty = 0
+    for qid, t in trees.items():
+        want = oracle.search(t, k=10)
+        have = got.get(qid, [])
+        if want:
+            n_nonempty += 1
+        assert len(have) == len(want), (qid, t)
+        for (rank, seg, doc, url, score), (oseg, odoc, ourl, oscore) in zip(
+            have, want
+        ):
+            assert (seg, doc, url) == (oseg, odoc, ourl), (qid, t, rank)
+            assert score == oscore, (qid, t, rank)
+    assert n_nonempty >= 3
+
+
+def test_suggest_prefix_completion(searcher, unit_index):
+    """S7 suggester: top-k dictionary completions by (global df desc,
+    term asc), straight from the materialized term dictionary."""
+    _store, _sid, oracle = unit_index
+    rows = searcher.suggest("w1", k=8).collect()
+    df = {
+        t: d
+        for (f, t), d in oracle.df.items()
+        if f == "text" and t.startswith("w1")
+    }
+    want = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert [(r["term"], r["df"]) for r in rows] == want
+    assert len(rows) == 8

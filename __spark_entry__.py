@@ -598,6 +598,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["suggest_terms"] = suggest_terms
 
+    # Deep pagination (Lucene searchAfter / ES from+size cost model):
+    # page 2 re-ranked 1..k must equal ranks 11..20 of the global order
+    def bm25_page2(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        res = s.search_page(
+            qf.Term("table"), k=10, offset=10, with_urls=True, tie="url",
+            score_round=6,
+        )
+        return res.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.col("score"),
+        )
+
+    q["bm25_page2"] = bm25_page2
+
+    # Total-hits count over the FULL match set (match-only kernel)
+    def match_count(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        n = s.count_docs(qf.Or(qf.Term("data"), qf.Term("dup")))
+        return spark.createDataFrame([(n,)], "n_matches bigint")
+
+    q["match_count"] = match_count
+
     # S9 encryption at rest: BM25 over an AES-GCM-encrypted store must be
     # hash-identical to the plaintext oracle
     def bm25_encrypted(spark, sf_dir):
@@ -1102,6 +1126,15 @@ FROM m GROUP BY {dim} ORDER BY {dim}"""
     o["suggest_terms"] = f"""{base_ctes()}
 SELECT term, df::BIGINT AS df FROM df
 WHERE term LIKE 's%' ORDER BY df DESC, term ASC LIMIT 15"""
+    o["bm25_page2"] = f"""SELECT CAST(t.rank - 10 AS INT) AS rank,
+       t.doc_id, t.score
+FROM ({bm25_topk_sql(["table"], k=20)}) t
+WHERE t.rank > 10 ORDER BY rank"""
+    o["match_count"] = f"""WITH t AS (
+  SELECT doc_id, {tokens_expr()} AS toks FROM documents
+)
+SELECT count(*)::BIGINT AS n_matches FROM t
+WHERE list_contains(toks, 'data') OR list_contains(toks, 'dup')"""
     o["tfidf_or2"] = f"""{base_ctes()},
 qterms(term) AS (VALUES ('data'), ('dup')),
 scored AS (

@@ -1110,6 +1110,30 @@ class IndexSearcher:
             .orderBy(*group_by)
         )
 
+    def search_page(
+        self, flt: qf.Filter, k: int = 10, offset: int = 0, **kw
+    ) -> DataFrame:
+        """Deep pagination: ranks (offset, offset+k] of the global top-k,
+        re-ranked 1..k. Cost model is the honest one every distributed
+        engine has (Lucene searchAfter / ES from+size): each segment must
+        surface its top (offset+k) candidates, so page depth — not page
+        size — drives the per-segment work and the (offset+k)·n_segments
+        global merge. Kwargs pass through to search_batch (tie,
+        score_round, with_cols, ...)."""
+        if offset < 0:
+            raise ValueError("offset must be >= 0")
+        res = self.search_batch({0: flt}, k=k + offset, **kw)
+        return (
+            res.filter(F.col("rank") > offset)
+            .withColumn("rank", (F.col("rank") - offset).cast("int"))
+        )
+
+    def count_docs(self, flt: qf.Filter) -> int:
+        """Total-hits count: |match set| via the match-only kernel — no
+        scoring, no window, no top-k cap; the aggregation is a metrics-
+        only job (count of the distributed match DataFrame)."""
+        return self.match_docs(flt).count()
+
     def suggest(
         self, prefix: str, k: int = 10, field: str = "text"
     ) -> DataFrame:

@@ -508,3 +508,24 @@ def test_suggest_prefix_completion(searcher, unit_index):
     want = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
     assert [(r["term"], r["df"]) for r in rows] == want
     assert len(rows) == 8
+
+
+def test_search_page_and_count(searcher, unit_index):
+    """Deep pagination: page 2 re-ranked 1..k equals ranks 11..20 of the
+    global order; count_docs equals the oracle's full match-set size."""
+    _store, _sid, oracle = unit_index
+    flt = Term("w3")
+    full = searcher.search_batch({0: flt}, k=20).collect()
+    page = searcher.search_page(flt, k=10, offset=10).collect()
+    assert [
+        (r["rank"], r["seg_id"], r["doc_id"], r["score"]) for r in page
+    ] == [
+        (r["rank"] - 10, r["seg_id"], r["doc_id"], r["score"])
+        for r in full
+        if r["rank"] > 10
+    ]
+    with pytest.raises(ValueError, match="offset"):
+        searcher.search_page(flt, k=5, offset=-1)
+    n = searcher.count_docs(flt)
+    assert n == len(oracle.search(flt, k=10**9))
+    assert searcher.count_docs(Term("nosuchterm")) == 0

@@ -85,6 +85,8 @@ _FILTERS: dict[str, qf.Filter] = {
     "bm25_phrase": qf.Phrase(["table", "hash"]),
     # F8 with transpositions (OSA == Damerau at d=1, where DuckDB agrees)
     "bm25_fuzzy_dl": qf.Fuzzy("tble", max_distance=1, with_transpositions=True),
+    # F8 fixed-prefix option: exact 'ta' anchor + suffix DP
+    "bm25_fuzzy_prefix": qf.Fuzzy("ble", max_distance=1, prefix="ta"),
     # field-qualified algebra: text BM25 + identity-field term (A1)
     "bm25_field_term": qf.And(qf.Term("table"), qf.Term("src7", field="srcid")),
     # A3 delimiter field: phrase over raw whitespace tokens
@@ -213,6 +215,12 @@ _BM25_ORACLES: dict[str, str] = {
     "bm25_phrase": bm25_phrase_sql(["table", "hash"]),
     "bm25_fuzzy_dl": bm25_topk_sql(
         [], expand_cond="damerau_levenshtein(term, 'tble') <= 1"
+    ),
+    "bm25_fuzzy_prefix": bm25_topk_sql(
+        [],
+        expand_cond=(
+            "term LIKE 'ta%' AND levenshtein(substr(term, 3), 'ble') <= 1"
+        ),
     ),
     "bm25_field_term": f"""{base_ctes()},
 qterms(term) AS (VALUES ('table')),

@@ -231,11 +231,16 @@ class OracleIndex:
             rx = re.compile(node.pattern)
             return [t for t in d if rx.fullmatch(t)]
         if isinstance(node, qf.Fuzzy):
+            pfx = node.prefix
             return [
                 t
                 for t in d
-                if levenshtein(
-                    node.term, t, node.max_distance, node.with_transpositions
+                if t.startswith(pfx)
+                and levenshtein(
+                    node.term,
+                    t[len(pfx):],
+                    node.max_distance,
+                    node.with_transpositions,
                 )
                 <= node.max_distance
             ]

@@ -63,7 +63,7 @@ _EXPANDABLE = (
 MAX_EXPANSION_ROWS = 100_000
 
 
-def _fuzzy_piece_cond(q: str, d: int, *, osa: bool):
+def _fuzzy_piece_cond(q: str, d: int, *, osa: bool, offset: int = 0):
     """JVM-side pigeonhole prefilter for the fuzzy dictionary scan
     (PassJoin partition signature; the reference prunes with a Levenshtein
     automaton ∩ FST instead — [up] core/search/levenshtein_filter.cpp).
@@ -72,9 +72,11 @@ def _fuzzy_piece_cond(q: str, d: int, *, osa: bool):
     most one piece's verbatim occurrence, so m = d+1 guarantees one intact
     piece; an OSA transposition straddling a boundary can destroy two, so
     m = 2d+1 there. An intact piece must occur within ±d of its position
-    in q. Returns a Column (evaluated entirely by codegen BEFORE the DP
-    pandas UDF, which Catalyst hoists into a later ArrowEvalPython node),
-    or None when q is too short to split."""
+    in q, shifted right by `offset` chars when the DP target is the
+    suffix after a fixed prefix (Fuzzy.prefix). Returns a Column
+    (evaluated entirely by codegen BEFORE the DP pandas UDF, which
+    Catalyst hoists into a later ArrowEvalPython node), or None when q
+    is too short to split."""
     m = (2 * d + 1) if osa else (d + 1)
     if d == 0 or len(q) < m:
         return None
@@ -84,8 +86,8 @@ def _fuzzy_piece_cond(q: str, d: int, *, osa: bool):
     for i in range(m):
         ln = base + (1 if i < extra else 0)
         piece = q[start : start + ln]
-        lo = max(1, start + 1 - d)  # 1-based occurrence window
-        hi = start + 1 + d
+        lo = max(1, offset + start + 1 - d)  # 1-based occurrence window
+        hi = offset + start + 1 + d
         c = F.locate(piece, F.col("term"), lo).between(lo, hi)
         cond = c if cond is None else (cond | c)
         start += ln
@@ -436,22 +438,31 @@ class IndexSearcher:
                     & F.col("term").rlike("^(?:" + node.pattern + ")$")
                 )
             elif isinstance(node, qf.Fuzzy):
-                q, d = node.term, node.max_distance
+                q, d, npfx = node.term, node.max_distance, len(node.prefix)
                 metric = (
                     damerau_leq_mask
                     if node.with_transpositions
                     else levenshtein_leq_mask
                 )
-                len_ok = F.length("term").between(len(q) - d, len(q) + d)
+                len_ok = F.length("term").between(
+                    npfx + len(q) - d, npfx + len(q) + d
+                )
 
                 @F.pandas_udf("boolean")
                 def lev_ok(terms: pd.Series) -> pd.Series:
-                    mask = metric(q, terms.to_numpy(dtype=np.str_), d)
+                    # fixed-prefix option: the DP runs on the suffix only
+                    sufs = terms.str.slice(npfx) if npfx else terms
+                    mask = metric(q, sufs.to_numpy(dtype=np.str_), d)
                     return pd.Series(mask)
 
                 pre = in_field & len_ok
+                if node.prefix:
+                    pre = pre & F.col("term").startswith(node.prefix)
+                # piece windows shift right by the prefix length: the DP
+                # target is term[len(prefix):], so an intact piece of q
+                # lands at prefix_len + its q-position, +/- d
                 piece_cond = _fuzzy_piece_cond(
-                    q, d, osa=node.with_transpositions
+                    q, d, osa=node.with_transpositions, offset=npfx
                 )
                 if piece_cond is not None:
                     pre = pre & piece_cond

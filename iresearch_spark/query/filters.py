@@ -146,12 +146,21 @@ class Regexp(Filter):
 
 @dataclass(frozen=True)
 class Fuzzy(Filter):
+    """F8 by_edit_distance. `prefix` is the reference's fixed-prefix
+    option ([up] core/search/levenshtein_filter.cpp by_edit_distance_
+    options::prefix; ArangoSearch LEVENSHTEIN_MATCH's prefix argument):
+    a dictionary term matches when it starts with `prefix` EXACTLY and
+    the remaining suffix is within `max_distance` of `term`. The prefix
+    both narrows the automaton-equivalent scan (JVM startswith pushdown)
+    and anchors the common head outside the edit budget."""
+
     term: str
     max_distance: int = 1
     with_transpositions: bool = False
     scored_terms_limit: int = 64
     boost: float = 1.0
     field: str = "text"
+    prefix: str = ""
 
 
 @dataclass(frozen=True)

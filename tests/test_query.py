@@ -529,3 +529,37 @@ def test_search_page_and_count(searcher, unit_index):
     n = searcher.count_docs(flt)
     assert n == len(oracle.search(flt, k=10**9))
     assert searcher.count_docs(Term("nosuchterm")) == 0
+
+
+def test_fuzzy_prefix_option_rank_identical(searcher, unit_index):
+    """F8 fixed-prefix option (by_edit_distance_options::prefix /
+    LEVENSHTEIN_MATCH prefix): exact-prefix anchor + suffix DP, rank-
+    identical to the oracle, and strictly narrower than the plain fuzzy."""
+    from iresearch_spark.query.filters import Fuzzy
+
+    _store, _sid, oracle = unit_index
+    trees = {
+        0: Fuzzy("23", max_distance=1, prefix="w1"),
+        1: Fuzzy("23", max_distance=1, prefix="w1", with_transpositions=True),
+        2: Fuzzy("1x", max_distance=1, prefix="w", scored_terms_limit=5),
+    }
+    got = _spark_results(searcher, trees, k=10)
+    for qid, t in trees.items():
+        want = oracle.search(t, k=10)
+        have = got.get(qid, [])
+        assert want, t  # the generator vocabulary must exercise the prefix
+        assert len(have) == len(want), (qid, t)
+        for (rank, seg, doc, url, score), (oseg, odoc, ourl, oscore) in zip(
+            have, want
+        ):
+            assert (seg, doc, url) == (oseg, odoc, ourl), (qid, t, rank)
+            assert score == oscore, (qid, t, rank)
+    # the anchored expansion is a subset of the unanchored one
+    anchored = set(oracle.expand_weighted(trees[0]))
+    loose = {
+        (t, w)
+        for t, w in oracle.expand_weighted(Fuzzy("w123", max_distance=1))
+    }
+    assert {t for t, _ in anchored} <= {t for t, _ in loose} | {
+        t for t, _ in anchored
+    }

@@ -24,7 +24,13 @@ from iresearch_spark.fixtures.adapter import documents_as_corpus
 from iresearch_spark.query import filters as qf
 from iresearch_spark.query.executor import IndexSearcher
 from iresearch_spark.store import SnapshotStore
-from iresearch_spark.textops import dedup, multimodal, quality, similarity
+from iresearch_spark.textops import (
+    dedup,
+    multimodal,
+    quality,
+    sampling,
+    similarity,
+)
 from iresearch_spark.textops.sqlgen import (
     _score_expr,
     base_ctes,
@@ -1052,6 +1058,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_signatures"] = lambda s, d: dedup.minhash_signatures(_docs(s, d))
     q["minhash_lsh_pairs"] = lambda s, d: dedup.lsh_pairs(_docs(s, d))
     q["lsh_verified_pairs"] = lambda s, d: dedup.lsh_verified_pairs(_docs(s, d))
+    # the dedup DECISION: connected components over verified pairs,
+    # keep-one-per-cluster (distributed min-label propagation)
+    q["neardup_clusters"] = lambda s, d: dedup.neardup_clusters(_docs(s, d))
+    q["hash_sample"] = lambda s, d: sampling.hash_sample(_docs(s, d))
+    q["per_source_cap"] = lambda s, d: sampling.per_source_cap(_docs(s, d))
     q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
     q["embed_knn"] = lambda s, d: similarity.cosine_topk(_embs(s, d))
@@ -1251,6 +1262,9 @@ FROM documents GROUP BY lang ORDER BY lang"""
     o["minhash_signatures"] = dedup.minhash_signatures_sql()
     o["minhash_lsh_pairs"] = dedup.lsh_pairs_sql()
     o["lsh_verified_pairs"] = dedup.lsh_verified_pairs_sql()
+    o["neardup_clusters"] = dedup.neardup_clusters_sql()
+    o["hash_sample"] = sampling.hash_sample_sql()
+    o["per_source_cap"] = sampling.per_source_cap_sql()
     o["simhash"] = dedup.simhash_sql()
     o["simhash_pairs"] = dedup.simhash_pairs_sql()
     o["embed_knn"] = similarity.cosine_topk_sql()

@@ -338,3 +338,96 @@ def simhash_pairs_sql(max_hamming: int = 3) -> str:
         + f"\nSELECT DISTINCT doc_a, doc_b, hamming FROM ({unions}) "
         + f"WHERE hamming <= {max_hamming} ORDER BY doc_a, doc_b"
     )
+
+
+# ------------------------------------------------- near-dup clustering
+
+def neardup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    n_bands: int = 2,
+    max_iter: int = 10,
+) -> DataFrame:
+    """The dedup DECISION a pipeline applies: connected components over
+    the verified near-dup pair graph, one row per clustered doc with
+    `cluster` = min doc_id of its component and `keep` = (doc_id ==
+    cluster) — keep-one-per-cluster.
+
+    Distributed min-label propagation: labels converge in O(component
+    diameter) rounds (near-dup components are shallow — dup clusters are
+    cliques or stars from a shared source doc), each round ONE shuffle
+    join of the O(|pairs|) edge table against the O(|clustered docs|)
+    label table plus a metrics-only convergence count; lineage is cut
+    per round with localCheckpoint so the plan stays O(1) deep. No
+    driver-side graph — both tables stay distributed, so the same loop
+    runs at 10^12 docs where components are still shallow but plentiful.
+    """
+    pairs = lsh_verified_pairs(docs, threshold, n_hashes, n_bands).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nb = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new = (
+            labels.join(nb, labels["doc_id"] == nb["doc_a"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+                ).alias("lab"),
+                (F.coalesce(F.col("nlab"), F.col("lab")) < F.col("lab"))
+                .cast("int")
+                .alias("chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.agg(F.sum("chg")).collect()[0][0] or 0
+        labels = new.drop("chg")
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("lab").alias("cluster"),
+        (F.col("doc_id") == F.col("lab")).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def neardup_clusters_sql(
+    threshold: float = 0.5, n_hashes: int = 8, n_bands: int = 2
+) -> str:
+    """DuckDB twin: recursive transitive closure over the symmetric pair
+    graph, cluster = min reachable doc_id."""
+    return f"""WITH RECURSIVE pairs AS (
+  {lsh_verified_pairs_sql(threshold, n_hashes, n_bands)}
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, m) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.m FROM e JOIN reach ON e.b = reach.node
+)
+SELECT node AS doc_id, min(m) AS cluster,
+       node = min(m) AS keep
+FROM reach GROUP BY node ORDER BY doc_id"""

@@ -628,6 +628,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_page2"] = bm25_page2
 
+    # Field collapsing (Lucene grouping): exact global top-k with at most
+    # one hit per source — scored_all kernel + group window, never a
+    # deep-head heuristic
+    def bm25_collapse_source(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        res = s.grouped_topk(
+            qf.Term("table"), "source", k=10, per_group=1, score_round=6
+        )
+        return res.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.col("score"),
+            F.col("source"),
+        )
+
+    q["bm25_collapse_source"] = bm25_collapse_source
+
     # Total-hits count over the FULL match set (match-only kernel)
     def match_count(spark, sf_dir):
         s = _searcher(spark, sf_dir)
@@ -1149,6 +1166,27 @@ WHERE term LIKE 's%' ORDER BY df DESC, term ASC LIMIT 15"""
        t.doc_id, t.score
 FROM ({bm25_topk_sql(["table"], k=20)}) t
 WHERE t.rank > 10 ORDER BY rank"""
+    o["bm25_collapse_source"] = f"""{base_ctes()},
+qterms(term) AS (VALUES ('table')),
+scored AS (
+  SELECT tf.doc_id, round(sum({_score_expr(1.2, 0.75)}), 6) AS score
+  FROM tf JOIN qterms USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+g AS (
+  SELECT sc.doc_id, sc.score, d.source,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY sc.score DESC, sc.doc_id ASC
+         ) AS gr
+  FROM scored sc JOIN documents d USING (doc_id)
+)
+SELECT rank, doc_id, score, source FROM (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+           AS rank,
+         doc_id, score, source
+  FROM g WHERE gr = 1
+) WHERE rank <= 10 ORDER BY rank"""
     o["match_count"] = f"""WITH t AS (
   SELECT doc_id, {tokens_expr()} AS toks FROM documents
 )

@@ -1121,6 +1121,80 @@ class IndexSearcher:
             .orderBy(*group_by)
         )
 
+    def grouped_topk(
+        self,
+        flt: qf.Filter,
+        group_col: str,
+        k: int = 10,
+        per_group: int = 1,
+        score_round: int | None = None,
+    ) -> DataFrame:
+        """Field collapsing (Lucene grouping / the collapse clause search
+        UIs use): the global top-k with at most `per_group` hits per
+        `group_col` value (a stored doc column — built-in or
+        stored_cols). EXACT, not a deep-head heuristic: collapse is an
+        aggregation over the match set, so the kernel runs with WAND/
+        top-k truncation OFF (scored_all) and every matching doc's score
+        ships to the group window. Cost is the match-set size at
+        (group, score) width — the same shape as facets() plus scores —
+        then two row_number windows: per (qid, group) keyed by the hash
+        shuffle on group_col, and a tiny global one over the <=
+        |groups|·per_group survivors. Ties: (score desc, url asc), so
+        results are parallelism- and oracle-reproducible.
+
+        Returns (rank, seg_id, doc_id, url, <group_col>, score)."""
+        if self.sort:
+            raise ValueError(
+                "grouped_topk ties by url and requires the default url "
+                f"docID order; this index is primary-sorted by {self.sort!r}"
+            )
+        trees, terms, idf, need_pos = self.prepare({0: flt})
+        if all(isinstance(t, qf.Empty) for t in trees.values()):
+            return self.spark.createDataFrame(
+                [],
+                "rank int, seg_id int, doc_id bigint, url string, "
+                f"{group_col} string, score double",
+            )
+        cols = ["seg_id", "field", "term", "df", "blob", "skip", "bmax"]
+        if need_pos:
+            cols += ["pos_off", "pos_pay"]
+        rows = (
+            self._postings.filter(_keys_condition(terms)).select(*cols)
+            if terms
+            else self._postings.limit(0).select(*cols)
+        )
+        if terms and any(key not in idf for key in terms):
+            gdf = rows.groupBy("field", "term").agg(F.sum("df").alias("gdf"))
+            rows = rows.join(F.broadcast(gdf), ["field", "term"], "left")
+        kernel = _make_segment_kernel(
+            trees, idf, self.avgdl_by_field, self.field_names, self.k1,
+            self.b, 0, need_pos, score_round, self.scorer,
+            n_docs=self.n_docs, scored_all=True,
+        )
+        per_seg = (
+            rows.groupBy("seg_id")
+            .cogroup(self._norms_side(trees).groupBy("seg_id"))
+            .applyInPandas(kernel, RESULT_SCHEMA)
+        )
+        docs = self.store.read_docs(self.spark, self.sid).select(
+            "seg_id", "doc_id", "url",
+            *([group_col] if group_col != "url" else []),
+        )
+        cand = docs.join(per_seg, ["seg_id", "doc_id"])
+        wg = Window.partitionBy("qid", group_col).orderBy(
+            F.desc("score"), F.asc("url")
+        )
+        survivors = cand.withColumn(
+            "grp_rank", F.row_number().over(wg)
+        ).filter(F.col("grp_rank") <= per_group)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
+        return (
+            survivors.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("rank", "seg_id", "doc_id", "url", group_col, "score")
+            .orderBy("rank")
+        )
+
     def search_page(
         self, flt: qf.Filter, k: int = 10, offset: int = 0, **kw
     ) -> DataFrame:
@@ -1200,6 +1274,7 @@ class IndexSearcher:
 def _make_segment_kernel(
     trees, idf, avgdl_by_field, field_names, k1, b, k, need_pos,
     score_round=None, scorer="bm25", match_only=False, n_docs=0,
+    scored_all=False,
 ):
     """Per-segment scoring kernel (runs in applyInPandas cogroup).
 
@@ -1628,7 +1703,10 @@ def _make_segment_kernel(
                 )
                 continue
             docs = scores = None
-            ft = _flatten_or_terms(tree)
+            # scored_all (grouped top-k / collapse): the caller needs the
+            # FULL scored match set, so WAND's top-k pruning is invalid —
+            # take the exact-eval path and skip truncation below
+            ft = None if scored_all else _flatten_or_terms(tree)
             if ft is not None and len(ft) >= 2:
                 pairs = [
                     (
@@ -1644,7 +1722,7 @@ def _make_segment_kernel(
                     pairs, k, tfn, mask=mask, score_round=score_round
                 )
             else:
-                fa = _flatten_and_terms(tree)
+                fa = None if scored_all else _flatten_and_terms(tree)
                 if fa is not None and len(fa) >= 2:
                     if any(get_reader(key) is None for key, _m in fa):
                         continue  # a missing term empties the conjunction
@@ -1667,7 +1745,9 @@ def _make_segment_kernel(
                 continue
             if score_round is not None:
                 scores = np.round(scores, score_round)
-            order = np.lexsort((docs, -scores))[:k]
+            order = np.lexsort((docs, -scores))
+            if not scored_all:
+                order = order[:k]
             out_frames.append(
                 pd.DataFrame(
                     {

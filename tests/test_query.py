@@ -563,3 +563,33 @@ def test_fuzzy_prefix_option_rank_identical(searcher, unit_index):
     assert {t for t, _ in anchored} <= {t for t, _ in loose} | {
         t for t, _ in anchored
     }
+
+
+def test_grouped_topk_collapse(searcher, unit_index, unit_corpus):
+    """Field collapse: exact global top-k with <= per_group hits per
+    group value, verified against the oracle's full scored match set."""
+    import pandas as pd
+
+    _store, _sid, oracle = unit_index
+    flt = Term("w3")
+    res = searcher.grouped_topk(flt, "lang", k=8, per_group=2).collect()
+    scores = oracle.evaluate(flt)
+    lang_of = dict(zip(unit_corpus["url"], unit_corpus["lang"]))
+    rows = [
+        (oracle.doc_url[key], lang_of[oracle.doc_url[key]], sc)
+        for key, sc in scores.items()
+    ]
+    df = (
+        pd.DataFrame(rows, columns=["url", "lang", "score"])
+        .sort_values(["score", "url"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    df["gr"] = df.groupby("lang").cumcount() + 1
+    surv = df[df["gr"] <= 2].head(8)
+    assert [(r["url"], r["lang"], r["score"]) for r in res] == [
+        tuple(x) for x in surv[["url", "lang", "score"]].itertuples(index=False)
+    ]
+    assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
+    # per-group constraint holds
+    langs = [r["lang"] for r in res]
+    assert all(langs.count(v) <= 2 for v in set(langs))

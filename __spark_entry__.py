@@ -1080,6 +1080,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["neardup_clusters"] = lambda s, d: dedup.neardup_clusters(_docs(s, d))
     q["hash_sample"] = lambda s, d: sampling.hash_sample(_docs(s, d))
     q["per_source_cap"] = lambda s, d: sampling.per_source_cap(_docs(s, d))
+    # token-budget shard packing (distributed prefix-sum) and the
+    # composed quality∧dedup∧sample keep-list
+    q["token_shards"] = lambda s, d: sampling.token_shards(_docs(s, d))
+    q["pipeline_keep"] = lambda s, d: sampling.keep_list(_docs(s, d))
     q["simhash"] = lambda s, d: dedup.simhash(_docs(s, d))
     q["simhash_pairs"] = lambda s, d: dedup.simhash_pairs(_docs(s, d))
     q["embed_knn"] = lambda s, d: similarity.cosine_topk(_embs(s, d))
@@ -1303,6 +1307,8 @@ FROM documents GROUP BY lang ORDER BY lang"""
     o["neardup_clusters"] = dedup.neardup_clusters_sql()
     o["hash_sample"] = sampling.hash_sample_sql()
     o["per_source_cap"] = sampling.per_source_cap_sql()
+    o["token_shards"] = sampling.token_shards_sql()
+    o["pipeline_keep"] = sampling.keep_list_sql()
     o["simhash"] = dedup.simhash_sql()
     o["simhash_pairs"] = dedup.simhash_pairs_sql()
     o["embed_knn"] = similarity.cosine_topk_sql()

@@ -72,3 +72,169 @@ def per_source_cap_sql(cap: int = 3) -> str:
   FROM documents
 )
 WHERE rn <= {cap} ORDER BY source, doc_id"""
+
+
+def token_shards(docs: DataFrame, budget: int = 2000) -> DataFrame:
+    """Pack docs into ~budget-token shards in deterministic doc_id order
+    — the shard-assembly step before training-data serialization (a doc
+    lands in shard floor(exclusive_prefix_tokens / budget), so shards
+    fill to >= budget and the assignment is a pure function of the
+    corpus).
+
+    The prefix sum is DISTRIBUTED: range-partition by doc_id, cumsum
+    inside each partition under a partition-local window, then add each
+    partition's exclusive offset (a per-partition one-row aggregate,
+    broadcast back) — the same two-phase trick build docID assignment
+    uses. No global single-task window anywhere, so the plan holds at
+    10^12 docs."""
+    from iresearch_spark.textops.common import tokens_col
+
+    d = docs.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("int").alias(
+            "n_tokens"
+        )
+    )
+    parts = max(d.rdd.getNumPartitions(), 1)
+    d = d.repartitionByRange(parts, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    d = d.withColumn(
+        "local_pre", (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    )
+    totals = d.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect()
+    off, offs = 0, {}
+    for r in sorted(totals, key=lambda r: r["pid"]):
+        offs[r["pid"]] = off
+        off += int(r["tot"])
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offs.items()], "pid int, off bigint"
+    )
+    return (
+        d.join(F.broadcast(off_df), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((F.col("off") + F.col("local_pre")) / budget)
+            .cast("bigint")
+            .alias("shard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def token_shards_sql(budget: int = 2000) -> str:
+    from iresearch_spark.textops.sqlgen import tokens_expr
+
+    return f"""WITH d AS (
+  SELECT doc_id, len({tokens_expr()})::INT AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS pre
+  FROM d
+)
+SELECT doc_id, n_tokens, (pre // {budget})::BIGINT AS shard
+FROM c ORDER BY doc_id"""
+
+
+def keep_list(
+    docs: DataFrame,
+    rate_permille: int = 800,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The composed corpus decision a pre-training pipeline materializes:
+    keep a doc iff it passes the quality floor AND it is its near-dup
+    cluster's representative (or unclustered) AND it falls in the
+    deterministic hash sample. One row per doc with the final boolean —
+    the keep-list downstream jobs semi-join against. All three inputs
+    are the already-scale-safe ops (quality: narrow scan; clusters:
+    label propagation; sample: pure hash), composed with two left
+    equijoins on doc_id."""
+    from iresearch_spark.textops import dedup, quality
+
+    qual = quality.quality_scores(docs, top=2**31 - 1).select(
+        "doc_id", "keep"
+    )
+    clusters = dedup.neardup_clusters(docs, threshold=threshold).select(
+        "doc_id", F.col("keep").alias("dedup_keep")
+    )
+    samp = hash_sample(docs, rate_permille).select(
+        "doc_id", F.lit(True).alias("in_sample")
+    )
+    return (
+        qual.join(clusters, "doc_id", "left")
+        .join(samp, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("keep")
+                & F.coalesce(F.col("dedup_keep"), F.lit(True))
+                & F.coalesce(F.col("in_sample"), F.lit(False))
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def keep_list_sql(rate_permille: int = 800, threshold: float = 0.5) -> str:
+    from iresearch_spark.textops import dedup
+    from iresearch_spark.textops.sqlgen import TOKEN_SPLIT_RE, tokens_expr
+
+    raw = (
+        f"list_filter(string_split_regex(lower(coalesce(text, '')), "
+        f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )
+    return f"""WITH RECURSIVE pairs AS (
+  {dedup.lsh_verified_pairs_sql(threshold)}
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, m) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.m FROM e JOIN reach ON e.b = reach.node
+),
+lab AS (SELECT node AS doc_id, min(m) AS cluster FROM reach GROUP BY node),
+qd AS (
+  SELECT doc_id, {raw} AS raw, {tokens_expr()} AS kept,
+         length(lower(coalesce(text, ''))) AS n_chars_c,
+         length(lower(coalesce(text, '')))
+           - length(regexp_replace(lower(coalesce(text, '')),
+                                   '[^a-z0-9 ]', '', 'g')) AS n_punct
+  FROM documents
+),
+qm AS (
+  SELECT doc_id, len(raw)::INT AS n_tokens,
+         CASE WHEN len(raw) > 0
+              THEN round((len(raw) - len(kept))::DOUBLE / len(raw), 6)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars_c > 0
+              THEN round(n_punct::DOUBLE / n_chars_c, 6)
+              ELSE 0.0 END AS punct_ratio
+  FROM qd
+),
+qual AS (
+  SELECT doc_id,
+         (n_tokens >= 10 AND stop_ratio <= 0.6 AND punct_ratio <= 0.3)
+           AS qkeep
+  FROM qm
+),
+samp AS (
+  SELECT doc_id FROM documents
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000
+        < {rate_permille}
+)
+SELECT q.doc_id,
+       (q.qkeep
+        AND (l.cluster IS NULL OR l.doc_id = l.cluster)
+        AND s.doc_id IS NOT NULL) AS keep
+FROM qual q
+LEFT JOIN lab l USING (doc_id)
+LEFT JOIN samp s USING (doc_id)
+ORDER BY q.doc_id"""

@@ -76,3 +76,52 @@ def test_hash_sample_stable_and_nested(spark):
     assert s100 == again  # deterministic
     assert s100 <= s300  # nested by rate
     assert 0 < len(s100) < len(s300) < 500
+
+
+def test_token_shards_budget_packing(spark):
+    import pandas as pd
+
+    texts = [f"tok{i} " * (10 + i % 7) for i in range(200)]
+    pdf = pd.DataFrame({"doc_id": range(200), "text": [t.strip() for t in texts]})
+    sdf = spark.createDataFrame(pdf)
+    rows = sampling.token_shards(sdf, budget=100).collect()
+    assert [r["doc_id"] for r in rows] == list(range(200))
+    # shard ids are non-decreasing in doc order and derived from the
+    # exclusive prefix sum
+    pre = 0
+    for r in rows:
+        assert r["shard"] == pre // 100
+        pre += r["n_tokens"]
+    shards = [r["shard"] for r in rows]
+    assert shards == sorted(shards)
+    assert shards[-1] > 0
+    # cumulative mass through the end of each closed shard s covers its
+    # budget window: >= (s+1)*budget (individual shards may run short
+    # only by a predecessor's overshoot, never by under-packing)
+    tot = {}
+    for r in rows:
+        tot[r["shard"]] = tot.get(r["shard"], 0) + r["n_tokens"]
+    cum = 0
+    for s in sorted(tot):
+        cum += tot[s]
+        if s != max(tot):
+            assert cum >= (s + 1) * 100
+
+
+def test_keep_list_composition(spark):
+    import pandas as pd
+
+    texts = (
+        ["alpha bravo charlie delta echo foxtrot golf hotel india juliet"] * 4
+        + ["x!"] * 3  # fails quality floor
+        + [f"w{i} unique doc body with plenty of content tokens here now ok{i}" for i in range(20)]
+    )
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    rows = {r["doc_id"]: r["keep"] for r in sampling.keep_list(sdf, rate_permille=1000).collect()}
+    assert len(rows) == len(texts)
+    # exact duplicates: only the min doc_id of the clique keeps
+    assert rows[0] is True
+    assert rows[1] is False and rows[2] is False and rows[3] is False
+    # quality failures never keep
+    assert rows[4] is False and rows[5] is False and rows[6] is False

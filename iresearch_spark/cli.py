@@ -244,6 +244,7 @@ def cmd_build(args, spark) -> int:
     corpus = spark.read.parquet(args.input)
     store = _open_store(args)
     fields = [_parse_field(s) for s in args.field] or None
+    stored = tuple(c for c in (args.stored or "").split(",") if c)
     sid = build_index(
         spark,
         corpus,
@@ -252,6 +253,7 @@ def cmd_build(args, spark) -> int:
         fields=fields,
         source=args.input,
         mode="append" if args.append else "replace",
+        stored_cols=stored,
     )
     snap = store.snapshot(sid)
     print(
@@ -278,6 +280,41 @@ def cmd_search(args, spark) -> int:
         # primary sort of a build_index(sort_by=...) index — S10)
         for i, r in enumerate(s.sorted_topk(flt, k=args.k).collect(), 1):
             print(json.dumps({"rank": i, "url": r["url"]}))
+        return 0
+    if getattr(args, "facet", None):
+        # faceted aggregation over the FULL match set
+        for r in s.facets(flt, group_by=(args.facet,)).collect():
+            print(
+                json.dumps(
+                    {
+                        args.facet: r[args.facet],
+                        "n_docs": int(r["n_docs"]),
+                        "sum_dl": int(r["sum_dl"]),
+                    },
+                    default=str,
+                )
+            )
+        return 0
+    if getattr(args, "snippet", None):
+        # highlighting: offset spans + snippet from the stored source col
+        res = s.highlights(
+            flt, k=args.k, source_col=args.snippet, score_round=6
+        )
+        for r in res.collect():
+            print(
+                json.dumps(
+                    {
+                        "rank": int(r["rank"]),
+                        "url": r["url"],
+                        "score": float(r["score"]),
+                        "n_matches": int(r["n_matches"]),
+                        "spans": [
+                            [sp["start"], sp["length"]] for sp in r["spans"] or []
+                        ],
+                        "snippet": r["snippet"],
+                    }
+                )
+            )
         return 0
     cols = tuple(
         c for c in (args.cols or "").split(",") if c
@@ -504,6 +541,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         default=[],
         help="name[,source[,analyzer[,offsets[,payloads]]]] (repeatable)",
     )
+    b.add_argument(
+        "--stored", default="",
+        help="comma-separated corpus columns persisted as stored user "
+        "columns (columnstore; retrievable via --cols/--snippet/--facet)",
+    )
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", parents=[keyp], help="BM25 top-k search")
@@ -521,6 +563,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     s.add_argument(
         "--sorted", action="store_true",
         help="first-k matches in index (primary-sort) order, no scoring",
+    )
+    s.add_argument(
+        "--facet", default=None, metavar="COL",
+        help="facet the FULL match set by a stored doc column",
+    )
+    s.add_argument(
+        "--snippet", default=None, metavar="COL",
+        help="highlight: offset spans + snippet from stored column COL",
     )
     s.set_defaults(fn=cmd_search)
 

@@ -342,3 +342,38 @@ def test_cli_snapshots_rollback(spark, corpus_path, tmp_path, capsys):
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {
         "discarded": False
     }
+
+
+def test_cli_stored_snippet_facet(spark, corpus_path, tmp_path, capsys):
+    """--stored persists user columns at build; --snippet highlights from
+    a stored column; --facet aggregates the full match set."""
+    store = str(tmp_path / "idx_stored")
+    rc = cli.main(
+        ["build", "--input", corpus_path, "--store", store, "--segments", "2",
+         "--field", "text,__text__,text,offsets", "--stored", "text"],
+        spark=spark,
+    )
+    assert rc == 0
+    _out_lines(capsys)
+
+    rc = cli.main(
+        ["search", "--store", store, "w3", "-k", "3", "--snippet", "text"],
+        spark=spark,
+    )
+    assert rc == 0
+    hits = _out_lines(capsys)
+    assert hits
+    for h in hits:
+        assert h["n_matches"] >= 1 and h["spans"]
+        st, ln = h["spans"][0]
+        assert "w3" in h["snippet"]
+        assert ln == 2
+
+    rc = cli.main(
+        ["search", "--store", store, "w3", "--facet", "lang"], spark=spark
+    )
+    assert rc == 0
+    facets = _out_lines(capsys)
+    assert facets and all(f["n_docs"] > 0 for f in facets)
+    vals = [f["lang"] for f in facets]
+    assert vals == sorted(vals)

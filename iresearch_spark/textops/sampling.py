@@ -95,12 +95,44 @@ def token_shards(docs: DataFrame, budget: int = 2000) -> DataFrame:
         )
     )
     parts = max(d.rdd.getNumPartitions(), 1)
-    d = d.repartitionByRange(parts, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("pid").orderBy("doc_id")
-    d = d.withColumn(
-        "local_pre", (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+
+    # partition-local exclusive cumsum, vectorized per Arrow batch with a
+    # running carry across batches — runs IN the range-partitioned layout
+    # (a Window partitionBy(pid) would re-shuffle the whole table on pid,
+    # which Catalyst can't see is already satisfied)
+    def local_cumsum(batches):
+        import numpy as np
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        run = 0
+        for b in batches:
+            n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+            pre = run + np.concatenate(([0], np.cumsum(n[:-1], dtype=np.int64)))
+            run += int(n.sum())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    b.column("n_tokens"),
+                    pa.array(np.full(len(n), pid, dtype=np.int32)),
+                    pa.array(pre.astype(np.int64)),
+                ],
+                names=["doc_id", "n_tokens", "pid", "local_pre"],
+            )
+
+    d = (
+        d.repartitionByRange(parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .mapInArrow(
+            local_cumsum,
+            "doc_id bigint, n_tokens int, pid int, local_pre bigint",
+        )
+        # pin ONE materialization: the totals job and the final join must
+        # see the SAME range boundaries / pid assignment (range
+        # partitioning samples its bounds, so two independent executions
+        # are not guaranteed identical)
+        .localCheckpoint()
     )
     totals = d.groupBy("pid").agg(F.sum("n_tokens").alias("tot")).collect()
     off, offs = 0, {}

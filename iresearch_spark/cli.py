@@ -295,6 +295,24 @@ def cmd_search(args, spark) -> int:
                 )
             )
         return 0
+    if getattr(args, "collapse", None):
+        # exact field collapsing: <= 1 hit per stored-column value
+        res = s.grouped_topk(
+            flt, args.collapse, k=args.k, per_group=1, score_round=6
+        )
+        for r in res.collect():
+            print(
+                json.dumps(
+                    {
+                        "rank": int(r["rank"]),
+                        "url": r["url"],
+                        args.collapse: r[args.collapse],
+                        "score": float(r["score"]),
+                    },
+                    default=str,
+                )
+            )
+        return 0
     if getattr(args, "snippet", None):
         # highlighting: offset spans + snippet from the stored source col
         res = s.highlights(
@@ -571,6 +589,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     s.add_argument(
         "--snippet", default=None, metavar="COL",
         help="highlight: offset spans + snippet from stored column COL",
+    )
+    s.add_argument(
+        "--collapse", default=None, metavar="COL",
+        help="field collapsing: at most one hit per COL value (exact)",
     )
     s.set_defaults(fn=cmd_search)
 

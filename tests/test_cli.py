@@ -369,6 +369,18 @@ def test_cli_stored_snippet_facet(spark, corpus_path, tmp_path, capsys):
         assert "w3" in h["snippet"]
         assert ln == 2
 
+
+    rc = cli.main(
+        ["search", "--store", store, "w3", "-k", "5", "--collapse", "lang"],
+        spark=spark,
+    )
+    assert rc == 0
+    coll = _out_lines(capsys)
+    assert coll
+    langs = [h["lang"] for h in coll]
+    assert len(langs) == len(set(langs))  # at most one hit per lang
+    assert [h["rank"] for h in coll] == list(range(1, len(coll) + 1))
+
     rc = cli.main(
         ["search", "--store", store, "w3", "--facet", "lang"], spark=spark
     )

@@ -646,6 +646,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_collapse_source"] = bm25_collapse_source
 
     # Total-hits count over the FULL match set (match-only kernel)
+    # score Explanation (Lucene explain): per-(hit, term) additive BM25
+    # breakdown rows — tf, global df, and the term's rounded contribution;
+    # Σ contribution per hit = the hit's score (exact decomposition)
+    def bm25_explain(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        res = s.explain_score(
+            qf.Or(qf.Term("data"), qf.Term("dup")), k=5, tie="url",
+            score_round=6,
+        )
+        return res.select(
+            "rank",
+            F.col("url").cast("long").alias("doc_id"),
+            "term", "tf", "df", "contribution",
+        )
+
+    q["bm25_explain"] = bm25_explain
+
     def match_count(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         n = s.count_docs(qf.Or(qf.Term("data"), qf.Term("dup")))
@@ -1191,6 +1208,30 @@ SELECT rank, doc_id, score, source FROM (
          doc_id, score, source
   FROM g WHERE gr = 1
 ) WHERE rank <= 10 ORDER BY rank"""
+    o["bm25_explain"] = f"""{base_ctes()},
+qterms(term) AS (VALUES ('data'), ('dup')),
+scored AS (
+  SELECT tf.doc_id, round(sum({_score_expr(1.2, 0.75)}), 6) AS score
+  FROM tf JOIN qterms USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+hits AS (
+  SELECT CAST(rank AS INT) AS rank, doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+)
+SELECT h.rank, h.doc_id, tf.term, tf.tf, df.df,
+       round({_score_expr(1.2, 0.75)}, 6) AS contribution
+FROM hits h
+JOIN tf ON tf.doc_id = h.doc_id
+JOIN qterms ON qterms.term = tf.term
+JOIN df ON df.term = tf.term
+JOIN dl ON dl.doc_id = h.doc_id
+CROSS JOIN stats s
+ORDER BY h.rank, tf.term"""
     o["match_count"] = f"""WITH t AS (
   SELECT doc_id, {tokens_expr()} AS toks FROM documents
 )

@@ -1238,6 +1238,180 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def _term_doc_tfs(self, keys) -> DataFrame:
+        """Decoded (seg_id, doc_id, field, term, tf) rows for a set of
+        (field, term) keys: pushdown-pruned postings scan + docID/tf blob
+        decode inside mapInArrow — no positions, no driver
+        materialization; cost is O(posting rows of the keys)."""
+        rows = self._postings.filter(
+            _keys_condition(sorted(set(keys)))
+        ).select("seg_id", "field", "term", "blob")
+
+        def explode(batches):
+            import pyarrow as pa
+
+            for bt in batches:
+                pdf = bt.to_pandas()
+                for r in pdf.itertuples():
+                    pl = decode_postings(bytes(r.blob))
+                    n = len(pl.doc_ids)
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(np.full(n, r.seg_id, dtype=np.int32)),
+                            pa.array(pl.doc_ids.astype(np.int64)),
+                            pa.array([r.field] * n, pa.string()),
+                            pa.array([r.term] * n, pa.string()),
+                            pa.array(pl.tfs.astype(np.int64)),
+                        ],
+                        names=["seg_id", "doc_id", "field", "term", "tf"],
+                    )
+
+        return rows.mapInArrow(
+            explode,
+            "seg_id int, doc_id bigint, field string, term string, tf bigint",
+        )
+
+    def explain_score(
+        self,
+        flt: qf.Filter,
+        k: int = 10,
+        tie: str = "segdoc",
+        score_round: int | None = None,
+    ) -> DataFrame:
+        """Lucene-style score Explanation for the top-k hits: one row per
+        (hit, contributing term) carrying tf, global df, idf, the term's
+        composed weight (path boosts × expansion weight — 0.0 for F17's
+        matched-but-unscored expansion tail) and its additive score
+        contribution. Σ contribution over a hit's rows equals the hit's
+        score: the kernel's scorers are per-term additive, so the
+        decomposition is exact, not an approximation.
+
+        Supported shapes: term-decomposable trees — Term/Terms leaves
+        under And / Or(min_match), an optional root-level Not; multiterm
+        filters (prefix/range/wildcard/regexp/fuzzy) work because prepare
+        rewrites them to weighted Terms. And nested under Or is refused:
+        a partially-matched inner conjunction contributes nothing in the
+        kernel, so flat per-term attribution would lie.
+
+        Cost shape (the highlights() shape): the normal top-k job + ONE
+        pruned postings scan over the query's resolved keys joined to the
+        broadcast k-row hit set + broadcast df/weight joins — O(query-term
+        posting rows), corpus-size-invariant.
+
+        Returns (rank, seg_id, doc_id, url, field, term, tf, df, weight,
+        contribution, score) ordered by (rank, field, term)."""
+        schema = (
+            "rank int, seg_id int, doc_id bigint, url string, field string,"
+            " term string, tf bigint, df bigint, weight double,"
+            " contribution double, score double"
+        )
+        trees, _terms, _idf, _need_pos = self.prepare({0: flt})
+        node = trees[0]
+        if isinstance(node, qf.Not):
+            node = node.child  # hits already exclude; excluded adds no score
+        if isinstance(node, qf.Empty):
+            return self.spark.createDataFrame([], schema)
+        weights: dict[tuple[str, str], float] = {}
+
+        def leaf(n: qf.Filter, mult: float) -> None:
+            if isinstance(n, qf.Term):
+                key = (n.field, n.term)
+                weights[key] = weights.get(key, 0.0) + mult * n.boost
+            elif isinstance(n, qf.Terms):
+                w_by_t = dict(zip(n.terms, n.weights))
+                for t in sorted(w_by_t):
+                    key = (n.field, t)
+                    weights[key] = (
+                        weights.get(key, 0.0) + mult * n.boost * w_by_t[t]
+                    )
+            elif isinstance(n, qf.Or):
+                for c in n.children:
+                    leaf(c, mult * n.boost)
+            else:
+                raise ValueError(
+                    f"explain_score: {type(n).__name__} has no exact "
+                    "per-term attribution (positional/constant-score "
+                    "nodes and And-under-Or are not term-decomposable)"
+                )
+
+        if isinstance(node, qf.And):
+            for c in node.children:
+                leaf(c, node.boost)
+        else:
+            leaf(node, 1.0)
+
+        hits = self.search_batch(
+            {0: flt}, k=k, with_urls=True, tie=tie, score_round=score_round
+        ).drop("qid")
+        keys = sorted(weights)
+        wdf = self.spark.createDataFrame(
+            [(f, t, float(w)) for (f, t), w in sorted(weights.items())],
+            "field string, term string, weight double",
+        )
+        gdf = (
+            self._postings.filter(_keys_condition(keys))
+            .groupBy("field", "term")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        docs = self.store.read_docs(self.spark, self.sid).select(
+            "seg_id", "doc_id", "fdls"
+        )
+        joined = (
+            self._term_doc_tfs(keys)
+            .join(
+                F.broadcast(
+                    hits.select("rank", "seg_id", "doc_id", "url", "score")
+                ),
+                ["seg_id", "doc_id"],
+            )
+            .join(F.broadcast(wdf), ["field", "term"])
+            .join(F.broadcast(gdf), ["field", "term"])
+            .join(docs, ["seg_id", "doc_id"])
+        )
+        # per-row stats of the LEAF's field: dl from the doc's per-field
+        # length vector, avgdl from the snapshot stats — exactly what the
+        # scoring kernel uses (eval_node's Term arm)
+        fmap = F.map_from_arrays(
+            F.array(*[F.lit(f) for f in self.field_names]),
+            F.col("fdls").cast("array<double>"),
+        )
+        amap = F.create_map(
+            *[
+                x
+                for f, a in sorted(self.avgdl_by_field.items())
+                for x in (F.lit(f), F.lit(float(a) or 1.0))
+            ]
+        )
+        dl = F.element_at(fmap, F.col("field"))
+        avgdl = F.element_at(amap, F.col("field"))
+        n = float(self.n_docs)
+        dfc = F.col("df").cast("double")
+        tfc = F.col("tf").cast("double")
+        if self.scorer == "tfidf":
+            idf = F.lit(1.0) + F.log(F.lit(n) / (dfc + F.lit(1.0)))
+            tfn = F.sqrt(tfc) / F.sqrt(dl)
+        else:
+            idf = F.log(
+                F.lit(1.0)
+                + (F.lit(n) - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+            )
+            tfn = (tfc * F.lit(self.k1 + 1.0)) / (
+                tfc
+                + F.lit(self.k1)
+                * (F.lit(1.0 - self.b) + F.lit(self.b) * dl / avgdl)
+            )
+        return (
+            joined.withColumn(
+                "contribution",
+                F.round(F.col("weight") * idf * tfn, 6),
+            )
+            .select(
+                "rank", "seg_id", "doc_id", "url", "field", "term", "tf",
+                "df", "weight", "contribution", "score",
+            )
+            .orderBy("rank", "field", "term")
+        )
+
     def match_docs(self, flt: qf.Filter) -> DataFrame:
         """Match-only execution: every (seg_id, doc_id) the filter matches,
         straight from the per-segment kernel — no scoring pass, no

@@ -279,18 +279,21 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         return got
     store = SnapshotStore(
         os.path.join(
-            _CACHE_ROOT, "contract_index_v6", key.strip("/").replace("/", "_")
+            _CACHE_ROOT, "contract_index_v7", key.strip("/").replace("/", "_")
         )
     )
     if store.current_snapshot_id() is None:
-        corpus = documents_as_corpus(
-            spark, key, extra_cols=("source", "n_chars")
-        ).withColumn("n_chars", F.col("n_chars").cast("string"))
+        corpus = (
+            documents_as_corpus(spark, key, extra_cols=("source", "n_chars"))
+            .withColumn("nchars", F.col("n_chars").cast("long"))
+            .withColumn("n_chars", F.col("n_chars").cast("string"))
+        )
         build_index(
             spark, corpus, store, n_segments=4, fields=_MF_FIELDS, source=key,
-            # user columnstore: the raw text (highlight snippets read it)
-            # and the source id (a stored facet dimension)
-            stored_cols=("text", "source"),
+            # user columnstore: the raw text (highlight snippets read it),
+            # the source id (a stored facet dimension), and a numeric
+            # column (query-time attribute sort + range facets)
+            stored_cols=("text", "source", "nchars"),
         )
     s = IndexSearcher(spark, store)
     _SEARCHERS[key] = s
@@ -662,6 +665,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_explain"] = bm25_explain
+
+    # query-time attribute sort (SEARCH ... SORT doc.attr DESC LIMIT k on
+    # an index with no primary sort): match-only kernel + per-segment
+    # head-k pruning on the stored numeric column
+    def sortby_nchars(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        res = s.sort_by_topk(
+            qf.Term("table"), by="nchars", k=10, ascending=False
+        )
+        return res.select(
+            "rank", F.col("url").cast("long").alias("doc_id"), "nchars"
+        )
+
+    q["sortby_nchars"] = sortby_nchars
+
+    # ES/OpenSearch-style range aggregation over the full match set:
+    # one conditional-count pass, empty ranges emitted with n_docs = 0
+    def facet_nchars_ranges(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.range_facets(
+            qf.Or(qf.Term("data"), qf.Term("dup")),
+            "nchars",
+            [(None, 200.0), (200.0, 400.0), (400.0, None), (10**9, None)],
+        )
+
+    q["facet_nchars_ranges"] = facet_nchars_ranges
 
     def match_count(spark, sf_dir):
         s = _searcher(spark, sf_dir)
@@ -1232,6 +1261,39 @@ JOIN df ON df.term = tf.term
 JOIN dl ON dl.doc_id = h.doc_id
 CROSS JOIN stats s
 ORDER BY h.rank, tf.term"""
+    o["sortby_nchars"] = f"""WITH t AS (
+  SELECT doc_id, n_chars, {tokens_expr()} AS toks FROM documents
+),
+m AS (SELECT doc_id, n_chars FROM t WHERE list_contains(toks, 'table'))
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (
+           ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS INT) AS rank,
+         doc_id, n_chars::BIGINT AS nchars
+  FROM m
+) WHERE rank <= 10 ORDER BY rank"""
+    o["facet_nchars_ranges"] = f"""WITH t AS (
+  SELECT doc_id, n_chars, {tokens_expr()} AS toks FROM documents
+),
+m AS (
+  SELECT n_chars FROM t
+  WHERE list_contains(toks, 'data') OR list_contains(toks, 'dup')
+)
+SELECT CAST(0 AS INT) AS bucket, NULL::DOUBLE AS lo, 200.0 AS hi,
+       coalesce(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END), 0)::BIGINT
+         AS n_docs FROM m
+UNION ALL
+SELECT CAST(1 AS INT), 200.0, 400.0,
+       coalesce(sum(CASE WHEN n_chars >= 200 AND n_chars < 400
+                    THEN 1 ELSE 0 END), 0)::BIGINT FROM m
+UNION ALL
+SELECT CAST(2 AS INT), 400.0, NULL::DOUBLE,
+       coalesce(sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END), 0)::BIGINT
+  FROM m
+UNION ALL
+SELECT CAST(3 AS INT), 1000000000.0, NULL::DOUBLE,
+       coalesce(sum(CASE WHEN n_chars >= 1000000000 THEN 1 ELSE 0 END),
+                0)::BIGINT FROM m
+ORDER BY bucket"""
     o["match_count"] = f"""WITH t AS (
   SELECT doc_id, {tokens_expr()} AS toks FROM documents
 )

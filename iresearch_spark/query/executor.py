@@ -1081,6 +1081,113 @@ class IndexSearcher:
         )
         return cand.orderBy(*order).limit(k)
 
+    def sort_by_topk(
+        self,
+        flt: qf.Filter,
+        by: str,
+        k: int = 10,
+        ascending: bool = True,
+    ) -> DataFrame:
+        """Query-time attribute sort: the top-k MATCHING docs ordered by a
+        stored doc column (built-in url/warc_ts/lang or a stored_cols
+        user column) — the `SEARCH … SORT doc.attr LIMIT k` surface for
+        indexes WITHOUT a primary sort on that attribute (recency sort,
+        price sort). Scoring machinery is skipped entirely: the match-only
+        kernel feeds a (seg_id, doc_id) equijoin with the docs table.
+
+        Scale shape: the global top-k by any total order is contained in
+        the union of per-segment top-k's by the same order, so a
+        per-segment window prunes the candidate set to ≤ k·n_segments
+        rows before the (tiny) global sort — the sorted_topk plan, with
+        the stored column instead of index order. Nulls sort last at
+        both widths; ties break by url ascending.
+
+        Returns (rank, seg_id, doc_id, url, <by>)."""
+        docs = self.store.read_docs(self.spark, self.sid)
+        if by not in docs.columns or by in ("seg_id", "doc_id", "fdls"):
+            raise ValueError(
+                f"sort_by_topk: {by!r} is not a stored doc column "
+                f"(available: "
+                f"{sorted(set(docs.columns) - {'seg_id', 'doc_id', 'fdls'})})"
+            )
+        key = (
+            F.col(by).asc_nulls_last()
+            if ascending
+            else F.col(by).desc_nulls_last()
+        )
+        order = [key, F.col("url").asc()]
+        matched = self.match_docs(flt)
+        sel = ["seg_id", "doc_id", "url"] + ([by] if by != "url" else [])
+        cand = docs.select(*sel).join(matched, ["seg_id", "doc_id"])
+        w = Window.partitionBy("seg_id").orderBy(*order)
+        heads = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+        wg = Window.orderBy(*order)
+        return (
+            heads.withColumn("rank", F.row_number().over(wg).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("rank", *sel)
+            .orderBy("rank")
+        )
+
+    def range_facets(
+        self,
+        flt: qf.Filter,
+        col: str,
+        ranges: list[tuple[float | None, float | None]],
+    ) -> DataFrame:
+        """Range facets over the FULL match set (the ES/OpenSearch range
+        aggregation): for each [lo, hi) interval over a stored numeric
+        doc column — None = open end; intervals may overlap — count the
+        matching docs inside it. One pass: the facets() join shape
+        (match-only kernel + docs equijoin) aggregated to a single row
+        of per-range conditional counts with map-side partial combine,
+        then unpivoted to one row per range. Empty ranges are returned
+        with n_docs = 0, so the output schema/rows depend only on the
+        request, never on the data.
+
+        Returns (bucket, lo, hi, n_docs) ordered by bucket."""
+        docs = self.store.read_docs(self.spark, self.sid)
+        if col not in docs.columns or col in ("seg_id", "doc_id", "fdls"):
+            raise ValueError(f"range_facets: {col!r} is not a stored doc column")
+        if not ranges:
+            raise ValueError("range_facets: ranges must be non-empty")
+        matched = self.match_docs(flt)
+        joined = docs.select("seg_id", "doc_id", col).join(
+            matched, ["seg_id", "doc_id"]
+        )
+        v = F.col(col).cast("double")
+        aggs = []
+        for i, (lo, hi) in enumerate(ranges):
+            cond = v.isNotNull()
+            if lo is not None:
+                cond = cond & (v >= float(lo))
+            if hi is not None:
+                cond = cond & (v < float(hi))
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0))
+                .cast("long")
+                .alias(f"_r{i}")
+            )
+        row = joined.agg(*aggs)
+        out = None
+        for i, (lo, hi) in enumerate(ranges):
+            one = row.select(
+                F.lit(i).cast("int").alias("bucket"),
+                F.lit(None if lo is None else float(lo))
+                .cast("double")
+                .alias("lo"),
+                F.lit(None if hi is None else float(hi))
+                .cast("double")
+                .alias("hi"),
+                F.coalesce(F.col(f"_r{i}"), F.lit(0)).cast("long").alias("n_docs"),
+            )
+            out = one if out is None else out.unionAll(one)
+        return out.orderBy("bucket")
+
     def facets(
         self,
         flt: qf.Filter,

@@ -680,6 +680,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sortby_nchars"] = sortby_nchars
 
+    # Lucene MoreLikeThis: the seed doc's top-10 terms by round(tf·idf,6)
+    # become an unboosted disjunction; seed excluded, ranks recomputed
+    def mlt_doc(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        res = s.more_like_this(
+            "000000000007", k=10, tie="url", score_round=6
+        )
+        return res.select(
+            "rank", F.col("url").cast("long").alias("doc_id"), "score"
+        )
+
+    q["mlt_doc"] = mlt_doc
+
     # ES/OpenSearch-style range aggregation over the full match set:
     # one conditional-count pass, empty ranges emitted with n_docs = 0
     def facet_nchars_ranges(spark, sf_dir):
@@ -1261,6 +1274,27 @@ JOIN df ON df.term = tf.term
 JOIN dl ON dl.doc_id = h.doc_id
 CROSS JOIN stats s
 ORDER BY h.rank, tf.term"""
+    o["mlt_doc"] = f"""{base_ctes()},
+seedtf AS (SELECT term, tf FROM tf WHERE doc_id = 7),
+sel AS (
+  SELECT st.term FROM seedtf st JOIN df USING (term) CROSS JOIN stats s
+  ORDER BY round(st.tf * ln(1.0 + (s.n_docs - df.df + 0.5)
+                            / (df.df + 0.5)), 6) DESC,
+           st.term ASC
+  LIMIT 10
+),
+scored AS (
+  SELECT tf.doc_id, round(sum({_score_expr(1.2, 0.75)}), 6) AS score
+  FROM tf JOIN sel USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  WHERE tf.doc_id <> 7
+  GROUP BY tf.doc_id
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY rank"""
     o["sortby_nchars"] = f"""WITH t AS (
   SELECT doc_id, n_chars, {tokens_expr()} AS toks FROM documents
 ),

@@ -1519,6 +1519,108 @@ class IndexSearcher:
             .orderBy("rank", "field", "term")
         )
 
+    def more_like_this(
+        self,
+        url: str,
+        k: int = 10,
+        max_query_terms: int = 10,
+        field: str = "text",
+        source_col: str = "text",
+        min_tf: int = 1,
+        min_df: int = 1,
+        tie: str = "segdoc",
+        score_round: int | None = None,
+    ) -> DataFrame:
+        """Lucene MoreLikeThis: find the docs most similar to a seed doc
+        by turning its most interesting terms into a disjunction query.
+
+        The seed's `source_col` stored value (a one-row pruned
+        columnstore read) is re-analyzed with the FIELD's frozen
+        analyzer; candidate terms keep tf ≥ min_tf, their global df comes
+        from one pushdown-pruned term-dictionary scan (isin over the
+        seed's vocabulary — O(doc vocab), never a corpus scan), and the
+        top max_query_terms by interestingness — round(tf·idf, 6) desc,
+        term asc, Lucene MLT's default ranking — become an unboosted
+        Or which runs through the normal BM25 top-k machinery. The seed
+        itself is excluded and ranks recomputed 1..k.
+
+        Returns search_batch's row shape (rank, seg_id, doc_id, score,
+        url) minus qid."""
+        docs = self.store.read_docs(self.spark, self.sid)
+        if source_col not in docs.columns:
+            raise ValueError(
+                f"more_like_this needs the stored column {source_col!r} "
+                "(build the index with stored_cols including it)"
+            )
+        seed = docs.filter(F.col("url") == url).select(
+            "seg_id", "doc_id", source_col
+        ).collect()
+        if not seed:
+            raise ValueError(f"more_like_this: no doc with url {url!r}")
+        seed_seg, seed_doc = int(seed[0]["seg_id"]), int(seed[0]["doc_id"])
+        spec = next(
+            (
+                d["analyzer"]
+                for d in self.store.fields(self.sid)
+                if d["name"] == field
+            ),
+            None,
+        )
+        if spec is None:
+            raise ValueError(f"more_like_this: unknown field {field!r}")
+        from collections import Counter
+
+        from iresearch_spark.analysis.analyzers import analyze_one
+
+        tf = Counter(t for t, _p in analyze_one(seed[0][source_col], spec))
+        cand = sorted(t for t, c in tf.items() if c >= min_tf)
+        if not cand:
+            return self.spark.createDataFrame(
+                [], "rank int, seg_id int, doc_id bigint, score double,"
+                " url string"
+            )
+        df_rows = (
+            self._term_dict()
+            .filter((F.col("field") == field) & F.col("term").isin(cand))
+            .select("term", "df")
+            .collect()
+        )
+        dfs = {r["term"]: int(r["df"]) for r in df_rows}
+        scored = sorted(
+            (
+                (-round(tf[t] * self.idf(dfs[t]), 6), t)
+                for t in cand
+                if dfs.get(t, 0) >= min_df
+            ),
+        )
+        top = [t for _m, t in scored[:max_query_terms]]
+        if not top:
+            return self.spark.createDataFrame(
+                [], "rank int, seg_id int, doc_id bigint, score double,"
+                " url string"
+            )
+        res = self.search_batch(
+            {0: qf.Terms(top, field=field)},
+            k=k + 1,
+            with_urls=True,
+            tie=tie,
+            score_round=score_round,
+        ).drop("qid")
+        survivors = res.filter(
+            ~((F.col("seg_id") == seed_seg) & (F.col("doc_id") == seed_doc))
+        )
+        order = (
+            [F.desc("score"), F.asc("url")]
+            if tie == "url"
+            else [F.desc("score"), F.asc("seg_id"), F.asc("doc_id")]
+        )
+        w = Window.orderBy(*order)
+        return (
+            survivors.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .orderBy("rank")
+        )
+
     def match_docs(self, flt: qf.Filter) -> DataFrame:
         """Match-only execution: every (seg_id, doc_id) the filter matches,
         straight from the per-segment kernel — no scoring pass, no

@@ -1125,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_stats"] = lambda s, d: quality.token_stats(_docs(s, d))
     q["bpe_token_stats"] = lambda s, d: quality.bpe_token_stats(_docs(s, d))
     q["quality_scores"] = lambda s, d: quality.quality_scores(_docs(s, d))
+    q["tfidf_keywords"] = lambda s, d: quality.tfidf_keywords(_docs(s, d))
     q["lang_markers"] = lambda s, d: quality.lang_marker_id(_docs(s, d))
     q["winnow_fingerprints"] = lambda s, d: quality.winnow_fingerprints(_docs(s, d))
     # substring-overlap near-dup pairs (local duplication, winnowed prints)
@@ -1433,6 +1434,7 @@ FROM documents GROUP BY lang ORDER BY lang"""
     o["token_stats"] = quality.token_stats_sql()
     o["bpe_token_stats"] = quality.bpe_token_stats_sql()
     o["quality_scores"] = quality.quality_scores_sql()
+    o["tfidf_keywords"] = quality.tfidf_keywords_sql()
     o["lang_markers"] = quality.lang_marker_id_sql()
     o["winnow_fingerprints"] = quality.winnow_fingerprints_sql()
     o["winnow_pairs"] = quality.winnow_pairs_sql()

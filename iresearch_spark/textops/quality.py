@@ -396,3 +396,75 @@ FROM fpr a JOIN fpr b USING (fp)
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}
 ORDER BY shared DESC, doc_a ASC, doc_b ASC LIMIT {top}"""
+
+
+# --------------------------------------------------- tf-idf keyword extraction
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 5, top: int = 50) -> DataFrame:
+    """Per-doc keyword extraction: the top-k terms of each doc by
+    round(tf·idf, 6) desc / term asc, with idf the engine's BM25 idf
+    (ln(1 + (N − df + 0.5)/(df + 0.5))) over the WHOLE corpus — the
+    standard tf-idf keyword/tag summarizer a training-data pipeline runs
+    before topic bucketing or per-domain term audits. Output is limited
+    to doc_id < `top` for a bounded result, but tf/df/idf are corpus-
+    global.
+
+    Scale shape: one tokenize scan → (doc_id, term) tf with map-side
+    partial aggregation (one hash shuffle) → vocab-sized df table joined
+    back on term (AQE picks the join strategy; hot terms are exactly the
+    high-df / low-idf ones, so skew lands on rows a window then drops) →
+    per-doc row_number window keyed by the doc_id hash shuffle. Three
+    key-partitioned shuffles total, no collect, no explode beyond the
+    token unnest every term op pays."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.select(F.count(F.lit(1)).cast("double").alias("n"))
+    j = tf.join(df, "term").crossJoin(F.broadcast(n))
+    tfidf = F.round(
+        F.col("tf")
+        * F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        j.withColumn("tfidf", tfidf)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter((F.col("rank") <= k) & (F.col("doc_id") < top))
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def tfidf_keywords_sql(k: int = 5, top: int = 50) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {tokens_expr()} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM t),
+j AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)), 6)
+           AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, tfidf FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM j
+) WHERE rank <= {k} AND doc_id < {top}
+ORDER BY doc_id, rank"""

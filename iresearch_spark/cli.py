@@ -295,6 +295,37 @@ def cmd_search(args, spark) -> int:
                 )
             )
         return 0
+    if getattr(args, "sort_by", None):
+        spec, asc = args.sort_by, True
+        if ":" in spec:
+            spec, d = spec.rsplit(":", 1)
+            asc = d != "desc"
+        for r in s.sort_by_topk(flt, by=spec, k=args.k, ascending=asc).collect():
+            print(
+                json.dumps(
+                    {"rank": int(r["rank"]), "url": r["url"], spec: r[spec]},
+                    default=str,
+                )
+            )
+        return 0
+    if getattr(args, "explain", False):
+        for r in s.explain_score(flt, k=args.k, score_round=6).collect():
+            print(
+                json.dumps(
+                    {
+                        "rank": int(r["rank"]),
+                        "url": r["url"],
+                        "field": r["field"],
+                        "term": r["term"],
+                        "tf": int(r["tf"]),
+                        "df": int(r["df"]),
+                        "weight": float(r["weight"]),
+                        "contribution": float(r["contribution"]),
+                        "score": float(r["score"]),
+                    }
+                )
+            )
+        return 0
     if getattr(args, "collapse", None):
         # exact field collapsing: <= 1 hit per stored-column value
         res = s.grouped_topk(
@@ -344,6 +375,28 @@ def cmd_search(args, spark) -> int:
         out = {"rank": int(r["rank"]), "url": r["url"], "score": float(r["score"])}
         out.update({c: (None if r[c] is None else str(r[c])) for c in cols})
         print(json.dumps(out))
+    return 0
+
+
+def cmd_mlt(args, spark) -> int:
+    from iresearch_spark.query.executor import IndexSearcher
+
+    s = IndexSearcher(spark, _open_store(args))
+    res = s.more_like_this(
+        args.url, k=args.k, max_query_terms=args.terms,
+        field=args.field, source_col=args.source_col, score_round=6,
+        min_tf=args.min_tf, min_df=args.min_df,
+    )
+    for r in res.collect():
+        print(
+            json.dumps(
+                {
+                    "rank": int(r["rank"]),
+                    "url": r["url"],
+                    "score": float(r["score"]),
+                }
+            )
+        )
     return 0
 
 
@@ -594,6 +647,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--collapse", default=None, metavar="COL",
         help="field collapsing: at most one hit per COL value (exact)",
     )
+    s.add_argument(
+        "--sort-by", dest="sort_by", default=None, metavar="COL[:desc]",
+        help="query-time attribute sort: top-k matches by a stored doc "
+        "column instead of BM25 (append :desc for descending)",
+    )
+    s.add_argument(
+        "--explain", action="store_true",
+        help="per-term score breakdown rows instead of plain hits",
+    )
     s.set_defaults(fn=cmd_search)
 
     sb = sub.add_parser(
@@ -607,6 +669,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sb.add_argument("--all", action="store_true")
     sb.add_argument("--scorer", choices=("bm25", "tfidf"), default="bm25")
     sb.set_defaults(fn=cmd_search_batch)
+
+    m = sub.add_parser(
+        "mlt", parents=[keyp],
+        help="more-like-this: docs similar to a seed url (tf-idf term "
+        "selection from its stored source text)",
+    )
+    m.add_argument("--store", required=True)
+    m.add_argument("url")
+    m.add_argument("-k", type=int, default=10)
+    m.add_argument("--field", default="text")
+    m.add_argument("--source-col", dest="source_col", default="text")
+    m.add_argument("--terms", type=int, default=10, help="max query terms")
+    # Lucene MLT's defaults: a seed doc's df=1 singletons are perfect
+    # tf-idf scorers but match nobody else — filter them out up front
+    m.add_argument("--min-tf", dest="min_tf", type=int, default=2)
+    m.add_argument("--min-df", dest="min_df", type=int, default=5)
+    m.set_defaults(fn=cmd_mlt)
 
     sg = sub.add_parser(
         "suggest", parents=[keyp],

@@ -389,3 +389,50 @@ def test_cli_stored_snippet_facet(spark, corpus_path, tmp_path, capsys):
     assert facets and all(f["n_docs"] > 0 for f in facets)
     vals = [f["lang"] for f in facets]
     assert vals == sorted(vals)
+
+
+def test_cli_sortby_explain_mlt(spark, corpus_path, tmp_path, capsys):
+    """--sort-by orders matches by a stored column; --explain emits
+    per-term breakdown rows; mlt finds similar docs to a seed url."""
+    store = str(tmp_path / "idx_sortx")
+    rc = cli.main(
+        ["build", "--input", corpus_path, "--store", store, "--segments", "2",
+         "--stored", "text"],
+        spark=spark,
+    )
+    assert rc == 0
+    _out_lines(capsys)
+
+    rc = cli.main(
+        ["search", "--store", store, "w3", "-k", "4",
+         "--sort-by", "warc_ts:desc"],
+        spark=spark,
+    )
+    assert rc == 0
+    hits = _out_lines(capsys)
+    assert hits and [h["rank"] for h in hits] == list(range(1, len(hits) + 1))
+    stamps = [h["warc_ts"] for h in hits]
+    assert stamps == sorted(stamps, reverse=True)
+
+    rc = cli.main(
+        ["search", "--store", store, "w3 w7", "-k", "3", "--explain"],
+        spark=spark,
+    )
+    assert rc == 0
+    rows = _out_lines(capsys)
+    assert rows and {r["term"] for r in rows} <= {"w3", "w7"}
+    by_rank: dict = {}
+    for r in rows:
+        by_rank.setdefault(r["rank"], [0.0, r["score"]])
+        by_rank[r["rank"]][0] += r["contribution"]
+    for total, score in by_rank.values():
+        assert abs(total - score) < 5e-5
+
+    seed = hits[0]["url"]
+    rc = cli.main(
+        ["mlt", "--store", store, seed, "-k", "5"], spark=spark
+    )
+    assert rc == 0
+    sim = _out_lines(capsys)
+    assert sim and all(h["url"] != seed for h in sim)
+    assert [h["rank"] for h in sim] == list(range(1, len(sim) + 1))

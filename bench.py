@@ -136,6 +136,12 @@ def run_bench(
                 if n_segments is None:
                     n_docs_in = corpus.count()  # outside the measured phase
                     n_segments = max(4, min(64, n_docs_in // 1250))
+                # shuffle width follows the segment count — a DATA-layout
+                # property, identical at every cluster width. At 64
+                # partitions over a 4-segment sf corpus, every per-query
+                # exchange (cogroup, window, stats agg) paid ~60 empty
+                # tasks of pure scheduling overhead.
+                spark.conf.set("spark.sql.shuffle.partitions", str(n_segments))
             store = SnapshotStore(os.path.join(root, "index"))
             _prewarm(spark, cpus)
             t0 = time.time()

@@ -311,6 +311,7 @@ class IndexSearcher:
         self.k1, self.b = k1, b
         # primary-sort expression frozen in the manifest (None = url order)
         self.sort = store.sort_spec(self.sid)
+        self.n_segments = len(store.snapshot(self.sid)["segments"])
         if scorer not in ("bm25", "tfidf"):
             raise ValueError(scorer)
         self.scorer = scorer
@@ -540,6 +541,27 @@ class IndexSearcher:
             build, "seg_id int, ex_cols array<string>, ex_bins array<binary>"
         )
 
+    def _cogrouped(self, rows: DataFrame, trees, kernel) -> DataFrame:
+        """Run the per-segment kernel with the cogroup exchange sized to
+        the DATA, not the session default: both sides are hash-partitioned
+        on seg_id into n_segments partitions, which satisfies the
+        cogroup's required distribution, so the shuffle moves exactly one
+        non-empty partition per segment instead of
+        spark.sql.shuffle.partitions mostly-empty ones (at 64 partitions
+        over a 4-segment index, 60 tasks per query did nothing but pay
+        scheduling). The count is a property of the snapshot's layout —
+        identical at every cluster width, preserving the N-vs-4N
+        plan-invariance the scaling bench asserts."""
+        n = max(1, self.n_segments)
+        return (
+            rows.repartition(n, "seg_id")
+            .groupBy("seg_id")
+            .cogroup(
+                self._norms_side(trees).repartition(n, "seg_id").groupBy("seg_id")
+            )
+            .applyInPandas(kernel, RESULT_SCHEMA)
+        )
+
     def _norms_side(self, trees) -> DataFrame:
         """Norms table, plus per-segment existence blobs when any query
         references a ColumnExists filter."""
@@ -739,11 +761,7 @@ class IndexSearcher:
             self.b, k, need_pos, score_round, self.scorer,
             n_docs=self.n_docs,
         )
-        per_seg = (
-            rows.groupBy("seg_id")
-            .cogroup(self._norms_side(trees).groupBy("seg_id"))
-            .applyInPandas(kernel, RESULT_SCHEMA)
-        )
+        per_seg = self._cogrouped(rows, trees, kernel)
         if tie == "url":
             if self.sort:
                 # per-segment doc order is (sort_by, url), not url — the
@@ -1278,11 +1296,7 @@ class IndexSearcher:
             self.b, 0, need_pos, score_round, self.scorer,
             n_docs=self.n_docs, scored_all=True,
         )
-        per_seg = (
-            rows.groupBy("seg_id")
-            .cogroup(self._norms_side(trees).groupBy("seg_id"))
-            .applyInPandas(kernel, RESULT_SCHEMA)
-        )
+        per_seg = self._cogrouped(rows, trees, kernel)
         docs = self.store.read_docs(self.spark, self.sid).select(
             "seg_id", "doc_id", "url",
             *([group_col] if group_col != "url" else []),
@@ -1643,12 +1657,7 @@ class IndexSearcher:
             trees, idf, self.avgdl_by_field, self.field_names, self.k1,
             self.b, 0, need_pos, None, self.scorer, match_only=True,
         )
-        return (
-            rows.groupBy("seg_id")
-            .cogroup(self._norms_side(trees).groupBy("seg_id"))
-            .applyInPandas(kernel, RESULT_SCHEMA)
-            .select("seg_id", "doc_id")
-        )
+        return self._cogrouped(rows, trees, kernel).select("seg_id", "doc_id")
 
 
 # ------------------------------------------------------------------ kernel

@@ -705,6 +705,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["facet_nchars_ranges"] = facet_nchars_ranges
 
+    # ES-style fixed-interval histogram over the full match set: buckets
+    # follow the data (non-empty only), one map-side-combined pass
+    def facet_nchars_hist(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.histogram_facets(
+            qf.Or(qf.Term("data"), qf.Term("dup")), "nchars", interval=100.0
+        )
+
+    q["facet_nchars_hist"] = facet_nchars_hist
+
+    # cursor pagination (Lucene searchAfter): page 2 via the page-1
+    # cursor must equal global ranks 11..20 re-ranked 1..10 — the
+    # depth-invariant deep-read path (search_page's cost grows with
+    # offset; the cursor page's does not)
+    def bm25_after_page2(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        p1 = s.search_after(qf.Term("table"), k=10).collect()
+        cursor = (p1[-1]["score"], p1[-1]["url"])
+        res = s.search_after(qf.Term("table"), k=10, after=cursor)
+        return res.select(
+            "rank", F.col("url").cast("long").alias("doc_id"), "score"
+        )
+
+    q["bm25_after_page2"] = bm25_after_page2
+
     def match_count(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         n = s.count_docs(qf.Or(qf.Term("data"), qf.Term("dup")))
@@ -1329,6 +1354,22 @@ SELECT CAST(3 AS INT), 1000000000.0, NULL::DOUBLE,
        coalesce(sum(CASE WHEN n_chars >= 1000000000 THEN 1 ELSE 0 END),
                 0)::BIGINT FROM m
 ORDER BY bucket"""
+    o["facet_nchars_hist"] = f"""WITH t AS (
+  SELECT doc_id, n_chars, {tokens_expr()} AS toks FROM documents
+),
+m AS (
+  SELECT n_chars FROM t
+  WHERE (list_contains(toks, 'data') OR list_contains(toks, 'dup'))
+    AND n_chars IS NOT NULL
+)
+SELECT floor(n_chars / 100.0)::BIGINT AS bucket,
+       floor(n_chars / 100.0) * 100.0 AS lo,
+       count(*)::BIGINT AS n_docs
+FROM m GROUP BY 1, 2 ORDER BY bucket"""
+    o["bm25_after_page2"] = f"""SELECT CAST(t.rank - 10 AS INT) AS rank,
+       t.doc_id, t.score
+FROM ({bm25_topk_sql(["table"], k=20)}) t
+WHERE t.rank > 10 ORDER BY rank"""
     o["match_count"] = f"""WITH t AS (
   SELECT doc_id, {tokens_expr()} AS toks FROM documents
 )

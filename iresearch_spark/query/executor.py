@@ -1206,6 +1206,52 @@ class IndexSearcher:
             out = one if out is None else out.unionAll(one)
         return out.orderBy("bucket")
 
+    def histogram_facets(
+        self,
+        flt: qf.Filter,
+        col: str,
+        interval: float,
+        origin: float = 0.0,
+    ) -> DataFrame:
+        """Fixed-interval histogram over the FULL match set (the
+        ES/OpenSearch histogram / date_histogram aggregation): bucket =
+        floor((value − origin) / interval), one row per NON-EMPTY bucket
+        with its inclusive lower bound — unlike range_facets the request
+        doesn't enumerate buckets, so output rows follow the data.
+        One facets()-shaped pass: match-only kernel + docs equijoin +
+        map-side-combined groupBy on the computed bucket — shuffle is one
+        row per matched doc at (bucket) width, any corpus size.
+
+        Returns (bucket long, lo double, n_docs long) ordered by bucket;
+        null values are dropped (ES's missing-bucket semantics without a
+        missing parameter)."""
+        if interval <= 0:
+            raise ValueError("histogram_facets: interval must be > 0")
+        docs = self.store.read_docs(self.spark, self.sid)
+        if col not in docs.columns or col in ("seg_id", "doc_id", "fdls"):
+            raise ValueError(
+                f"histogram_facets: {col!r} is not a stored doc column"
+            )
+        matched = self.match_docs(flt)
+        v = F.col(col).cast("double")
+        bucket = F.floor((v - F.lit(float(origin))) / F.lit(float(interval)))
+        return (
+            docs.select("seg_id", "doc_id", col)
+            .join(matched, ["seg_id", "doc_id"])
+            .filter(v.isNotNull())
+            .groupBy(bucket.cast("long").alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .select(
+                "bucket",
+                (
+                    F.col("bucket") * F.lit(float(interval))
+                    + F.lit(float(origin))
+                ).alias("lo"),
+                "n_docs",
+            )
+            .orderBy("bucket")
+        )
+
     def facets(
         self,
         flt: qf.Filter,
@@ -1332,6 +1378,84 @@ class IndexSearcher:
         return (
             res.filter(F.col("rank") > offset)
             .withColumn("rank", (F.col("rank") - offset).cast("int"))
+        )
+
+    def search_after(
+        self,
+        flt: qf.Filter,
+        k: int = 10,
+        after: tuple[float, str] | None = None,
+        score_round: int | None = 6,
+    ) -> DataFrame:
+        """Cursor pagination (Lucene searchAfter / ES search_after): the
+        next k hits strictly after the cursor `after` = (score, url) in
+        the global (score desc, url asc) order — the scalable deep-read
+        path. Unlike search_page, whose per-segment work grows with page
+        DEPTH (offset+k candidates each), the cursor page's cost is the
+        match set at (score, url) width regardless of how deep the scroll
+        is: the kernel runs in scored_all mode (WAND/top-k truncation
+        off — a segment's k-th doc after an arbitrary cursor can lie
+        below any precomputed head), every matching doc's score joins
+        the url column, the cursor filter cuts everything at-or-before,
+        and a per-segment head-k window prunes to ≤ k·n_segments rows
+        before the tiny global sort.
+
+        Scores compare ROUNDED (score_round, default 6 — the rank
+        determinism contract), so a cursor taken from one page's last row
+        is stable across re-execution. Ranks are 1..k within the page.
+        Requires the default url docID order (like tie="url").
+
+        Returns (rank, seg_id, doc_id, url, score)."""
+        if self.sort:
+            raise ValueError(
+                "search_after cursors on (score, url) and requires the "
+                f"default url docID order; this index is primary-sorted "
+                f"by {self.sort!r}"
+            )
+        trees, terms, idf, need_pos = self.prepare({0: flt})
+        schema = "rank int, seg_id int, doc_id bigint, url string, score double"
+        if all(isinstance(t, qf.Empty) for t in trees.values()):
+            return self.spark.createDataFrame([], schema)
+        cols = ["seg_id", "field", "term", "df", "blob", "skip", "bmax"]
+        if need_pos:
+            cols += ["pos_off", "pos_pay"]
+        rows = (
+            self._postings.filter(_keys_condition(terms)).select(*cols)
+            if terms
+            else self._postings.limit(0).select(*cols)
+        )
+        if terms and any(key not in idf for key in terms):
+            gdf = rows.groupBy("field", "term").agg(F.sum("df").alias("gdf"))
+            rows = rows.join(F.broadcast(gdf), ["field", "term"], "left")
+        kernel = _make_segment_kernel(
+            trees, idf, self.avgdl_by_field, self.field_names, self.k1,
+            self.b, 0, need_pos, score_round, self.scorer,
+            n_docs=self.n_docs, scored_all=True,
+        )
+        per_seg = self._cogrouped(rows, trees, kernel)
+        docs = self.store.read_docs(self.spark, self.sid).select(
+            "seg_id", "doc_id", "url"
+        )
+        cand = docs.join(per_seg, ["seg_id", "doc_id"])
+        if after is not None:
+            s0, u0 = float(after[0]), str(after[1])
+            cand = cand.filter(
+                (F.col("score") < s0)
+                | ((F.col("score") == s0) & (F.col("url") > u0))
+            )
+        order = [F.desc("score"), F.asc("url")]
+        wseg = Window.partitionBy("seg_id").orderBy(*order)
+        heads = (
+            cand.withColumn("_rn", F.row_number().over(wseg))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+        w = Window.orderBy(*order)
+        return (
+            heads.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("rank", "seg_id", "doc_id", "url", "score")
+            .orderBy("rank")
         )
 
     def count_docs(self, flt: qf.Filter) -> int:

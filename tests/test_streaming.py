@@ -167,3 +167,37 @@ def test_stream_with_consolidation_bounds_segments(
         source="batch",
     )
     assert _topk(spark, store) == _topk(spark, fresh)
+
+
+def test_dedup_stream_drops_within_horizon(spark, unit_corpus, tmp_path):
+    """dedup_stream: identical content re-delivered within the watermark
+    horizon is dropped (first occurrence wins); distinct content passes.
+    The indexed result must equal a batch build over the DISTINCT docs."""
+    import pandas as pd
+
+    from iresearch_spark.streaming import dedup_stream
+
+    base = unit_corpus.iloc[:40].copy()
+    dup = base.iloc[:15].copy()  # re-delivery of the first 15 pages
+    dup["url"] = dup["url"] + "?mirror"  # different url, same content
+    dup["warc_ts"] = dup["warc_ts"] + pd.Timedelta(minutes=5)
+    src = str(tmp_path / "src")
+    _drop_chunks(spark, pd.concat([base, dup], ignore_index=True), src,
+                 [(0, 40), (40, 55)])
+
+    store = SnapshotStore(str(tmp_path / "idx"))
+    deduped = dedup_stream(_stream_df(spark, src), horizon="1 hour")
+    q = start_index_stream(
+        deduped, store,
+        name="warc", checkpoint_dir=str(tmp_path / "chk"),
+        n_segments=2, available_now=True,
+    )
+    q.awaitTermination(300)
+
+    s = IndexSearcher(spark, store)
+    assert s.n_docs == 40  # every mirror re-delivery was dropped
+    urls = {
+        r["url"]
+        for r in s.store.read_docs(spark, s.sid).select("url").collect()
+    }
+    assert urls == set(base["url"])  # first occurrences won

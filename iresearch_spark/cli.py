@@ -295,6 +295,22 @@ def cmd_search(args, spark) -> int:
                 )
             )
         return 0
+    if getattr(args, "after", None):
+        score_s, _, url = args.after.partition(",")
+        if not _ or not url:
+            raise SystemExit("--after needs SCORE,URL (from the last hit)")
+        res = s.search_after(flt, k=args.k, after=(float(score_s), url))
+        for r in res.collect():
+            print(
+                json.dumps(
+                    {
+                        "rank": int(r["rank"]),
+                        "url": r["url"],
+                        "score": float(r["score"]),
+                    }
+                )
+            )
+        return 0
     if getattr(args, "sort_by", None):
         spec, asc = args.sort_by, True
         if ":" in spec:
@@ -655,6 +671,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     s.add_argument(
         "--explain", action="store_true",
         help="per-term score breakdown rows instead of plain hits",
+    )
+    s.add_argument(
+        "--after", default=None, metavar="SCORE,URL",
+        help="cursor pagination: the page after this (score, url) cursor "
+        "(take both from the previous page's last hit)",
     )
     s.set_defaults(fn=cmd_search)
 

@@ -436,3 +436,17 @@ def test_cli_sortby_explain_mlt(spark, corpus_path, tmp_path, capsys):
     sim = _out_lines(capsys)
     assert sim and all(h["url"] != seed for h in sim)
     assert [h["rank"] for h in sim] == list(range(1, len(sim) + 1))
+
+    # cursor pagination: page 2 from page 1's last hit
+    rc = cli.main(["search", "--store", store, "w3", "-k", "5"], spark=spark)
+    assert rc == 0
+    p1 = _out_lines(capsys)
+    cursor = f"{p1[-1]['score']},{p1[-1]['url']}"
+    rc = cli.main(
+        ["search", "--store", store, "w3", "-k", "5", "--after", cursor],
+        spark=spark,
+    )
+    assert rc == 0
+    p2 = _out_lines(capsys)
+    assert p2 and not ({h["url"] for h in p1} & {h["url"] for h in p2})
+    assert max(h["score"] for h in p2) <= min(h["score"] for h in p1)

@@ -1151,6 +1151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bpe_token_stats"] = lambda s, d: quality.bpe_token_stats(_docs(s, d))
     q["quality_scores"] = lambda s, d: quality.quality_scores(_docs(s, d))
     q["tfidf_keywords"] = lambda s, d: quality.tfidf_keywords(_docs(s, d))
+    # ES significant_terms: the per-slice drift probe (German docs vs the
+    # whole corpus) — one conditional-count shuffle, JLH scaled lift
+    q["sig_terms_de"] = lambda s, d: quality.significant_terms(
+        _docs(s, d), "lang = 'de'"
+    )
     q["lang_markers"] = lambda s, d: quality.lang_marker_id(_docs(s, d))
     q["winnow_fingerprints"] = lambda s, d: quality.winnow_fingerprints(_docs(s, d))
     # substring-overlap near-dup pairs (local duplication, winnowed prints)
@@ -1476,6 +1481,7 @@ FROM documents GROUP BY lang ORDER BY lang"""
     o["bpe_token_stats"] = quality.bpe_token_stats_sql()
     o["quality_scores"] = quality.quality_scores_sql()
     o["tfidf_keywords"] = quality.tfidf_keywords_sql()
+    o["sig_terms_de"] = quality.significant_terms_sql("lang = 'de'")
     o["lang_markers"] = quality.lang_marker_id_sql()
     o["winnow_fingerprints"] = quality.winnow_fingerprints_sql()
     o["winnow_pairs"] = quality.winnow_pairs_sql()

@@ -468,3 +468,80 @@ SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, tfidf FROM (
   FROM j
 ) WHERE rank <= {k} AND doc_id < {top}
 ORDER BY doc_id, rank"""
+
+
+# ------------------------------------------------------- significant terms
+
+
+def significant_terms(
+    docs: DataFrame, cond: str, k: int = 20, min_fg: int = 3
+) -> DataFrame:
+    """ES significant_terms: terms OVERREPRESENTED in the foreground doc
+    set (`cond`, a SQL boolean over the docs columns) relative to the
+    whole corpus — the drift/bias probe a training-data pipeline runs per
+    domain/language/source slice. Doc-frequency based like ES: fg_rate =
+    df_fg/n_fg vs bg_rate = df_bg/n_bg over distinct per-doc terms;
+    score is the JLH-style scaled lift (fg_rate − bg_rate) ·
+    (fg_rate / bg_rate), positive-only, df_fg ≥ min_fg, top-k by
+    (round(score, 6) desc, term asc).
+
+    Scale shape: one tokenize scan with per-doc distinct terms → one
+    term-keyed groupBy carrying both counters as conditional sums
+    (map-side partial combine — the background and foreground tallies
+    ride ONE shuffle) + a broadcast 1-row corpus-count join. No collect,
+    no second corpus pass."""
+    toks = docs.select(
+        F.expr(cond).alias("_fg"),
+        F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("term"),
+    )
+    agg = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_bg"),
+        F.sum(F.when(F.col("_fg"), 1).otherwise(0))
+        .cast("long")
+        .alias("df_fg"),
+    )
+    n = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_bg"),
+        F.sum(F.when(F.expr(cond), 1).otherwise(0))
+        .cast("double")
+        .alias("n_fg"),
+    )
+    j = agg.crossJoin(F.broadcast(n))
+    fg_rate = F.col("df_fg") / F.col("n_fg")
+    bg_rate = F.col("df_bg") / F.col("n_bg")
+    score = F.round((fg_rate - bg_rate) * (fg_rate / bg_rate), 6)
+    return (
+        j.withColumn("score", score)
+        # positivity gates on the UNROUNDED lift (the oracle twin does the
+        # same), so a term whose score rounds to 0 doesn't flip presence
+        .filter((F.col("df_fg") >= min_fg) & ((fg_rate - bg_rate) > 0))
+        .select("term", "df_fg", "df_bg", "score")
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def significant_terms_sql(cond: str, k: int = 20, min_fg: int = 3) -> str:
+    return f"""
+WITH t AS (
+  SELECT ({cond}) AS fg, list_distinct({tokens_expr()}) AS toks
+  FROM documents
+),
+tok AS (SELECT fg, unnest(toks) AS term FROM t),
+agg AS (
+  SELECT term, count(*)::BIGINT AS df_bg,
+         sum(CASE WHEN fg THEN 1 ELSE 0 END)::BIGINT AS df_fg
+  FROM tok GROUP BY 1
+),
+n AS (
+  SELECT count(*)::DOUBLE AS n_bg,
+         sum(CASE WHEN fg THEN 1 ELSE 0 END)::DOUBLE AS n_fg
+  FROM t
+)
+SELECT term, df_fg, df_bg,
+       round((df_fg / n.n_fg - df_bg / n.n_bg)
+             * ((df_fg / n.n_fg) / (df_bg / n.n_bg)), 6) AS score
+FROM agg CROSS JOIN n
+WHERE df_fg >= {min_fg}
+  AND (df_fg / n.n_fg - df_bg / n.n_bg) > 0
+ORDER BY score DESC, term ASC LIMIT {k}"""

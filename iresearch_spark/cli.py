@@ -272,6 +272,24 @@ def cmd_build(args, spark) -> int:
 def cmd_search(args, spark) -> int:
     from iresearch_spark.query.executor import IndexSearcher
 
+    # the output-mode flags each pick a different search surface; they are
+    # dispatched first-match-wins below, so combining them would silently
+    # ignore all but one — fail loudly instead
+    modes = {
+        "--sorted": bool(getattr(args, "sorted", False)),
+        "--facet": getattr(args, "facet", None) is not None,
+        "--after": getattr(args, "after", None) is not None,
+        "--sort-by": getattr(args, "sort_by", None) is not None,
+        "--explain": bool(getattr(args, "explain", False)),
+        "--snippet": getattr(args, "snippet", None) is not None,
+        "--collapse": getattr(args, "collapse", None) is not None,
+    }
+    chosen = [name for name, on in modes.items() if on]
+    if len(chosen) > 1:
+        raise SystemExit(
+            "search: choose at most one output mode, got "
+            + " ".join(chosen)
+        )
     flt = parse_query(args.query, field=args.field, require_all=args.all)
     s = IndexSearcher(spark, _open_store(args), scorer=args.scorer)
     flt = resolve_numeric_ranges(flt, _field_analyzers(s.store, s.sid))

@@ -1191,20 +1191,37 @@ class IndexSearcher:
                 .alias(f"_r{i}")
             )
         row = joined.agg(*aggs)
-        out = None
-        for i, (lo, hi) in enumerate(ranges):
-            one = row.select(
-                F.lit(i).cast("int").alias("bucket"),
-                F.lit(None if lo is None else float(lo))
-                .cast("double")
-                .alias("lo"),
-                F.lit(None if hi is None else float(hi))
-                .cast("double")
-                .alias("hi"),
-                F.coalesce(F.col(f"_r{i}"), F.lit(0)).cast("long").alias("n_docs"),
+        # unpivot the one aggregated row with stack() so every range rides
+        # the SAME aggregate subtree — a per-range unionAll would reference
+        # the full match+join+agg plan once per range and lean on exchange
+        # reuse to stay "one pass"
+        stack_args = ", ".join(
+            f"CAST({i} AS INT), COALESCE(_r{i}, 0L)" for i in range(len(ranges))
+        )
+        los = F.array(
+            *[
+                F.lit(None if lo is None else float(lo)).cast("double")
+                for lo, _ in ranges
+            ]
+        )
+        his = F.array(
+            *[
+                F.lit(None if hi is None else float(hi)).cast("double")
+                for _, hi in ranges
+            ]
+        )
+        return (
+            row.selectExpr(
+                f"stack({len(ranges)}, {stack_args}) AS (bucket, n_docs)"
             )
-            out = one if out is None else out.unionAll(one)
-        return out.orderBy("bucket")
+            .select(
+                "bucket",
+                F.element_at(los, F.col("bucket") + 1).alias("lo"),
+                F.element_at(his, F.col("bucket") + 1).alias("hi"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+            )
+            .orderBy("bucket")
+        )
 
     def histogram_facets(
         self,
@@ -1527,9 +1544,12 @@ class IndexSearcher:
         (hit, contributing term) carrying tf, global df, idf, the term's
         composed weight (path boosts × expansion weight — 0.0 for F17's
         matched-but-unscored expansion tail) and its additive score
-        contribution. Σ contribution over a hit's rows equals the hit's
-        score: the kernel's scorers are per-term additive, so the
-        decomposition is exact, not an approximation.
+        contribution. The decomposition is exact in float64 — the
+        kernel's scorers are per-term additive — but each DISPLAYED
+        contribution is rounded independently (to `score_round` digits,
+        default 6, matching the default hit-score rounding), so the sum
+        of displayed contributions can differ from the displayed score
+        by up to n_terms · 0.5 · 10^-score_round.
 
         Supported shapes: term-decomposable trees — Term/Terms leaves
         under And / Or(min_match), an optional root-level Not; multiterm
@@ -1648,7 +1668,10 @@ class IndexSearcher:
         return (
             joined.withColumn(
                 "contribution",
-                F.round(F.col("weight") * idf * tfn, 6),
+                F.round(
+                    F.col("weight") * idf * tfn,
+                    score_round if score_round is not None else 6,
+                ),
             )
             .select(
                 "rank", "seg_id", "doc_id", "url", "field", "term", "tf",

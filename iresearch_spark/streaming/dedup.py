@@ -43,9 +43,22 @@ def dedup_stream(
     content re-arriving within it is dropped. `extra_key_cols` widens the
     key (e.g. ("lang",) to dedup per-language).
 
+    Null-content rows never collapse into each other: md5(NULL) is NULL
+    and `dropDuplicatesWithinWatermark` treats NULL keys as equal, so the
+    key falls back to a row-identity surrogate (url if present, else a
+    non-deterministic unique id) — a crawler row with no content is not a
+    "duplicate" of another contentless row, and silently discarding
+    documents on a null column would be data loss, not dedup.
+
     Returns the deduped streaming DataFrame with the original columns."""
+    fallback = (
+        F.concat(F.lit("\x00null:"), F.col("url"))
+        if "url" in stream_df.columns
+        else F.concat(F.lit("\x00null:"), F.expr("uuid()"))
+    )
     keyed = stream_df.withColumn(
-        "_chash", F.md5(F.col(content_col).cast("binary"))
+        "_chash",
+        F.coalesce(F.md5(F.col(content_col).cast("binary")), fallback),
     )
     return (
         keyed.withWatermark(ts_col, horizon)

@@ -450,3 +450,20 @@ def test_cli_sortby_explain_mlt(spark, corpus_path, tmp_path, capsys):
     p2 = _out_lines(capsys)
     assert p2 and not ({h["url"] for h in p1} & {h["url"] for h in p2})
     assert max(h["score"] for h in p2) <= min(h["score"] for h in p1)
+
+
+def test_cli_search_mode_flags_mutually_exclusive(tmp_path):
+    """Combining two output-mode flags must fail loudly instead of
+    silently ignoring whichever dispatches later (first-match-wins)."""
+    import pytest as _pytest
+
+    from iresearch_spark import cli
+
+    with _pytest.raises(SystemExit, match="at most one output mode"):
+        cli.main(
+            [
+                "search", "--store", str(tmp_path / "nope"), "w1",
+                "--explain", "--after", "1.5,u",
+            ],
+            spark=None,
+        )

@@ -201,3 +201,36 @@ def test_dedup_stream_drops_within_horizon(spark, unit_corpus, tmp_path):
         for r in s.store.read_docs(spark, s.sid).select("url").collect()
     }
     assert urls == set(base["url"])  # first occurrences won
+
+
+def test_dedup_stream_null_content_passes_through(spark, unit_corpus, tmp_path):
+    """Null-content rows are NOT duplicates of each other: md5(NULL) is
+    NULL and dropDuplicatesWithinWatermark treats NULL keys as equal, so
+    without the url fallback every contentless row within the horizon
+    would silently collapse to one — data loss, not dedup."""
+    import pandas as pd
+
+    from iresearch_spark.streaming import dedup_stream
+
+    base = unit_corpus.iloc[:6].copy()
+    base.loc[base.index[:3], "text"] = None  # 3 contentless rows
+    dup = base.iloc[4:5].copy()  # one real duplicate (same content)
+    dup["url"] = dup["url"] + "?mirror"
+    dup["warc_ts"] = dup["warc_ts"] + pd.Timedelta(minutes=5)
+    src = str(tmp_path / "src")
+    _drop_chunks(spark, pd.concat([base, dup], ignore_index=True), src,
+                 [(0, 7)])
+
+    out = dedup_stream(_stream_df(spark, src), horizon="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nulldedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select url, text from nulldedup").collect()
+    urls = {r["url"] for r in rows}
+    # the mirror re-delivery collapsed; all three null-text rows survived
+    assert urls == set(base["url"])
+    assert sum(1 for r in rows if r["text"] is None) == 3

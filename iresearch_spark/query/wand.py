@@ -9,20 +9,33 @@ variants, Ding & Suel 2011) in a vectorized, batch-friendly shape:
   contain the requested docs (the seek path — skip entries give block
   byte offsets, preceding blocks are never touched).
 
-* `or_terms_topk` — static-θ two-phase Block-Max WAND variant:
-    phase 0  fully score the single term with the highest upper bound;
-             its k-th best score is the pruning threshold θ.
-    phase 1  a block B of term t survives iff
-             ub_t(B) + Σ_{t'≠t} gub_{t'} ≥ θ − ε  — any doc whose every
-             term-block fails this cannot reach the top-k no matter how
-             the other terms combine (each failing inequality already
-             bounds the doc's total score below θ).
-    phase 2  exact BM25 for surviving candidates; absent-term tfs come
-             from seek-decoding exactly the needed blocks.
-  The classic doc-at-a-time heap raises θ as it goes; the static-θ
-  variant trades some pruning power for a loop-free numpy formulation —
-  results are EXACTLY the unpruned top-k (ε = 1e-4 margin guards the
-  6-dp score-rounding tie window).
+* `or_terms_topk` — dynamic-θ Block-Max WAND with iterated threshold
+  tightening (the batch-friendly analogue of the doc-at-a-time heap's
+  rising θ):
+    Every (term, block) pair gets the score upper bound
+    sb_t(B) = ub_t(B) + Σ_{t'≠t} gub_{t'} — a doc living ONLY in blocks
+    whose sb is below θ cannot reach the top-k however its terms combine.
+    Blocks are processed in DESCENDING sb order in geometrically growing
+    chunks; each round decodes the chunk's blocks, scores the new
+    candidate docs exactly (seek-decoding absent-term tfs), and tightens
+    θ to the k-th best exact score so far. On top of the per-block cut,
+    the MAXSCORE essential-list split (Turtle & Flood; Block-Max-Maxscore
+    hybrid) drops WHOLE TERMS from candidate generation: terms whose
+    ascending global upper bounds sum below θ are non-essential — a doc
+    living only in them cannot reach the top-k, so their (possibly huge)
+    lists are only seek-probed to score candidates found in essential
+    lists. θ only rises, so both cuts are monotone-safe: a block or term
+    skipped at any round (bound < θ_round − ε ≤ θ_final − ε) stays
+    skippable — results are EXACTLY the unpruned top-k (ε = 1e-4 margin
+    guards the 6-dp score-rounding tie window). Because the highest-sb
+    blocks are scored first, θ converges near its final value within the
+    first rounds and long posting tails are never decoded — the property
+    the classic BMW heap buys with per-doc pivoting, recovered here in
+    O(log n_blocks) vectorized rounds.
+  `_or_topk_static` keeps the previous static-θ two-phase variant
+  (θ bootstrapped by fully scoring the best single term, one global
+  block filter) as the measurement baseline for the pruning-rate bench
+  (scripts/wand_pruning.py).
 
 * `and_terms` — cost-ordered conjunction ([up] core/search/
   conjunction.hpp): lead with the rarest term, seek-decode only the
@@ -52,6 +65,17 @@ class TermPostings:
         self.skip = decode_skip(skip)  # (nb, 2): last_doc, byte offset
         self.bmax = decode_blockmax(bmax)  # (nb, 2): max_tf, min_dl
         self._full: tuple[np.ndarray, np.ndarray] | None = None
+        # per-block decode cache: the dynamic-θ loop revisits lists across
+        # rounds, and candidate seek-scoring touches blocks phase-1 already
+        # decoded — each 128-block is decompressed at most once
+        self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # instrumentation for the pruning-rate bench (scripts/wand_pruning):
+        # set of block indices ever decompressed
+        self.decoded: set[int] = set()
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.skip)
 
     # ---------------------------------------------------------- decode
 
@@ -62,6 +86,7 @@ class TermPostings:
                 pl.doc_ids.astype(np.int64),
                 pl.tfs.astype(np.float64),
             )
+            self.decoded.update(range(len(self.skip)))
         return self._full
 
     def decode_blocks(self, bidx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -74,8 +99,26 @@ class TermPostings:
                 return docs, tfs
             keep = np.isin((np.searchsorted(self.skip[:, 0], docs)), bidx)
             return docs[keep], tfs[keep]
-        pl = decode_postings(self.blob, block_indices=bidx, skip=self.skip_bytes)
-        return pl.doc_ids.astype(np.int64), pl.tfs.astype(np.float64)
+        need = np.array(
+            [b for b in np.asarray(bidx).tolist() if b not in self._blocks],
+            dtype=np.int64,
+        )
+        if len(need):
+            pl = decode_postings(
+                self.blob, block_indices=need, skip=self.skip_bytes
+            )
+            docs = pl.doc_ids.astype(np.int64)
+            tfs = pl.tfs.astype(np.float64)
+            owner = np.searchsorted(self.skip[:, 0], docs)
+            for b in need.tolist():
+                m = owner == b
+                self._blocks[b] = (docs[m], tfs[m])
+                self.decoded.add(b)
+        parts = [self._blocks[b] for b in np.asarray(bidx).tolist()]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
 
     # ------------------------------------------------------------ seek
 
@@ -107,28 +150,9 @@ def _drop_masked(
     return docs[keep], tfs[keep]
 
 
-def or_terms_topk(
-    terms: list[tuple[float, TermPostings, np.ndarray, float]],
-    k: int,
-    tfn,
-    mask: np.ndarray | None = None,
-    score_round: int | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Exact top-k of a weighted term disjunction with block-max pruning.
-
-    `terms` is [(weight, reader, dls, avgdl)] with weight = boost · idf
-    and dls/avgdl the term's FIELD norms (per-field statistics, as the
-    reference's per-field norm columns); `tfn(tf_array, dl_array, avgdl)`
-    is the BM25 tf-normalization; returns (docs, scores) of AT MOST k docs
-    (unsorted).
-
-    Weight-0 entries are F17's matched-but-unscored expansions: their docs
-    match with score 0, below every positive score, so their lists are
-    decoded ONLY when they could still make the top-k — fewer than k
-    positive candidates exist, or the k-th kept (rounded) score is ≤ 0 so
-    the 0-tier (doc asc) tie-break decides the tail. A huge capped-prefix
-    tail therefore costs nothing once k positively-scored docs are
-    found."""
+def _prep_terms(terms, tfn):
+    """Split entries into scored infos (with per-block upper bounds) and
+    F17 matched-but-unscored readers."""
     infos = []
     zero_readers = []
     for w, r, dls, avgdl in terms:
@@ -143,17 +167,215 @@ def or_terms_topk(
             avgdl,
         )
         infos.append((w, r, dls, avgdl, ub_blocks, float(ub_blocks.max())))
+    return infos, zero_readers
+
+
+def _zero_only_topk(zero_readers, k, mask):
+    """Pure matched-unscored disjunction: every match scores 0 and the
+    exhaustive (score desc, doc asc) selection keeps the k smallest ids."""
+    if not zero_readers:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    parts = [r.full()[0] for r in zero_readers]
+    cand = np.unique(np.concatenate(parts))
+    if mask is not None and len(cand):
+        cand = cand[~np.isin(cand, mask, assume_unique=True)]
+    return cand[:k], np.zeros(min(len(cand), k), np.float64)
+
+
+def _score_candidates(infos, cand, tfn):
+    """Exact additive scores for sorted-unique candidate docs; absent-term
+    tfs come from seek-decoding exactly the blocks the candidates touch."""
+    score = np.zeros(len(cand), np.float64)
+    for w, r, dls, avgdl, _ub, _g in infos:
+        if len(cand) == 0:
+            break
+        tf = r.lookup_tfs(cand)
+        nz = tf > 0
+        if nz.any():
+            score[nz] += w * tfn(tf[nz], dls[cand[nz] - 1], avgdl)
+    return score
+
+
+def _zero_fill_and_select(cand, score, zero_readers, k, mask):
+    """Phase 3 + final selection: zero-weight docs score exactly 0, below
+    every positive score — their lists are decoded ONLY when they could
+    still make the top-k (fewer than k positive candidates, or the k-th
+    kept rounded score is <= 0 so the 0-tier doc-asc tie-break decides)."""
+    if zero_readers and k > 0:
+        kth = (
+            float(np.partition(score, len(cand) - k)[len(cand) - k])
+            if len(cand) >= k
+            else None
+        )
+        if kth is None or kth <= 0.0:
+            zparts = [r.full()[0] for r in zero_readers]
+            zdocs = np.unique(np.concatenate(zparts))
+            if mask is not None and len(zdocs):
+                zdocs = zdocs[~np.isin(zdocs, mask, assume_unique=True)]
+            if len(cand):
+                zdocs = zdocs[~np.isin(zdocs, np.sort(cand))]
+            cand = np.concatenate([cand, zdocs])
+            score = np.concatenate(
+                [score, np.zeros(len(zdocs), np.float64)]
+            )
+    if len(cand) > k:
+        sel = np.lexsort((cand, -score))[:k]
+        return cand[sel], score[sel]
+    return cand, score
+
+
+def or_terms_topk(
+    terms: list[tuple[float, TermPostings, np.ndarray, float]],
+    k: int,
+    tfn,
+    mask: np.ndarray | None = None,
+    score_round: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k of a weighted term disjunction with dynamic-θ block-max
+    pruning (iterated threshold tightening — see module docstring).
+
+    `terms` is [(weight, reader, dls, avgdl)] with weight = boost · idf
+    and dls/avgdl the term's FIELD norms (per-field statistics, as the
+    reference's per-field norm columns); `tfn(tf_array, dl_array, avgdl)`
+    is the BM25 tf-normalization; returns (docs, scores) of AT MOST k docs
+    (unsorted).
+
+    Weight-0 entries are F17's matched-but-unscored expansions: their docs
+    match with score 0, below every positive score, so their lists are
+    decoded ONLY when they could still make the top-k — fewer than k
+    positive candidates exist, or the k-th kept (rounded) score is ≤ 0 so
+    the 0-tier (doc asc) tie-break decides the tail. A huge capped-prefix
+    tail therefore costs nothing once k positively-scored docs are
+    found."""
+    infos, zero_readers = _prep_terms(terms, tfn)
     if not infos:
-        # pure matched-unscored disjunction: every match scores 0 and the
-        # exhaustive selection (score desc, doc asc) keeps the k smallest
-        # doc ids
-        if not zero_readers:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        parts = [r.full()[0] for r in zero_readers]
-        cand = np.unique(np.concatenate(parts))
-        if mask is not None and len(cand):
-            cand = cand[~np.isin(cand, mask, assume_unique=True)]
-        return cand[:k], np.zeros(min(len(cand), k), np.float64)
+        return _zero_only_topk(zero_readers, k, mask)
+    total_gub = sum(i[5] for i in infos)
+
+    # flatten every (term, block) with its score upper bound
+    # sb_t(B) = ub_t(B) + Σ_{t'≠t} gub_{t'}
+    t_parts, b_parts, sb_parts = [], [], []
+    for ti, (_w, _r, _dls, _avgdl, ub_blocks, gub) in enumerate(infos):
+        nb = len(ub_blocks)
+        t_parts.append(np.full(nb, ti, np.int64))
+        b_parts.append(np.arange(nb, dtype=np.int64))
+        sb_parts.append(ub_blocks + (total_gub - gub))
+    t_arr = np.concatenate(t_parts)
+    b_arr = np.concatenate(b_parts)
+    sb_arr = np.concatenate(sb_parts)
+    order = np.argsort(-sb_arr, kind="stable")
+    sb_desc = sb_arr[order]
+    n = len(order)
+
+    # MAXSCORE essential-list split (Turtle & Flood; the Block-Max-
+    # Maxscore hybrid): once θ is known, the terms with the SMALLEST
+    # global upper bounds whose bounds sum below θ − ε are non-essential —
+    # a doc appearing ONLY in them scores at most that sum, so candidates
+    # need only come from essential lists; non-essential lists are still
+    # seek-probed for exact scoring of candidates found elsewhere. θ only
+    # rises, so the essential set only SHRINKS and a skipped block stays
+    # skippable.
+    gubs = np.array([i[5] for i in infos])
+    gub_order = np.argsort(gubs, kind="stable")
+    gub_csum = np.cumsum(gubs[gub_order])
+
+    def essential_mask(th: float) -> np.ndarray:
+        ess = np.ones(len(infos), bool)
+        if th != -np.inf:
+            ne = gub_order[gub_csum < th - EPS]
+            ess[ne] = False
+        return ess
+
+    cand = np.empty(0, np.int64)
+    score = np.empty(0, np.float64)  # unrounded, parallel to cand
+    theta = -np.inf
+    pos = 0
+    # bootstrap chunk: a couple of blocks per scored term reaches ~k
+    # candidates fast; geometric growth bounds rounds to O(log n_blocks)
+    chunk = max(4, 2 * len(infos), (k + 127) // 128)
+    while pos < n:
+        # blocks at or past `end` can never hold a top-k doc under the
+        # CURRENT θ; θ only rises, so the cut is final once reached
+        end = (
+            n
+            if theta == -np.inf
+            else int(np.searchsorted(-sb_desc, -(theta - EPS), side="right"))
+        )
+        if pos >= end:
+            break
+        take = order[pos : min(pos + chunk, end)]
+        pos = min(pos + chunk, end)
+        chunk *= 2
+        # drop blocks of currently non-essential terms (permanently safe:
+        # non-essential only grows as θ rises)
+        ess = essential_mask(theta)
+        take = take[ess[t_arr[take]]]
+        if not len(take):
+            continue
+        # decode this round's blocks grouped per term
+        parts = []
+        take_t = t_arr[take]
+        for ti in np.unique(take_t):
+            bidx = np.sort(b_arr[take[take_t == ti]])
+            docs_b, _ = infos[ti][1].decode_blocks(bidx)
+            if len(docs_b):
+                parts.append(docs_b)
+        if not parts:
+            continue
+        new = np.unique(np.concatenate(parts))
+        if mask is not None and len(new):
+            new = new[~np.isin(new, mask, assume_unique=True)]
+        if len(cand) and len(new):
+            new = new[~np.isin(new, np.sort(cand))]
+        if not len(new):
+            continue
+        # MAXSCORE partial-scoring cutoff: score the essential lists
+        # first; a candidate whose partial score plus the SUM of the
+        # non-essential global bounds cannot reach θ is provably outside
+        # the top-k, so it is discarded WITHOUT probing the (possibly
+        # huge) non-essential lists — the probe cost collapses from
+        # |candidates| to |near-top candidates|.
+        es_idx = np.flatnonzero(ess)
+        ne_idx = np.flatnonzero(~ess)
+        s_new = _score_candidates([infos[i] for i in es_idx], new, tfn)
+        if len(ne_idx):
+            ne_sum = float(gubs[ne_idx].sum())
+            if theta != -np.inf:
+                keep = s_new + ne_sum >= theta - EPS
+                new, s_new = new[keep], s_new[keep]
+            if len(new):
+                s_new = s_new + _score_candidates(
+                    [infos[i] for i in ne_idx], new, tfn
+                )
+        if not len(new):
+            continue
+        cand = np.concatenate([cand, new])
+        score = np.concatenate([score, s_new])
+        if len(score) >= k:
+            theta = float(np.partition(score, len(score) - k)[len(score) - k])
+
+    # round BEFORE truncation so the kept k under ties match the
+    # exhaustive path's (rounded score desc, doc asc) selection exactly
+    if score_round is not None:
+        score = np.round(score, score_round)
+    return _zero_fill_and_select(cand, score, zero_readers, k, mask)
+
+
+def _or_topk_static(
+    terms: list[tuple[float, TermPostings, np.ndarray, float]],
+    k: int,
+    tfn,
+    mask: np.ndarray | None = None,
+    score_round: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The previous static-θ two-phase variant, kept as the measurement
+    baseline for the pruning-rate bench: θ is bootstrapped by fully
+    scoring the single highest-upper-bound term, then every term's blocks
+    are filtered ONCE against that fixed θ. Exact like the dynamic
+    variant, but prunes strictly less (θ never tightens)."""
+    infos, zero_readers = _prep_terms(terms, tfn)
+    if not infos:
+        return _zero_only_topk(zero_readers, k, mask)
     total_gub = sum(i[5] for i in infos)
 
     # phase 0: θ from the highest-upper-bound term scored alone
@@ -185,45 +407,10 @@ def or_terms_topk(
         cand = np.empty(0, np.int64)
 
     # phase 2: exact scores (seek-decode whatever the candidates touch)
-    score = np.zeros(len(cand), np.float64)
-    for w, r, dls, avgdl, _ub, _g in infos:
-        if len(cand) == 0:
-            break
-        tf = r.lookup_tfs(cand)
-        nz = tf > 0
-        if nz.any():
-            score[nz] += w * tfn(tf[nz], dls[cand[nz] - 1], avgdl)
-    # round BEFORE truncation so the kept k under ties match the
-    # exhaustive path's (rounded score desc, doc asc) selection exactly
+    score = _score_candidates(infos, cand, tfn)
     if score_round is not None:
         score = np.round(score, score_round)
-
-    # phase 3: matched-but-unscored fill. Zero-weight docs score exactly
-    # 0, below every positive score — their lists are decoded ONLY when
-    # they could still make the top-k: fewer than k positive candidates,
-    # or the k-th kept (rounded) score is <= 0 so the 0-tier tie-break
-    # (doc asc) decides the tail.
-    if zero_readers and k > 0:
-        kth = (
-            float(np.partition(score, len(cand) - k)[len(cand) - k])
-            if len(cand) >= k
-            else None
-        )
-        if kth is None or kth <= 0.0:
-            zparts = [r.full()[0] for r in zero_readers]
-            zdocs = np.unique(np.concatenate(zparts))
-            if mask is not None and len(zdocs):
-                zdocs = zdocs[~np.isin(zdocs, mask, assume_unique=True)]
-            if len(cand):
-                zdocs = zdocs[~np.isin(zdocs, cand, assume_unique=True)]
-            cand = np.concatenate([cand, zdocs])
-            score = np.concatenate(
-                [score, np.zeros(len(zdocs), np.float64)]
-            )
-    if len(cand) > k:
-        sel = np.lexsort((cand, -score))[:k]
-        return cand[sel], score[sel]
-    return cand, score
+    return _zero_fill_and_select(cand, score, zero_readers, k, mask)
 
 
 def and_terms(

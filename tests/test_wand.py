@@ -9,7 +9,12 @@ import pytest
 
 from iresearch_spark import BM25_B, BM25_K1
 from iresearch_spark.codec.postings import encode_postings
-from iresearch_spark.query.wand import TermPostings, and_terms, or_terms_topk
+from iresearch_spark.query.wand import (
+    TermPostings,
+    _or_topk_static,
+    and_terms,
+    or_terms_topk,
+)
 
 
 def _mk_reader(rng, n_docs, df) -> tuple[TermPostings, np.ndarray, np.ndarray]:
@@ -34,8 +39,9 @@ def _tfn():
     return tfn
 
 
+@pytest.mark.parametrize("kern", [or_terms_topk, _or_topk_static])
 @pytest.mark.parametrize("seed", range(8))
-def test_or_topk_matches_bruteforce(seed):
+def test_or_topk_matches_bruteforce(seed, kern):
     rng = np.random.default_rng(seed)
     n_docs = int(rng.integers(200, 2000))
     dls = rng.integers(5, 400, size=n_docs).astype(np.float64)
@@ -59,7 +65,7 @@ def test_or_topk_matches_bruteforce(seed):
                 continue
             brute[d] = brute.get(d, 0.0) + w * tfn(float(tf), dls[d - 1], avgdl)
 
-    got_docs, got_scores = or_terms_topk(pairs, k, tfn, mask=mask, score_round=6)
+    got_docs, got_scores = kern(pairs, k, tfn, mask=mask, score_round=6)
     expect = sorted(brute.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:k]
     got = sorted(zip(got_docs, got_scores), key=lambda kv: (-kv[1], kv[0]))
     assert [d for d, _ in got] == [d for d, _ in expect]
@@ -110,8 +116,9 @@ def test_seek_decodes_only_needed_blocks():
     # absent docs -> 0
     assert r.lookup_tfs(np.array([2, 4]))[0] == 0.0
 
+@pytest.mark.parametrize("kern", [or_terms_topk, _or_topk_static])
 @pytest.mark.parametrize("seed", range(8))
-def test_or_topk_with_zero_weight_members(seed):
+def test_or_topk_with_zero_weight_members(seed, kern):
     """F17 matched-but-unscored members through the WAND fast path: docs
     matching only weight-0 terms surface with score 0 exactly when the
     brute-force (score desc, doc asc) selection keeps them."""
@@ -142,7 +149,7 @@ def test_or_topk_with_zero_weight_members(seed):
                 continue
             brute[d] = brute.get(d, 0.0) + w * tfn(float(tf), dls[d - 1], avgdl)
 
-    got_docs, got_scores = or_terms_topk(pairs, k, tfn, mask=mask, score_round=6)
+    got_docs, got_scores = kern(pairs, k, tfn, mask=mask, score_round=6)
     expect = sorted(brute.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:k]
     got = sorted(zip(got_docs, got_scores), key=lambda kv: (-kv[1], kv[0]))
     assert [d for d, _ in got] == [d for d, _ in expect], (n_pos, n_zero, k)
@@ -201,3 +208,87 @@ def test_zero_weight_fill_when_few_scored_docs():
     # remaining 7 slots: smallest zero-weight docs at score 0
     assert [d for d, _ in got[3:]] == list(range(100, 107))
     assert all(s == 0.0 for _, s in got[3:])
+
+
+def _fresh(pairs):
+    """Rebuild readers so decode instrumentation starts clean."""
+    return [
+        (w, TermPostings(r.blob, r.skip_bytes, b"", r.df), dls, avgdl)
+        for (w, r, dls, avgdl) in pairs
+    ]
+
+
+def test_dynamic_theta_prunes_more_than_static():
+    """The point of iterated θ tightening: on a long-tail workload (one
+    hot term with flat tf + a small high-scoring term) the dynamic kernel
+    must decode STRICTLY fewer blocks than the static baseline, with
+    identical results."""
+    rng = np.random.default_rng(42)
+    n_docs = 200_000
+    dls = np.full(n_docs, 50.0)
+    avgdl = 50.0
+    tfn = _tfn()
+    # hot term: df 100k (782 blocks), tf=1 everywhere -> low, flat bounds;
+    # once θ is known it is MAXSCORE-non-essential and never generates
+    # candidates
+    hot_docs = np.arange(1, n_docs + 1, 2, dtype=np.int64)
+    hot_tfs = np.ones(len(hot_docs), dtype=np.int64)
+    # rare term: df 2k, tf=1 almost everywhere but a cluster of tf=30
+    # docs in a narrow doc range — the top-k lives in a handful of blocks
+    rare_docs = np.sort(
+        rng.choice(np.arange(1, n_docs + 1), size=2000, replace=False)
+    )
+    rare_tfs = np.ones(2000, dtype=np.int64)
+    cluster = (rare_docs >= 1000) & (rare_docs < 15000)
+    rare_tfs[cluster] = 30
+
+    def mk():
+        return [
+            (1.0, _build(hot_docs, hot_tfs, dls), dls, avgdl),
+            (3.0, _build(rare_docs, rare_tfs, dls), dls, avgdl),
+        ]
+
+    k = 10
+    p_dyn = mk()
+    d_docs, d_scores = or_terms_topk(p_dyn, k, tfn, score_round=6)
+    dyn_decoded = sum(len(r.decoded) for _w, r, _d, _a in p_dyn)
+    total = sum(r.n_blocks for _w, r, _d, _a in p_dyn)
+
+    p_sta = mk()
+    s_docs, s_scores = _or_topk_static(p_sta, k, tfn, score_round=6)
+    sta_decoded = sum(len(r.decoded) for _w, r, _d, _a in p_sta)
+
+    got_d = sorted(zip(d_docs, d_scores), key=lambda kv: (-kv[1], kv[0]))
+    got_s = sorted(zip(s_docs, s_scores), key=lambda kv: (-kv[1], kv[0]))
+    assert got_d == got_s
+    # static phase-0 fully decodes one list; dynamic must beat it clearly
+    assert dyn_decoded < sta_decoded, (dyn_decoded, sta_decoded, total)
+    assert dyn_decoded < total // 4, (dyn_decoded, total)
+
+
+def test_block_decode_cache_no_redecode(monkeypatch):
+    """Each 128-block is decompressed at most once across the dynamic
+    loop's rounds + candidate seek-scoring."""
+    import iresearch_spark.query.wand as wand_mod
+
+    rng = np.random.default_rng(3)
+    n_docs = 50_000
+    dls = np.full(n_docs, 50.0)
+    docs = np.arange(1, n_docs + 1, 3, dtype=np.int64)
+    tfs = rng.integers(1, 6, size=len(docs))
+    r = _build(docs, tfs, dls)
+
+    calls = []
+    orig = wand_mod.decode_postings
+
+    def counting(blob, block_indices=None, skip=None):
+        if block_indices is not None:
+            calls.extend(np.asarray(block_indices).tolist())
+        return orig(blob, block_indices=block_indices, skip=skip)
+
+    monkeypatch.setattr(wand_mod, "decode_postings", counting)
+    r.decode_blocks(np.array([0, 2, 5]))
+    r.decode_blocks(np.array([2, 5, 7]))  # 2 and 5 must come from cache
+    r.decode_blocks(np.array([0, 7]))  # fully cached
+    assert calls == [0, 2, 5, 7]
+    assert sorted(r.decoded) == [0, 2, 5, 7]

@@ -286,6 +286,11 @@ def _rewrite(node: qf.Filter, resolved: dict) -> qf.Filter:
 
 
 class IndexSearcher:
+    # scored-head elision pass-2 check: above this many pass-1 rows
+    # (k · |distinct queries|) the trigger check and merge stay
+    # DataFrames — the driver never materializes the batch's results
+    ELISION_COLLECT_MAX = 100_000
+
     def __init__(
         self,
         spark,
@@ -816,33 +821,72 @@ class IndexSearcher:
         # rows with a strictly positive k-th score is already exact (tail
         # docs score 0, strictly below); the rest re-run with everything
         # shipped, and only their rows are replaced.
-        pass1 = final.collect()
-        by_q: dict[int, list] = {}
-        for r in pass1:
-            by_q.setdefault(r["qid"], []).append(r)
-        triggered = [
+        eligible = [
             qid
             for qid, rq in rep_of.items()
             if tree_zero_keys.get(rq, set()) & dropped
-            and (
-                len(by_q.get(qid, [])) < k
-                or min(r["score"] for r in by_q[qid]) <= 0.0
-            )
         ]
-        if triggered:
-            full = self.search_batch(
-                {qid: queries[qid] for qid in triggered},
-                k=k,
-                with_urls=with_urls,
-                tie=tie,
-                score_round=score_round,
-                with_cols=tuple(extra_cols),
-                _ship_all=True,
-            ).collect()
-            for qid in triggered:
-                by_q.pop(qid, None)
-            pass1 = [r for rs in by_q.values() for r in rs] + list(full)
-        out = self.spark.createDataFrame(pass1, schema=final.schema)
+        if not eligible:
+            return final.orderBy("qid", "rank")
+        if k * len(rep_of) <= self.ELISION_COLLECT_MAX:
+            # small batch: one collect of the k·|queries| pass-1 rows and
+            # a driver-side merge (single job, no persist bookkeeping)
+            pass1 = final.collect()
+            by_q: dict[int, list] = {}
+            for r in pass1:
+                by_q.setdefault(r["qid"], []).append(r)
+            triggered = [
+                qid
+                for qid in eligible
+                if len(by_q.get(qid, [])) < k
+                or min(r["score"] for r in by_q[qid]) <= 0.0
+            ]
+            if triggered:
+                full = self.search_batch(
+                    {qid: queries[qid] for qid in triggered},
+                    k=k,
+                    with_urls=with_urls,
+                    tie=tie,
+                    score_round=score_round,
+                    with_cols=tuple(extra_cols),
+                    _ship_all=True,
+                ).collect()
+                for qid in triggered:
+                    by_q.pop(qid, None)
+                pass1 = [r for rs in by_q.values() for r in rs] + list(full)
+            out = self.spark.createDataFrame(pass1, schema=final.schema)
+            return out.orderBy("qid", "rank")
+        # large batch: the k·|queries| materialization would be unbounded
+        # driver memory, so the trigger check collects only ONE row per
+        # ELIGIBLE query (count + min score) and the merge stays a
+        # DataFrame union — pass-1 rows never land on the driver.
+        finalp = final.persist()
+        stats = (
+            finalp.filter(F.col("qid").isin(eligible))
+            .groupBy("qid")
+            .agg(F.count("*").alias("n"), F.min("score").alias("mn"))
+            .collect()
+        )
+        have = {int(r["qid"]): r for r in stats}
+        triggered = [
+            qid
+            for qid in eligible
+            if qid not in have
+            or int(have[qid]["n"]) < k
+            or float(have[qid]["mn"]) <= 0.0
+        ]
+        if not triggered:
+            return finalp.orderBy("qid", "rank")
+        full = self.search_batch(
+            {qid: queries[qid] for qid in triggered},
+            k=k,
+            with_urls=with_urls,
+            tie=tie,
+            score_round=score_round,
+            with_cols=tuple(extra_cols),
+            _ship_all=True,
+        )
+        out = finalp.filter(~F.col("qid").isin(triggered)).unionByName(full)
         return out.orderBy("qid", "rank")
 
     def search(

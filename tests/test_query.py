@@ -593,3 +593,36 @@ def test_grouped_topk_collapse(searcher, unit_index, unit_corpus):
     # per-group constraint holds
     langs = [r["lang"] for r in res]
     assert all(langs.count(v) <= 2 for v in set(langs))
+
+
+def test_tail_elision_distributed_path_matches_collect(searcher, monkeypatch):
+    """Above ELISION_COLLECT_MAX the pass-2 trigger check must stay a
+    DataFrame (one count+min row per eligible query on the driver, never
+    k·|queries| result rows). Forcing the threshold to 0 must change
+    NOTHING about the results, triggered or not."""
+    from iresearch_spark.query.filters import Prefix
+
+    batches = {
+        "triggered": {0: Prefix("w", scored_terms_limit=1)},
+        "mixed": {
+            0: Prefix("w1", scored_terms_limit=1),
+            1: Prefix("w2", scored_terms_limit=64),
+            2: Term("w3"),
+        },
+    }
+    for label, batch in batches.items():
+        for tie in ("segdoc", "url"):
+            small = searcher.search_batch(
+                batch, k=10, with_urls=True, tie=tie, score_round=6
+            ).collect()
+            monkeypatch.setattr(
+                type(searcher), "ELISION_COLLECT_MAX", 0
+            )
+            big = searcher.search_batch(
+                batch, k=10, with_urls=True, tie=tie, score_round=6
+            ).collect()
+            monkeypatch.undo()
+            assert [tuple(r) for r in small] == [tuple(r) for r in big], (
+                label,
+                tie,
+            )

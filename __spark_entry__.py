@@ -1215,6 +1215,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = multimodal_features
 
+    # A6 collation: frozen DUCET-subset sort keys vs REAL ICU (DuckDB's
+    # bundled collator) — first 100 derived German-flavored strings in
+    # locale order. The derivation injects umlauts/ß/case deterministically
+    # from doc_id so the corpus-side ASCII text exercises the non-ASCII
+    # repertoire.
+    def collation_de_order(spark, sf_dir):
+        from pyspark.sql import Window
+
+        base = _docs(spark, sf_dir).select(
+            "doc_id", F.substring(F.col("text"), 1, 12).alias("s0")
+        )
+        cased = F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.upper(F.substring(F.col("s0"), 1, 1)),
+                F.expr("substring(s0, 2)"),
+            ),
+        ).otherwise(F.col("s0"))
+        s = (
+            F.when(F.col("doc_id") % 4 == 0, F.translate(cased, "a", "ä"))
+            .when(F.col("doc_id") % 4 == 1, F.regexp_replace(cased, "s", "ß"))
+            .when(F.col("doc_id") % 4 == 2, F.translate(cased, "o", "ö"))
+            .otherwise(F.translate(cased, "u", "ü"))
+        )
+        derived = base.select("doc_id", s.alias("s"))
+
+        def keyed(pdfs):
+            from iresearch_spark.analysis.collation import collation_keys_batch
+
+            for pdf in pdfs:
+                flat, _c, _p, _st, _ln = collation_keys_batch(pdf["s"])
+                pdf = pdf.assign(ckey=flat)
+                yield pdf
+
+        kdf = derived.mapInPandas(
+            keyed, "doc_id bigint, s string, ckey string"
+        )
+        w = Window.orderBy("ckey", "s", "doc_id")
+        return (
+            kdf.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 100)
+            .select(F.col("rank").cast("int").alias("rank"), "doc_id", "s")
+            .orderBy("rank")
+        )
+
+    q["collation_de_order"] = collation_de_order
+
     # ------------------------------------------------------------------
     # Gate-window curation: the driver's correctness gate hashes only the
     # FIRST 50 entries of this dict (observed cap, CORRECTNESS_r03), so
@@ -1639,5 +1686,34 @@ t AS (SELECT doc_id, unnest([
 SELECT doc_id, u.token AS token, u.pos::INT AS pos, u.start::INT AS start,
        u.length::INT AS length
 FROM t ORDER BY doc_id, pos LIMIT 200"""
+    # A6 collation: REAL ICU on the oracle side (DuckDB bundles it) vs the
+    # engine's frozen DUCET-subset key — the ordering must agree exactly
+    # on the derived German-flavored strings (repertoire-bounded)
+    o["collation_de_order"] = """
+WITH b AS (
+  SELECT doc_id, substr(text, 1, 12) AS s0 FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN upper(substr(s0, 1, 1)) || substr(s0, 2)
+              ELSE s0 END AS s1
+  FROM b
+),
+d AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN replace(s1, 'a', 'ä')
+           WHEN 1 THEN replace(s1, 's', 'ß')
+           WHEN 2 THEN replace(s1, 'o', 'ö')
+           ELSE replace(s1, 'u', 'ü') END AS s
+  FROM c
+)
+SELECT rank, doc_id, s FROM (
+  SELECT CAST(row_number() OVER (
+           ORDER BY icu_sort_key(s, 'de'), s, doc_id
+         ) AS INT) AS rank, doc_id, s
+  FROM d
+) WHERE rank <= 100 ORDER BY rank"""
     # multimodal_features: decode stub is not SQL-expressible -> rows-only
     return o

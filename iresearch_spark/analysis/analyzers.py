@@ -59,6 +59,11 @@ import unicodedata
 import numpy as np
 import pandas as pd
 
+from iresearch_spark.analysis.collation import (
+    collation_key,
+    collation_keys_batch,
+    parse_collation_spec,
+)
 from iresearch_spark.analysis.numeric import (
     double_to_sortable,
     doubles_to_sortable_batch,
@@ -347,6 +352,10 @@ def _one_stage(value: str | None, stage: str) -> list[tuple[str, int, int, int]]
         return [(stem_token(value), 0, 0, len(value))]
     if stage == "segmentation":
         return _segment_one(value)
+    if parse_collation_spec(stage) is not None:
+        # A6 collation ([up] core/analysis/collation_token_stream.cpp):
+        # the whole value becomes one locale-sort-key term
+        return [(collation_key(value), 0, 0, len(value))]
     nspec = parse_numeric_spec_typed(stage)
     if nspec is not None:
         # A7 numeric token stream ([up] core/analysis/token_streams.hpp ::
@@ -369,7 +378,7 @@ def _one_stage(value: str | None, stage: str) -> list[tuple[str, int, int, int]]
 def _is_singleton_stage(stage: str) -> bool:
     """Stages that always emit exactly one token at position 0 per input —
     their pipeline output keeps the PARENT's position."""
-    return stage in ("identity", "stem")
+    return stage in ("identity", "stem") or stage.startswith("collation:")
 
 
 def analyze_one_spans(
@@ -617,6 +626,8 @@ def _batch_stage(values: pd.Series, stage: str):
         return stemmed, counts, pos, starts, lens
     if stage == "segmentation":
         return _batch_segmentation(values)
+    if parse_collation_spec(stage) is not None:
+        return collation_keys_batch(values)
     nspec = parse_numeric_spec_typed(stage)
     if nspec is not None:
         return _batch_numeric(values, *nspec)

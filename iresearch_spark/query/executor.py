@@ -2078,7 +2078,9 @@ def _make_segment_kernel(
         def _slot_positions(slot_terms, field, common):
             """Merged (owner-packed) position set of any slot term over the
             `common` docs; returns (flat sorted unique, per-common counts
-            present flag is implicit via membership)."""
+            present flag is implicit via membership). Seek path: ordinals
+            into the position-offsets blob come from seek_entries, so only
+            the 128-blocks containing `common` docs are decompressed."""
             SHIFT = np.int64(1) << 33  # > max packed position (u32)
             parts = []
             for t in slot_terms:
@@ -2086,14 +2088,12 @@ def _make_segment_kernel(
                 row = term_rows.get(key)
                 if row is None:
                     continue
-                docs, tfs = get_postings(key)
-                idx = np.searchsorted(docs, common)
-                idx_c = np.minimum(idx, max(len(docs) - 1, 0))
-                present = (len(docs) > 0) & (docs[idx_c] == common)
-                sel = idx_c[present]
-                counts = tfs[sel].astype(np.int64)
+                r = get_reader(key)
+                present, ords, counts = r.seek_entries(common)
+                if not present.any():
+                    continue
                 pls = decode_positions_for(
-                    bytes(row.pos_off), bytes(row.pos_pay), sel, counts
+                    bytes(row.pos_off), bytes(row.pos_pay), ords, counts
                 )
                 owner = np.repeat(np.flatnonzero(present).astype(np.int64), counts)
                 flat = owner * SHIFT + (
@@ -2114,25 +2114,45 @@ def _make_segment_kernel(
             namespace (doc_index · 2^33 + position) and matched with sorted
             np.isin — no per-doc Python. `slots` is a list of tuples of
             candidate terms per position; slot weight = Σ idf over its
-            terms (frozen spec, SQL-expressible)."""
-            SHIFT = np.int64(1) << 33
-            slot_docs = []
+            terms (frozen spec, SQL-expressible).
+
+            Doc intersection is COST-ORDERED SEEK (P2 applied to
+            positional nodes): only the cheapest slot (Σ df) decodes its
+            doc lists fully; every other slot answers membership via
+            seek_entries over the shrinking candidate set, so a hot slot
+            ("the", "of") never decompresses blocks the rare slot's docs
+            don't touch — and the position blobs were always
+            candidate-only."""
+            slot_readers = []
+            costs = []
             for slot in slots:
-                docs_u = [
-                    get_postings((field, t))[0]
+                rs = [
+                    get_reader((field, t))
                     for t in slot
                     if term_rows.get((field, t)) is not None
                 ]
-                if not docs_u:
+                if not rs:
                     return np.empty(0, np.int64), np.empty(0, np.float64)
-                slot_docs.append(
-                    docs_u[0]
-                    if len(docs_u) == 1
-                    else np.unique(np.concatenate(docs_u))
-                )
-            common = slot_docs[0]
-            for d in slot_docs[1:]:
-                common = common[np.isin(common, d, assume_unique=True)]
+                slot_readers.append(rs)
+                costs.append(sum(r.df for r in rs))
+            lead = int(np.argmin(costs))
+            docs_u = [r.full()[0] for r in slot_readers[lead]]
+            common = (
+                docs_u[0]
+                if len(docs_u) == 1
+                else np.unique(np.concatenate(docs_u))
+            )
+            for j in sorted(
+                (j for j in range(len(slots)) if j != lead),
+                key=lambda j: costs[j],
+            ):
+                if len(common) == 0:
+                    break
+                present_any = np.zeros(len(common), dtype=bool)
+                for r in slot_readers[j]:
+                    p, _o, _c = r.seek_entries(common)
+                    present_any |= p
+                common = common[present_any]
             if len(common) == 0:
                 return common, np.empty(0, np.float64)
             flats = [_slot_positions(slot, field, common) for slot in slots]

@@ -128,6 +128,39 @@ class TermPostings:
         bidx = bidx[bidx < len(self.skip)]
         return np.unique(bidx)
 
+    def seek_entries(
+        self, cand: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(present_mask, ordinals, tfs) for sorted-unique candidate docs,
+        decoding ONLY the touched blocks. Ordinals index the FULL posting
+        order — valid because every non-final block holds exactly
+        BLOCK_SIZE docs, so ordinal = block·BLOCK_SIZE + in-block offset.
+        This is what lets the positional kernels address the per-doc
+        position-offsets blob without decompressing the whole list."""
+        from iresearch_spark import BLOCK_SIZE
+
+        if len(cand) == 0:
+            z = np.empty(0, np.int64)
+            return np.zeros(0, bool), z, z.copy()
+        docs, tfs = self.decode_blocks(self.blocks_containing(cand))
+        if len(docs) == 0:
+            z = np.empty(0, np.int64)
+            return np.zeros(len(cand), bool), z, z.copy()
+        owner = np.searchsorted(self.skip[:, 0], docs)
+        # in-block offset: index minus the first index of the doc's block run
+        change = np.flatnonzero(np.diff(owner)) + 1
+        first = np.concatenate(([0], change))
+        run_lens = np.diff(np.concatenate((first, [len(owner)])))
+        run_start = np.repeat(first, run_lens)
+        ordinals = owner.astype(np.int64) * BLOCK_SIZE + (
+            np.arange(len(docs), dtype=np.int64) - run_start
+        )
+        idx = np.searchsorted(docs, cand)
+        idx_c = np.minimum(idx, len(docs) - 1)
+        present = docs[idx_c] == cand
+        sel = idx_c[present]
+        return present, ordinals[sel], tfs[sel].astype(np.int64)
+
     def lookup_tfs(self, cand: np.ndarray) -> np.ndarray:
         """tf for each candidate doc (0.0 where absent), decoding only the
         blocks the candidates could live in."""

@@ -132,6 +132,45 @@ def _measure(root: str, k: int) -> None:
             tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl_arr / _avgdl)
         )
 
+    # seek-conjunction decode fraction (and_terms — the same cost-ordered
+    # seek machinery the positional/phrase kernel now uses for its doc
+    # intersection): lead list decodes fully, the hot list only the
+    # blocks the lead's docs touch
+    for name, terms in {
+        "and2_hot_rare": [hot[0], rare[0]],
+        "and2_hot_mid": [hot[1], mid[0]],
+    }.items():
+        dec = blocks = 0
+        from iresearch_spark.query.wand import and_terms
+
+        for seg, termmap in sorted(by_seg.items()):
+            dls = dls_by_seg[seg]
+            pairs = [
+                (idf(gdf[t]), TermPostings(*termmap[t]), dls, avgdl)
+                for t in terms
+                if t in termmap
+            ]
+            if len(pairs) < len(terms):
+                continue
+            and_terms(pairs, tfn)
+            dec += sum(len(r.decoded) for _w, r, _d, _a in pairs)
+            blocks += sum(r.n_blocks for _w, r, _d, _a in pairs)
+        print(
+            json.dumps(
+                {
+                    name: {
+                        "terms": terms,
+                        "dfs": [gdf[t] for t in terms],
+                        "blocks_total": blocks,
+                        "blocks_decoded_seek": dec,
+                        "decode_frac_seek": round(dec / blocks, 4)
+                        if blocks
+                        else 0,
+                    }
+                }
+            )
+        )
+
     report = {}
     tot_dyn = tot_sta = tot_blocks = 0
     for name, terms in shapes.items():

@@ -292,3 +292,33 @@ def test_block_decode_cache_no_redecode(monkeypatch):
     r.decode_blocks(np.array([0, 7]))  # fully cached
     assert calls == [0, 2, 5, 7]
     assert sorted(r.decoded) == [0, 2, 5, 7]
+
+
+def test_seek_entries_matches_full_and_is_frugal():
+    """seek_entries must return the same (ordinal, tf) a full decode
+    would, while touching only the blocks the candidates live in —
+    ordinals stay valid for the position-offsets blob because non-final
+    blocks hold exactly BLOCK_SIZE docs."""
+    rng = np.random.default_rng(11)
+    n_docs = 120_000
+    dls = np.full(n_docs, 50.0)
+    docs = np.sort(
+        rng.choice(np.arange(1, n_docs + 1), size=60_000, replace=False)
+    )
+    tfs = rng.integers(1, 9, size=len(docs))
+    r = _build(docs, tfs, dls)
+    cand = np.sort(rng.choice(docs, size=40, replace=False))
+    absent = np.array([d for d in range(1, 200) if d not in set(docs.tolist())][:10])
+    cand_all = np.unique(np.concatenate([cand, absent]))
+    present, ords, got_tfs = r.seek_entries(cand_all)
+    # ground truth from the raw arrays
+    pos_in_full = {int(d): i for i, d in enumerate(docs)}
+    exp_present = np.array([int(d) in pos_in_full for d in cand_all])
+    assert present.tolist() == exp_present.tolist()
+    exp_ords = [pos_in_full[int(d)] for d in cand_all[exp_present]]
+    assert ords.tolist() == exp_ords
+    assert got_tfs.tolist() == [int(tfs[o]) for o in exp_ords]
+    # frugality: candidates touch at most |cand| blocks of ~470
+    assert r._full is None
+    assert len(r.decoded) <= len(cand_all), (len(r.decoded), r.n_blocks)
+    assert r.n_blocks > 400

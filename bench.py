@@ -50,6 +50,13 @@ def _mk_spark(cpus: int):
         # O(batch × tokens-per-doc) objects during tokenize; at 4N workers
         # the aggregate must stay well under RAM or the host thrashes
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # zstd shuffle/spill blocks: ~1.4x smaller than lz4 on token-array
+        # shuffles — the disk-budget lever for corpus-scale builds (the
+        # 20M-doc run's spill + checkpoint must share one host's disk)
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -1262,6 +1262,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["collation_de_order"] = collation_de_order
 
+    # Benchmark decontamination probe (GPT-3 appendix-C shape): the
+    # "benchmark" is a doc_id slice of the corpus, so sliced docs come
+    # back 100%-contaminated and the rest show template-phrase overlap
+    q["contamination_check"] = lambda s, d: quality.contamination(
+        _docs(s, d), _docs(s, d).filter(F.col("doc_id") % 97 == 0)
+    )
+
     # ------------------------------------------------------------------
     # Gate-window curation: the driver's correctness gate hashes only the
     # FIRST 50 entries of this dict (observed cap, CORRECTNESS_r03), so
@@ -1715,5 +1722,6 @@ SELECT rank, doc_id, s FROM (
          ) AS INT) AS rank, doc_id, s
   FROM d
 ) WHERE rank <= 100 ORDER BY rank"""
+    o["contamination_check"] = quality.contamination_sql("doc_id % 97 = 0")
     # multimodal_features: decode stub is not SQL-expressible -> rows-only
     return o

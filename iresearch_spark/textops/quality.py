@@ -545,3 +545,85 @@ FROM agg CROSS JOIN n
 WHERE df_fg >= {min_fg}
   AND (df_fg / n.n_fg - df_bg / n.n_bg) > 0
 ORDER BY score DESC, term ASC LIMIT {k}"""
+
+
+# ------------------------------------------------- decontamination probe
+
+
+def contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination probe (the GPT-3 appendix-C / PaLM
+    eval-leak check a pre-training pipeline runs before freezing a
+    corpus): fraction of each training doc's DISTINCT n-token shingles
+    that also appear anywhere in the evaluation/benchmark corpus; docs
+    at or above `threshold` are flagged for removal.
+
+    Scale shape: the benchmark side collapses to DISTINCT shingles (an
+    eval set is tiny next to a 10^12-doc corpus, so AQE broadcast-joins
+    it); the corpus side explodes each doc's distinct shingles ONCE —
+    one equijoin at shingle width + one doc-keyed count, no all-pairs
+    work, cost linear in corpus tokens.
+
+    Returns (doc_id, n_shingles, n_hits, frac, contaminated) for docs
+    with >= 1 shingle, ordered by doc_id."""
+    from iresearch_spark.textops.common import shingles_col
+
+    sh = shingles_col(tokens_col(F.col("text")), n)
+    d = docs.select("doc_id", F.explode(sh).alias("sh"))
+    b = bench.select(F.explode(sh).alias("sh")).distinct()
+    hits = d.join(b, "sh").groupBy("doc_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    tot = docs.select(
+        "doc_id", F.size(sh).alias("n_shingles")
+    ).filter(F.col("n_shingles") > 0)
+    frac = F.round(
+        F.col("n_hits").cast("double") / F.col("n_shingles"), 6
+    )
+    return (
+        tot.join(hits, "doc_id", "left")
+        .fillna(0, ["n_hits"])
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            frac.alias("frac"),
+            (frac >= threshold).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def contamination_sql(
+    bench_cond: str, n: int = 3, threshold: float = 0.5
+) -> str:
+    """DuckDB twin: `bench_cond` selects the benchmark rows out of the
+    documents table (the driver entry uses a doc_id slice)."""
+    from iresearch_spark.textops.sqlgen import tokens_expr
+
+    from iresearch_spark.textops.common import shingles_sql
+
+    return f"""
+WITH t AS (SELECT doc_id, {tokens_expr()} AS toks FROM documents),
+d AS (SELECT doc_id, {shingles_sql(n)} AS sh FROM t WHERE len(toks) >= {n}),
+bsh AS (
+  SELECT DISTINCT unnest(sh) AS s FROM d
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE {bench_cond})
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+hits AS (
+  SELECT ex.doc_id, count(*) AS n_hits FROM ex JOIN bsh USING (s)
+  GROUP BY ex.doc_id
+),
+tot AS (SELECT doc_id, len(sh) AS n_shingles FROM d WHERE len(sh) > 0)
+SELECT tot.doc_id, tot.n_shingles::BIGINT AS n_shingles,
+       coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(hits.n_hits, 0)::DOUBLE / tot.n_shingles, 6) AS frac,
+       round(coalesce(hits.n_hits, 0)::DOUBLE / tot.n_shingles, 6)
+         >= {threshold} AS contaminated
+FROM tot LEFT JOIN hits USING (doc_id)
+ORDER BY doc_id"""

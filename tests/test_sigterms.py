@@ -35,3 +35,46 @@ def test_significant_terms_match_pandas(spark):
     assert [(r["score"], r["term"], r["df_fg"], r["df_bg"]) for r in got] == want
     # the drift tokens dominate
     assert {r["term"] for r in got[:3]} <= {"special", "drift", "token"}
+
+
+def test_contamination_vs_pandas(spark):
+    """Decontamination probe vs a pure-pandas ground truth: per-doc
+    distinct-shingle overlap fraction against the benchmark slice."""
+    from iresearch_spark.textops.quality import contamination
+
+    rows = []
+    for i in range(80):
+        body = f"alpha beta gamma doc {i} " + (
+            "shared evaluation phrase here " if i % 5 == 0 else ""
+        )
+        rows.append({"doc_id": i, "text": body + f"tail w{i} w{i+1}"})
+    pdf = pd.DataFrame(rows)
+    docs_df = spark.createDataFrame(pdf)
+    bench = docs_df.filter("doc_id % 3 = 0")
+    got = {
+        int(r["doc_id"]): (int(r["n_shingles"]), int(r["n_hits"]),
+                           float(r["frac"]), bool(r["contaminated"]))
+        for r in contamination(docs_df, bench, n=3, threshold=0.5).collect()
+    }
+
+    def sh(text):
+        toks = tokenize(text)
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    bench_sh = set()
+    for _, row in pdf[pdf.doc_id % 3 == 0].iterrows():
+        bench_sh |= sh(row["text"])
+    for _, row in pdf.iterrows():
+        s = sh(row["text"])
+        if not s:
+            assert int(row["doc_id"]) not in got
+            continue
+        hits = len(s & bench_sh)
+        frac = round(hits / len(s), 6)
+        assert got[int(row["doc_id"])] == (
+            len(s), hits, frac, frac >= 0.5
+        ), row["doc_id"]
+    # the benchmark slice itself is fully contaminated
+    for did, (_n, _h, frac, flag) in got.items():
+        if did % 3 == 0:
+            assert frac == 1.0 and flag

@@ -452,9 +452,12 @@ def test_cli_sortby_explain_mlt(spark, corpus_path, tmp_path, capsys):
     assert max(h["score"] for h in p2) <= min(h["score"] for h in p1)
 
 
-def test_cli_search_mode_flags_mutually_exclusive(tmp_path):
+def test_cli_search_mode_flags_mutually_exclusive(spark, tmp_path):
     """Combining two output-mode flags must fail loudly instead of
-    silently ignoring whichever dispatches later (first-match-wins)."""
+    silently ignoring whichever dispatches later (first-match-wins).
+    NOTE: pass the shared session — with spark=None, cli.main's
+    getOrCreate would RETURN the session-scoped fixture and its finally
+    would stop it for the whole rest of the suite."""
     import pytest as _pytest
 
     from iresearch_spark import cli
@@ -465,5 +468,5 @@ def test_cli_search_mode_flags_mutually_exclusive(tmp_path):
                 "search", "--store", str(tmp_path / "nope"), "w1",
                 "--explain", "--after", "1.5,u",
             ],
-            spark=None,
+            spark=spark,
         )

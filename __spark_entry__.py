@@ -1268,6 +1268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["contamination_check"] = lambda s, d: quality.contamination(
         _docs(s, d), _docs(s, d).filter(F.col("doc_id") % 97 == 0)
     )
+    # Gopher repetition rules: intra-doc duplication signals over raw
+    # tokens (uniq-token frac, max-token share, duplicate-bigram frac)
+    q["repetition_stats"] = lambda s, d: quality.repetition_stats(_docs(s, d))
 
     # ------------------------------------------------------------------
     # Gate-window curation: the driver's correctness gate hashes only the
@@ -1723,5 +1726,6 @@ SELECT rank, doc_id, s FROM (
   FROM d
 ) WHERE rank <= 100 ORDER BY rank"""
     o["contamination_check"] = quality.contamination_sql("doc_id % 97 = 0")
+    o["repetition_stats"] = quality.repetition_stats_sql()
     # multimodal_features: decode stub is not SQL-expressible -> rows-only
     return o

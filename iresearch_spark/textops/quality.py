@@ -627,3 +627,99 @@ SELECT tot.doc_id, tot.n_shingles::BIGINT AS n_shingles,
          >= {threshold} AS contaminated
 FROM tot LEFT JOIN hits USING (doc_id)
 ORDER BY doc_id"""
+
+
+# --------------------------------------------- repetition (Gopher rules)
+
+
+def repetition_stats(docs: DataFrame, top: int = 100) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    "repetition" quality rules — the filter that drops boilerplate/spam
+    pages before pre-training): per doc, over RAW tokens (stopwords
+    kept — repetition of function words counts),
+
+      * uniq_tok_frac   distinct tokens / tokens,
+      * max_tok_frac    most frequent token's share of all tokens,
+      * dup_bigram_frac 1 − distinct 2-grams / 2-grams.
+
+    Scale shape: the distinct fractions are per-row array expressions
+    (no shuffle); max_tok_frac explodes tokens once into a
+    (doc_id, tok)-keyed count with map-side combine then a doc-keyed
+    max — two keyed shuffles at token width, linear in corpus tokens.
+
+    Returns (doc_id, n_toks, uniq_tok_frac, max_tok_frac,
+    dup_bigram_frac) for docs with >= 2 tokens, doc_id asc, LIMIT top."""
+    toks = raw_tokens_col(F.col("text"))
+    two = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat(toks[i - 1], ' ', toks[i]))"
+    )
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_toks"),
+            F.round(
+                F.size(F.array_distinct("toks")) / F.size("toks"), 6
+            ).alias("uniq_tok_frac"),
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(two)) / F.size(two),
+                6,
+            ).alias("dup_bigram_frac"),
+            F.col("toks"),
+        )
+    )
+    mx = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"))
+    )
+    return (
+        base.join(mx, "doc_id")
+        .select(
+            "doc_id",
+            "n_toks",
+            "uniq_tok_frac",
+            F.round(F.col("max_c") / F.col("n_toks"), 6).alias(
+                "max_tok_frac"
+            ),
+            "dup_bigram_frac",
+        )
+        .orderBy("doc_id")
+        .limit(top)
+    )
+
+
+def repetition_stats_sql(top: int = 100) -> str:
+    """DuckDB twin of repetition_stats (raw tokens: stopwords kept)."""
+    raw = (
+        "list_filter(string_split_regex(lower(coalesce(text, '')), "
+        f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {raw} AS toks FROM documents),
+b AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS two
+  FROM t WHERE len(toks) >= 2
+),
+mx AS (
+  SELECT doc_id, max(c) AS max_c FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM b)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, len(b.toks)::BIGINT AS n_toks,
+       round(len(list_distinct(b.toks))::DOUBLE / len(b.toks), 6)
+         AS uniq_tok_frac,
+       round(mx.max_c::DOUBLE / len(b.toks), 6) AS max_tok_frac,
+       round(1.0 - len(list_distinct(b.two))::DOUBLE / len(b.two), 6)
+         AS dup_bigram_frac
+FROM b JOIN mx USING (doc_id)
+ORDER BY doc_id LIMIT {top}"""

@@ -78,3 +78,43 @@ def test_contamination_vs_pandas(spark):
     for did, (_n, _h, frac, flag) in got.items():
         if did % 3 == 0:
             assert frac == 1.0 and flag
+
+
+def test_repetition_stats_vs_pandas(spark):
+    """Gopher repetition signals vs a pure-Python re-derivation."""
+    import re as _re
+
+    from iresearch_spark.textops.quality import repetition_stats
+
+    rows = [
+        {"doc_id": 0, "text": "spam spam spam spam ham"},
+        {"doc_id": 1, "text": "all words fully distinct here now"},
+        {"doc_id": 2, "text": "ab cd ab cd ab cd"},
+        {"doc_id": 3, "text": "single"},  # < 2 tokens: excluded
+        {"doc_id": 4, "text": "The the THE mixed Case case"},
+    ]
+    got = {
+        int(r["doc_id"]): r.asDict()
+        for r in repetition_stats(
+            spark.createDataFrame(pd.DataFrame(rows))
+        ).collect()
+    }
+    assert 3 not in got
+    for row in rows:
+        if row["doc_id"] == 3:
+            continue
+        toks = [
+            t
+            for t in _re.split("[^a-z0-9]+", row["text"].lower())
+            if t
+        ]
+        two = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        g = got[row["doc_id"]]
+        assert g["n_toks"] == len(toks)
+        assert g["uniq_tok_frac"] == round(len(set(toks)) / len(toks), 6)
+        assert g["max_tok_frac"] == round(
+            max(toks.count(t) for t in set(toks)) / len(toks), 6
+        )
+        assert g["dup_bigram_frac"] == round(
+            1.0 - len(set(two)) / len(two), 6
+        )

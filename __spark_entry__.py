@@ -30,6 +30,7 @@ from iresearch_spark.textops import (
     quality,
     sampling,
     similarity,
+    urls,
 )
 from iresearch_spark.textops.sqlgen import (
     _score_expr,
@@ -525,6 +526,31 @@ def entry(spark: SparkSession) -> DataFrame:
     batch = {i: f for i, f in enumerate(_FILTERS.values())}
     return s.search_batch(batch, k=10, with_urls=True, tie="url", score_round=6)
 
+
+
+# messy deterministic URL variants for the url_canonical / url_dedup
+# entries: pairs (4k, 4k+1) share a canonical form (case / default port /
+# duplicate slashes / tracking params / fragment differences only)
+_URL_EXPR_SPARK = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN concat('HTTP://', upper(source), '.Example.COM:80//p//', "
+    "CAST(doc_id DIV 2 AS STRING), '/?utm_source=x&b=2&a=1#f') "
+    "WHEN 1 THEN concat('http://', source, '.example.com/p/', "
+    "CAST(doc_id DIV 2 AS STRING), '?a=1&b=2') "
+    "WHEN 2 THEN concat('https://Mirror.ORG:443/d/', CAST(doc_id AS STRING)) "
+    "ELSE concat('https://mirror.org/d/', CAST(doc_id AS STRING), "
+    "'/?ref=tw&z=', CAST(doc_id % 7 AS STRING)) END"
+)
+_URL_EXPR_DUCK = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN 'HTTP://' || upper(source) || '.Example.COM:80//p//' || "
+    "CAST(doc_id // 2 AS VARCHAR) || '/?utm_source=x&b=2&a=1#f' "
+    "WHEN 1 THEN 'http://' || source || '.example.com/p/' || "
+    "CAST(doc_id // 2 AS VARCHAR) || '?a=1&b=2' "
+    "WHEN 2 THEN 'https://Mirror.ORG:443/d/' || CAST(doc_id AS VARCHAR) "
+    "ELSE 'https://mirror.org/d/' || CAST(doc_id AS VARCHAR) || "
+    "'/?ref=tw&z=' || CAST(doc_id % 7 AS VARCHAR) END"
+)
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1272,6 +1298,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tokens (uniq-token frac, max-token share, duplicate-bigram frac)
     q["repetition_stats"] = lambda s, d: quality.repetition_stats(_docs(s, d))
 
+    # URL canonicalization + canonical-URL dedup (C4/CCNet front door):
+    # messy URL variants derived deterministically per doc — doc pairs
+    # (4k, 4k+1) differ only by case/port/dup-slash/tracking-params/
+    # fragment and must collapse to one canonical form
+    def _derived_urls(spark, sf_dir):
+        return _docs(spark, sf_dir).selectExpr(
+            "doc_id",
+            f"({_URL_EXPR_SPARK}) AS url",
+        )
+
+    q["url_canonical"] = lambda s, d: urls.canonical_urls(_derived_urls(s, d))
+    q["url_dedup"] = lambda s, d: urls.url_dedup(_derived_urls(s, d))
+
     # ------------------------------------------------------------------
     # Gate-window curation: the driver's correctness gate hashes only the
     # FIRST 50 entries of this dict (observed cap, CORRECTNESS_r03), so
@@ -1727,5 +1766,7 @@ SELECT rank, doc_id, s FROM (
 ) WHERE rank <= 100 ORDER BY rank"""
     o["contamination_check"] = quality.contamination_sql("doc_id % 97 = 0")
     o["repetition_stats"] = quality.repetition_stats_sql()
+    o["url_canonical"] = urls.canonical_urls_sql(f"({_URL_EXPR_DUCK})")
+    o["url_dedup"] = urls.url_dedup_sql(f"({_URL_EXPR_DUCK})")
     # multimodal_features: decode stub is not SQL-expressible -> rows-only
     return o

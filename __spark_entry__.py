@@ -552,6 +552,25 @@ _URL_EXPR_DUCK = (
     "'/?ref=tw&z=' || CAST(doc_id % 7 AS VARCHAR) END"
 )
 
+
+# deterministic PII injections for the pii_scrub entry (Spark + DuckDB)
+_PII_TAIL_SPARK = (
+    "CASE CAST(doc_id % 3 AS INT) "
+    "WHEN 0 THEN concat(' contact user', CAST(doc_id AS STRING), "
+    "'@mail.example.com now') "
+    "WHEN 1 THEN concat(' server at 10.0.', CAST(doc_id % 256 AS STRING), "
+    "'.7 up') "
+    "ELSE ' call +1 (555) 123-4567 today' END"
+)
+_PII_TAIL_DUCK = (
+    "CASE doc_id % 3 "
+    "WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@mail.example.com now' "
+    "WHEN 1 THEN ' server at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "'.7 up' "
+    "ELSE ' call +1 (555) 123-4567 today' END"
+)
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, flt in _FILTERS.items():
@@ -1311,6 +1330,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["url_canonical"] = lambda s, d: urls.canonical_urls(_derived_urls(s, d))
     q["url_dedup"] = lambda s, d: urls.url_dedup(_derived_urls(s, d))
 
+    # PII scrub probe: deterministic PII spans injected into the text,
+    # counts + the redacted form the pipeline would actually train on
+    def pii_scrub(spark, sf_dir):
+        seeded = _docs(spark, sf_dir).selectExpr(
+            "doc_id", f"concat(text, {_PII_TAIL_SPARK}) AS text"
+        )
+        return quality.pii_stats(seeded)
+
+    q["pii_scrub"] = pii_scrub
+
     # ------------------------------------------------------------------
     # Gate-window curation: the driver's correctness gate hashes only the
     # FIRST 50 entries of this dict (observed cap, CORRECTNESS_r03), so
@@ -1768,5 +1797,6 @@ SELECT rank, doc_id, s FROM (
     o["repetition_stats"] = quality.repetition_stats_sql()
     o["url_canonical"] = urls.canonical_urls_sql(f"({_URL_EXPR_DUCK})")
     o["url_dedup"] = urls.url_dedup_sql(f"({_URL_EXPR_DUCK})")
+    o["pii_scrub"] = quality.pii_stats_sql(f"text || ({_PII_TAIL_DUCK})")
     # multimodal_features: decode stub is not SQL-expressible -> rows-only
     return o

@@ -723,3 +723,60 @@ SELECT b.doc_id, len(b.toks)::BIGINT AS n_toks,
          AS dup_bigram_frac
 FROM b JOIN mx USING (doc_id)
 ORDER BY doc_id LIMIT {top}"""
+
+
+# ------------------------------------------------------ PII scrub probe
+
+
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_IPV4_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+PII_PHONE_RE = "(?:\\+|\\b)(?:[0-9]{1,3}[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+
+def pii_stats(docs: DataFrame, top: int = 100) -> DataFrame:
+    """PII scrub probe (the C4 / refined-web pre-release step): per-doc
+    counts of email / IPv4 / phone-shaped spans plus the redacted text
+    (spans replaced by typed placeholder tokens, the form actually fed
+    to training). Pure JVM regexp expressions — one narrow projection,
+    no shuffle, no Python.
+
+    Returns (doc_id, n_email, n_ipv4, n_phone, redacted) ordered by
+    doc_id, LIMIT top."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_email"),
+            F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ipv4"),
+            F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phone"),
+            redacted.alias("redacted"),
+        )
+        .orderBy("doc_id")
+        .limit(top)
+    )
+
+
+def pii_stats_sql(text_expr: str = "text", top: int = 100) -> str:
+    """DuckDB twin (same regexes; DuckDB regexp_replace needs the 'g'
+    flag to match Spark's replace-all semantics)."""
+    t = f"coalesce({text_expr}, '')"
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace({t}, "
+        f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), '{PII_IPV4_RE}', '<IP>', 'g'), "
+        f"'{PII_PHONE_RE}', '<PHONE>', 'g')"
+    )
+    def cnt(pat: str) -> str:
+        return f"len(regexp_extract_all({t}, '{pat}'))::BIGINT"
+    return f"""
+SELECT doc_id, {cnt(PII_EMAIL_RE)} AS n_email, {cnt(PII_IPV4_RE)} AS n_ipv4,
+       {cnt(PII_PHONE_RE)} AS n_phone, {red} AS redacted
+FROM documents ORDER BY doc_id LIMIT {top}"""

@@ -78,3 +78,27 @@ def test_dedup_keeps_first_crawled(spark):
         for r in url_dedup(spark.createDataFrame(pdf)).collect()
     }
     assert got == {2: True, 5: False, 9: False}
+
+
+def test_pii_stats_ground_truth(spark):
+    """PII counts + redaction vs hand-written expectations."""
+    from iresearch_spark.textops.quality import pii_stats
+
+    rows = [
+        {"doc_id": 0,
+         "text": "mail a@b.co or c.d+x@e.org, ip 192.168.0.1 ok"},
+        {"doc_id": 1, "text": "call +1 (555) 123-4567 or 555.987.6543 now"},
+        {"doc_id": 2, "text": "clean text with no pii at all"},
+    ]
+    got = {
+        int(r["doc_id"]): r.asDict()
+        for r in pii_stats(spark.createDataFrame(pd.DataFrame(rows))).collect()
+    }
+    assert got[0]["n_email"] == 2 and got[0]["n_ipv4"] == 1
+    assert got[0]["redacted"] == "mail <EMAIL> or <EMAIL>, ip <IP> ok"
+    assert got[1]["n_phone"] == 2
+    assert got[1]["redacted"] == "call <PHONE> or <PHONE> now"
+    assert got[2] == {
+        "doc_id": 2, "n_email": 0, "n_ipv4": 0, "n_phone": 0,
+        "redacted": "clean text with no pii at all",
+    }

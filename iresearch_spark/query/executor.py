@@ -42,7 +42,12 @@ from iresearch_spark.analysis.numeric import granular_term_ranges
 from iresearch_spark.oracle.model import wildcard_to_regex
 from iresearch_spark.query import filters as qf
 from iresearch_spark.query.fuzzy import damerau_leq_mask, levenshtein_leq_mask
-from iresearch_spark.query.wand import TermPostings, and_terms, or_terms_topk
+from iresearch_spark.query.wand import (
+    TermPostings,
+    and_terms,
+    or_groups_topk,
+    or_terms_topk,
+)
 from iresearch_spark.store import SnapshotStore
 
 RESULT_SCHEMA = "qid bigint, seg_id int, doc_id bigint, score double"
@@ -124,6 +129,41 @@ def _flatten_or_terms(tree: qf.Filter):
     if any(w < 0.0 for _, w in out):
         return None
     return out
+
+
+def _flatten_or_groups(tree: qf.Filter):
+    """list[list[((field, term), weight)]] if `tree` is a min_match=1
+    disjunction whose DIRECT children are Term / And-of-Term nodes — one
+    boolean level of conjunction under the disjunction, the shape
+    `or_groups_topk` prunes with propagated block upper bounds.  Each
+    inner list is a conjunction group (singletons = plain disjuncts).
+
+    Deliberately narrower than `_flatten_or_terms`: Terms children and
+    nested Or levels are NOT splatted into separate groups, because the
+    exhaustive evaluator sums their members into a sub-accumulator
+    before adding to the disjunction — splatting would change the float
+    association order and break last-ulp rank identity with the oracle.
+    Returns None for any other shape."""
+    groups: list[list[tuple[tuple[str, str], float]]] = []
+    if not (isinstance(tree, qf.Or) and tree.min_match == 1):
+        return None
+    for c in tree.children:
+        if isinstance(c, qf.Term):
+            groups.append([((c.field, c.term), tree.boost * c.boost)])
+        elif isinstance(c, qf.And) and all(
+            isinstance(m, qf.Term) for m in c.children
+        ) and c.children:
+            groups.append(
+                [
+                    ((m.field, m.term), tree.boost * c.boost * m.boost)
+                    for m in c.children
+                ]
+            )
+        else:
+            return None
+    if any(w < 0.0 for g in groups for _, w in g):
+        return None
+    return groups
 
 
 def _flatten_and_terms(tree: qf.Filter):
@@ -331,6 +371,20 @@ class IndexSearcher:
         # the collected term states the same way per prepared filter)
         self._exp_cache: dict[qf.Filter, tuple] = {}
         self._dict_df = None  # lazy global term dictionary, see _term_dict
+        # the large-batch elision path persists its pass-1 frame so the
+        # trigger-stats collect and the returned union share one
+        # materialization; the slot lets the NEXT large batch (or close())
+        # release the previous one instead of leaking cached partitions
+        # across repeated calls in a long-lived session
+        self._elision_persisted = None
+
+    def close(self) -> None:
+        """Release executor-side caches held by this searcher (currently
+        the large-batch elision persist slot).  Safe to call repeatedly;
+        the searcher remains usable — caches rebuild lazily."""
+        if self._elision_persisted is not None:
+            self._elision_persisted.unpersist(blocking=False)
+            self._elision_persisted = None
 
     def _term_dict(self):
         """Global term dictionary (field, term, df) as a materialized
@@ -860,7 +914,10 @@ class IndexSearcher:
         # driver memory, so the trigger check collects only ONE row per
         # ELIGIBLE query (count + min score) and the merge stays a
         # DataFrame union — pass-1 rows never land on the driver.
+        if self._elision_persisted is not None:
+            self._elision_persisted.unpersist(blocking=False)
         finalp = final.persist()
+        self._elision_persisted = finalp
         stats = (
             finalp.filter(F.col("qid").isin(eligible))
             .groupBy("qid")
@@ -2325,8 +2382,35 @@ def _make_segment_kernel(
                     pairs, k, tfn, mask=mask, score_round=score_round
                 )
             else:
-                fa = None if scored_all else _flatten_and_terms(tree)
-                if fa is not None and len(fa) >= 2:
+                # one boolean level deeper: Or over And-of-Term groups —
+                # propagate block bounds through the conjunctions
+                # (or_groups_topk); only worth it when at least one child
+                # is a real conjunction (all-singleton = the ft path)
+                gs = None if scored_all else _flatten_or_groups(tree)
+                if (
+                    gs is not None
+                    and len(gs) >= 2
+                    and any(len(g) > 1 for g in gs)
+                ):
+                    group_pairs = [
+                        [
+                            (
+                                m * idf_l.get(key, 0.0),
+                                get_reader(key),
+                                field_dls(key[0]),
+                                field_avgdl(key[0]),
+                            )
+                            for key, m in g
+                        ]
+                        for g in gs
+                    ]
+                    docs, scores = or_groups_topk(
+                        group_pairs, k, tfn, mask=mask,
+                        score_round=score_round,
+                    )
+                elif (
+                    fa := None if scored_all else _flatten_and_terms(tree)
+                ) is not None and len(fa) >= 2:
                     if any(get_reader(key) is None for key, _m in fa):
                         continue  # a missing term empties the conjunction
                     pairs = [

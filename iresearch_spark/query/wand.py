@@ -446,6 +446,208 @@ def _or_topk_static(
     return _zero_fill_and_select(cand, score, zero_readers, k, mask)
 
 
+def _score_groups(ginfos, cand, tfn):
+    """Exact additive scores of conjunction groups over sorted-unique
+    candidate docs.  Each group contributes Σ w·tfn only to docs where
+    EVERY member is present; members are probed rarest-first so hot
+    members seek-decode only the blocks the survivors touch.  Returns
+    (score, matched): matched marks docs where at least one group's
+    conjunction holds — needed because, unlike the pure-term disjunction,
+    presence in a lead list does not imply a match, and a zero-weight
+    group's matches legitimately score 0."""
+    score = np.zeros(len(cand), np.float64)
+    matched = np.zeros(len(cand), bool)
+    for members_orig, members_df, _lead, _ub, _g in ginfos:
+        alive = np.arange(len(cand))
+        # presence pass rarest-first: hot members seek only blocks the
+        # shrinking survivor set touches
+        for _w, r, _dls, _avgdl in members_df:
+            if len(alive) == 0:
+                break
+            alive = alive[r.lookup_tfs(cand[alive]) > 0]
+        if len(alive) == 0:
+            continue
+        # scoring pass in ORIGINAL member order so float accumulation
+        # associates exactly like the exhaustive And evaluation (the
+        # decoded blocks are cached, so these lookups re-decode nothing)
+        sub = cand[alive]
+        gsc = np.zeros(len(sub), np.float64)
+        for w, r, dls, avgdl in members_orig:
+            if w > 0.0:
+                gsc += w * tfn(r.lookup_tfs(sub), dls[sub - 1], avgdl)
+        score[alive] += gsc
+        matched[alive] = True
+    return score, matched
+
+
+def or_groups_topk(
+    groups: list[list[tuple[float, TermPostings, np.ndarray, float]]],
+    k: int,
+    tfn,
+    mask: np.ndarray | None = None,
+    score_round: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k of a min_match=1 disjunction of CONJUNCTION GROUPS
+    with dynamic-θ block-max pruning — the one-boolean-level extension of
+    `or_terms_topk` ([up] core/search/boolean_filter.cpp composes
+    disjunction-over-conjunction the same way; bound propagation follows
+    the Block-Max-Maxscore recipe applied to each group as a virtual
+    posting list).
+
+    Each group is [(weight, reader, dls, avgdl), ...] whose terms must
+    ALL be present for the group to contribute (singleton groups = plain
+    disjuncts, recovering `or_terms_topk` semantics; a doc matching
+    several groups sums their contributions, matching the exhaustive Or
+    evaluation).
+
+    Virtual-list bounds: a group's candidate generator is its RAREST
+    member (any group match must appear in every member, so the rarest
+    list covers the group).  For that lead's block B the group's score is
+    at most ub_lead(B) + Σ_{other members} gub — tfn is monotone
+    increasing in tf and decreasing in dl, so per-block (max_tf, min_dl)
+    metadata bounds the lead's contribution exactly as in `_prep_terms`.
+    Adding Σ_{other groups} gub yields the total-score bound sb_g(B);
+    blocks are processed in descending sb with iterated θ tightening and
+    a MAXSCORE essential-group split, both monotone-safe because sb is
+    static and θ only rises.  Results are EXACTLY the unpruned top-k
+    under the (rounded score desc, doc asc) selection."""
+    # (members_orig, members_df_asc, lead_reader, lead_ub_blocks, gub)
+    ginfos = []
+    for g in groups:
+        members = []
+        for w, r, dls, avgdl in g:
+            if r is None or len(r.skip) == 0:
+                members = None  # an absent member empties the conjunction
+                break
+            members.append((w, r, dls, avgdl))
+        if not members:
+            continue
+        members_orig = list(members)
+        members.sort(key=lambda m: m[1].df)
+        gub = 0.0
+        for w, r, dls, avgdl in members:
+            if w > 0.0:
+                ub = w * tfn(
+                    r.bmax[:, 0].astype(np.float64),
+                    r.bmax[:, 1].astype(np.float64),
+                    avgdl,
+                )
+                gub += float(ub.max())
+        wl, rl, dlsl, avgdll = members[0]
+        if wl > 0.0:
+            lead_ub = wl * tfn(
+                rl.bmax[:, 0].astype(np.float64),
+                rl.bmax[:, 1].astype(np.float64),
+                avgdll,
+            )
+            rest = gub - float(lead_ub.max())
+            ub_blocks = lead_ub + rest
+        else:
+            ub_blocks = np.full(len(rl.skip), gub, np.float64)
+        ginfos.append((members_orig, members, rl, ub_blocks, gub))
+    if not ginfos:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    total_gub = sum(gi[4] for gi in ginfos)
+
+    # flatten every (group, lead-block) with its total-score upper bound
+    t_parts, b_parts, sb_parts = [], [], []
+    for gi, (_mo, _m, rl, ub_blocks, gub) in enumerate(ginfos):
+        nb = len(ub_blocks)
+        t_parts.append(np.full(nb, gi, np.int64))
+        b_parts.append(np.arange(nb, dtype=np.int64))
+        sb_parts.append(ub_blocks + (total_gub - gub))
+    t_arr = np.concatenate(t_parts)
+    b_arr = np.concatenate(b_parts)
+    sb_arr = np.concatenate(sb_parts)
+    order = np.argsort(-sb_arr, kind="stable")
+    sb_desc = sb_arr[order]
+    n = len(order)
+
+    gubs = np.array([gi[4] for gi in ginfos])
+    gub_order = np.argsort(gubs, kind="stable")
+    gub_csum = np.cumsum(gubs[gub_order])
+
+    def essential_mask(th: float) -> np.ndarray:
+        ess = np.ones(len(ginfos), bool)
+        if th != -np.inf:
+            ne = gub_order[gub_csum < th - EPS]
+            ess[ne] = False
+        return ess
+
+    cand = np.empty(0, np.int64)
+    score = np.empty(0, np.float64)
+    theta = -np.inf
+    pos = 0
+    chunk = max(4, 2 * len(ginfos), (k + 127) // 128)
+    while pos < n:
+        end = (
+            n
+            if theta == -np.inf
+            else int(np.searchsorted(-sb_desc, -(theta - EPS), side="right"))
+        )
+        if pos >= end:
+            break
+        take = order[pos : min(pos + chunk, end)]
+        pos = min(pos + chunk, end)
+        chunk *= 2
+        ess = essential_mask(theta)
+        take = take[ess[t_arr[take]]]
+        if not len(take):
+            continue
+        parts = []
+        take_t = t_arr[take]
+        for gi in np.unique(take_t):
+            bidx = np.sort(b_arr[take[take_t == gi]])
+            docs_b, _ = ginfos[gi][2].decode_blocks(bidx)
+            if len(docs_b):
+                parts.append(docs_b)
+        if not parts:
+            continue
+        new = np.unique(np.concatenate(parts))
+        if mask is not None and len(new):
+            new = new[~np.isin(new, mask, assume_unique=True)]
+        if len(cand) and len(new):
+            new = new[~np.isin(new, np.sort(cand))]
+        if not len(new):
+            continue
+        es_idx = np.flatnonzero(ess)
+        ne_idx = np.flatnonzero(~ess)
+        s_new, m_new = _score_groups([ginfos[i] for i in es_idx], new, tfn)
+        if len(ne_idx):
+            # MAXSCORE cutoff on the essential partial score, then ONE
+            # full re-score over ALL groups in original order — summing
+            # essential and non-essential parts separately would change
+            # the float association order vs the exhaustive evaluation
+            # (the re-probe is cheap: every touched block is cached)
+            ne_sum = float(gubs[ne_idx].sum())
+            if theta != -np.inf:
+                keep = s_new + ne_sum >= theta - EPS
+                new = new[keep]
+            if len(new):
+                s_new, m_new = _score_groups(ginfos, new, tfn)
+            else:
+                s_new = np.empty(0, np.float64)
+                m_new = np.empty(0, bool)
+        # candidates that match NO group are not hits at all (presence in
+        # a lead list does not imply the conjunction holds) — drop them
+        # so they neither enter θ nor the final selection; matched docs
+        # are kept even at score 0 (all-zero-weight groups).
+        new, s_new = new[m_new], s_new[m_new]
+        if not len(new):
+            continue
+        cand = np.concatenate([cand, new])
+        score = np.concatenate([score, s_new])
+        if len(score) >= k:
+            theta = float(np.partition(score, len(score) - k)[len(score) - k])
+
+    if score_round is not None:
+        score = np.round(score, score_round)
+    if len(cand) > k:
+        sel = np.lexsort((cand, -score))[:k]
+        return cand[sel], score[sel]
+    return cand, score
+
+
 def and_terms(
     terms: list[tuple[float, TermPostings, np.ndarray, float]],
     tfn,

@@ -51,8 +51,14 @@ def dedup_stream(
     documents on a null column would be data loss, not dedup.
 
     Returns the deduped streaming DataFrame with the original columns."""
+    # coalesce inside the concat: Spark concat is null-propagating, so a
+    # null-content row whose url is ALSO null must still get a unique
+    # surrogate — otherwise all such rows share a NULL key and collapse.
     fallback = (
-        F.concat(F.lit("\x00null:"), F.col("url"))
+        F.concat(
+            F.lit("\x00null:"),
+            F.coalesce(F.col("url"), F.expr("uuid()")),
+        )
         if "url" in stream_df.columns
         else F.concat(F.lit("\x00null:"), F.expr("uuid()"))
     )

@@ -30,7 +30,13 @@ _QUERY_RE = "\\?([^#]*)"
 
 
 def canonical_url(url: Column) -> Column:
-    """The frozen canonicalization as one JVM expression tree."""
+    """The frozen canonicalization as one JVM expression tree.
+
+    Scheme-less or malformed input (anything the scheme regex does not
+    match — common in dirty crawl data) canonicalizes to NULL rather
+    than collapsing every such row onto the degenerate '://' form;
+    `url_dedup` treats NULL canonicals as keep=true (no evidence of
+    duplication ≠ duplicate)."""
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
     host = F.when(
@@ -55,7 +61,10 @@ def canonical_url(url: Column) -> Column:
     qstr = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, path, qstr)
+    return F.when(
+        url.rlike(_SCHEME_RE),
+        F.concat(scheme, F.lit("://"), host, path, qstr),
+    ).otherwise(F.lit(None).cast("string"))
 
 
 def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -73,17 +82,24 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
     One hash-partitioned shuffle at canonical-URL width — the same
     scale shape as exact content dedup.
 
+    NULL canonicals (scheme-less / malformed urls) are always kept: a
+    row we could not canonicalize carries no duplication evidence, so
+    discarding it would be silent data loss.  The keeper join is a
+    left join for the same reason — equi-joins drop NULL keys.
+
     Returns (doc_id, canonical, keep) ordered by doc_id."""
     c = df.select(
         "doc_id", canonical_url(F.col(url_col)).alias("canonical")
     )
     keeper = c.groupBy("canonical").agg(F.min("doc_id").alias("keep_id"))
     return (
-        c.join(keeper, "canonical")
+        c.join(keeper, "canonical", "left")
         .select(
             "doc_id",
             "canonical",
-            (F.col("doc_id") == F.col("keep_id")).alias("keep"),
+            F.coalesce(
+                F.col("doc_id") == F.col("keep_id"), F.lit(True)
+            ).alias("keep"),
         )
         .orderBy("doc_id")
     )
@@ -115,7 +131,11 @@ def _canon_sql(url_expr: str) -> str:
         f"CASE WHEN len({kept}) > 0 THEN '?' || list_aggregate({kept}, "
         f"'string_agg', '&') ELSE '' END"
     )
-    return f"{scheme} || '://' || {host} || {path} || {qstr}"
+    return (
+        f"CASE WHEN regexp_matches({url_expr}, '{_SCHEME_RE}') "
+        f"THEN {scheme} || '://' || {host} || {path} || {qstr} "
+        f"ELSE NULL END"
+    )
 
 
 def canonical_urls_sql(url_expr: str) -> str:
@@ -129,6 +149,8 @@ def url_dedup_sql(url_expr: str) -> str:
 WITH c AS (
   SELECT doc_id, {_canon_sql(url_expr)} AS canonical FROM documents
 ),
-k AS (SELECT canonical, min(doc_id) AS keep_id FROM c GROUP BY canonical)
-SELECT c.doc_id, c.canonical, c.doc_id = k.keep_id AS keep
-FROM c JOIN k USING (canonical) ORDER BY c.doc_id"""
+k AS (SELECT canonical, min(doc_id) AS keep_id FROM c
+      WHERE canonical IS NOT NULL GROUP BY canonical)
+SELECT c.doc_id, c.canonical,
+       coalesce(c.doc_id = k.keep_id, TRUE) AS keep
+FROM c LEFT JOIN k ON c.canonical = k.canonical ORDER BY c.doc_id"""

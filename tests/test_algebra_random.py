@@ -187,3 +187,60 @@ def test_random_trees_rank_identical(spark, rnd_index):
             assert (seg, doc, url) == (oseg, odoc, ourl), (qid, tree, rank)
             assert score == oscore, (qid, tree, rank, score, oscore)
     assert n_nonempty >= 20, n_nonempty  # the generator must exercise the index
+
+
+def test_or_of_and_groups_rank_identical(spark, rnd_index):
+    """Dedicated coverage for the or_groups_topk dispatch (one boolean
+    level of And under a min_match=1 Or): every generated tree flattens
+    to conjunction groups, so the pruned kernel — not eval_node — answers
+    it, and must stay rank-identical to the pure-Python oracle."""
+    from iresearch_spark.query.executor import _flatten_or_groups
+
+    store, oracle = rnd_index
+    s = IndexSearcher(spark, store)
+    rng = random.Random(515)
+    trees = {}
+    for qid in range(25):
+        kids = []
+        n_kids = rng.randint(2, 4)
+        has_conj = False
+        for _ in range(n_kids):
+            if rng.random() < 0.6 or not has_conj:
+                members = [
+                    qf.Term(w, boost=rng.choice([1.0, 0.5, 2.0]))
+                    for w in rng.sample(WORDS, rng.randint(2, 3))
+                ]
+                kids.append(
+                    qf.And(*members, boost=rng.choice([1.0, 1.5]))
+                )
+                has_conj = True
+            else:
+                kids.append(
+                    qf.Term(rng.choice(WORDS),
+                            boost=rng.choice([1.0, 0.5]))
+                )
+        tree = qf.Or(*kids, boost=rng.choice([1.0, 2.0]))
+        gs = _flatten_or_groups(tree)
+        assert gs is not None and any(len(g) > 1 for g in gs), tree
+        trees[qid] = tree
+    res = s.search_batch(trees, k=15, with_urls=True)
+    got: dict[int, list] = {}
+    for r in res.collect():
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["seg_id"], r["doc_id"], r["url"], r["score"])
+        )
+    for v in got.values():
+        v.sort()
+    n_nonempty = 0
+    for qid, tree in trees.items():
+        want = oracle.search(tree, k=15)
+        have = got.get(qid, [])
+        if want:
+            n_nonempty += 1
+        assert len(have) == len(want), (qid, tree, len(have), len(want))
+        for (rank, seg, doc, url, score), (oseg, odoc, ourl, oscore) in zip(
+            have, want
+        ):
+            assert (seg, doc, url) == (oseg, odoc, ourl), (qid, tree, rank)
+            assert score == oscore, (qid, tree, rank, score, oscore)
+    assert n_nonempty >= 15, n_nonempty

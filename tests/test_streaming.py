@@ -234,3 +234,33 @@ def test_dedup_stream_null_content_passes_through(spark, unit_corpus, tmp_path):
     # the mirror re-delivery collapsed; all three null-text rows survived
     assert urls == set(base["url"])
     assert sum(1 for r in rows if r["text"] is None) == 3
+
+
+def test_dedup_stream_null_content_null_url_rows_survive(
+    spark, unit_corpus, tmp_path
+):
+    """Null-content rows whose url is ALSO null still pass through
+    individually: Spark concat is null-propagating, so the fallback key
+    must coalesce the url with a unique surrogate or every such row
+    within the horizon shares a NULL key and collapses to one."""
+    import pandas as pd
+
+    from iresearch_spark.streaming import dedup_stream
+
+    base = unit_corpus.iloc[:6].copy()
+    base.loc[base.index[:3], "text"] = None
+    base.loc[base.index[:2], "url"] = None  # 2 rows with NO identity
+    src = str(tmp_path / "src")
+    _drop_chunks(spark, base, src, [(0, 6)])
+
+    out = dedup_stream(_stream_df(spark, src), horizon="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nullnulldedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select url, text from nullnulldedup").collect()
+    assert len(rows) == 6  # nothing collapsed
+    assert sum(1 for r in rows if r["url"] is None) == 2

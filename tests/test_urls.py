@@ -102,3 +102,38 @@ def test_pii_stats_ground_truth(spark):
         "doc_id": 2, "n_email": 0, "n_ipv4": 0, "n_phone": 0,
         "redacted": "clean text with no pii at all",
     }
+
+
+def test_schemeless_urls_null_canonical_and_kept(spark):
+    """Scheme-less / malformed urls (dirty crawl data) canonicalize to
+    NULL and are ALWAYS kept by url_dedup — they must not collapse onto
+    a shared degenerate '://' form and silently discard each other."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "url": [
+                "www.a.example/p/1",      # scheme-less
+                "www.b.example/p/2",      # scheme-less, unrelated
+                "not a url at all",       # malformed
+                "https://ok.org/x",       # one real pair...
+                "https://OK.org:443/x/",  # ...that still dedups
+            ],
+        }
+    )
+    got = {
+        r["doc_id"]: (r["canonical"], r["keep"])
+        for r in url_dedup(spark.createDataFrame(pdf)).collect()
+    }
+    assert got[0] == (None, True)
+    assert got[1] == (None, True)
+    assert got[2] == (None, True)
+    assert got[3] == ("https://ok.org/x", True)
+    assert got[4] == ("https://ok.org/x", False)
+    # DuckDB twin agrees, nulls included
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = {
+        int(d): (c, bool(k))
+        for d, c, k in con.execute(url_dedup_sql("url")).fetchall()
+    }
+    assert oracle == got

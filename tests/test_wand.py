@@ -322,3 +322,105 @@ def test_seek_entries_matches_full_and_is_frugal():
     assert r._full is None
     assert len(r.decoded) <= len(cand_all), (len(r.decoded), r.n_blocks)
     assert r.n_blocks > 400
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_or_groups_topk_matches_bruteforce(seed):
+    """Or-of-And conjunction groups: the one-boolean-level bound
+    propagation must return EXACTLY the exhaustive top-k under (rounded
+    score desc, doc asc) — a doc matching several groups sums their
+    contributions, a group matches only when every member is present."""
+    from iresearch_spark.query.wand import or_groups_topk
+
+    rng = np.random.default_rng([seed, 7])
+    n_docs = int(rng.integers(200, 2000))
+    dls = rng.integers(5, 400, size=n_docs).astype(np.float64)
+    avgdl = float(dls.mean())
+    tfn = _tfn()
+    k = int(rng.integers(1, 25))
+    mask = (
+        np.sort(
+            rng.choice(
+                np.arange(1, n_docs + 1), size=n_docs // 10, replace=False
+            )
+        )
+        if seed % 2
+        else None
+    )
+    n_groups = int(rng.integers(2, 5))
+    groups, raw = [], []
+    for _ in range(n_groups):
+        sz = int(rng.integers(1, 4))  # mix singletons and conjunctions
+        members, mraw = [], []
+        for _ in range(sz):
+            df = int(rng.integers(1, n_docs))
+            docs, tfs = _mk_reader(rng, n_docs, df)
+            w = float(rng.uniform(0.1, 3.0))
+            members.append((w, _build(docs, tfs, dls), dls, avgdl))
+            mraw.append((w, dict(zip(docs.tolist(), tfs.tolist()))))
+        groups.append(members)
+        raw.append(mraw)
+
+    brute = {}
+    for mraw in raw:
+        common = set(mraw[0][1])
+        for _w, post in mraw[1:]:
+            common &= set(post)
+        for d in common:
+            if mask is not None and d in mask:
+                continue
+            s = sum(
+                w * tfn(float(post[d]), dls[d - 1], avgdl)
+                for w, post in mraw
+            )
+            brute[d] = brute.get(d, 0.0) + s
+
+    got_docs, got_scores = or_groups_topk(
+        groups, k, tfn, mask=mask, score_round=6
+    )
+    expect = sorted(
+        brute.items(), key=lambda kv: (-round(kv[1], 6), kv[0])
+    )[:k]
+    got = sorted(zip(got_docs, got_scores), key=lambda kv: (-kv[1], kv[0]))
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (gd, gs), (ed, es) in zip(got, expect):
+        assert abs(gs - round(es, 6)) < 1e-9, (gd, ed)
+
+
+def test_or_groups_topk_zero_weight_group_and_missing_member():
+    """A group whose every weight is 0 still MATCHES (score 0, below all
+    positives); a group with a missing (None) member is dropped whole."""
+    from iresearch_spark.query.wand import or_groups_topk
+
+    rng = np.random.default_rng(123)
+    n_docs = 600
+    dls = rng.integers(5, 400, size=n_docs).astype(np.float64)
+    avgdl = float(dls.mean())
+    tfn = _tfn()
+    d1, t1 = _mk_reader(rng, n_docs, 40)
+    d2, t2 = _mk_reader(rng, n_docs, 300)
+    d3, t3 = _mk_reader(rng, n_docs, 500)
+    groups = [
+        [(1.5, _build(d1, t1, dls), dls, avgdl)],
+        # zero-weight conjunction: matches score exactly 0
+        [
+            (0.0, _build(d2, t2, dls), dls, avgdl),
+            (0.0, _build(d3, t3, dls), dls, avgdl),
+        ],
+        # missing member -> group contributes nothing at all
+        [(2.0, None, dls, avgdl), (1.0, _build(d1, t1, dls), dls, avgdl)],
+    ]
+    k = 200
+    got_docs, got_scores = or_groups_topk(groups, k, tfn, score_round=6)
+    brute = {}
+    for d, tf in zip(d1, t1):
+        brute[d] = brute.get(d, 0.0) + 1.5 * tfn(
+            float(tf), dls[d - 1], avgdl
+        )
+    for d in set(d2.tolist()) & set(d3.tolist()):
+        brute.setdefault(d, 0.0)
+    expect = sorted(
+        brute.items(), key=lambda kv: (-round(kv[1], 6), kv[0])
+    )[:k]
+    got = sorted(zip(got_docs, got_scores), key=lambda kv: (-kv[1], kv[0]))
+    assert [d for d, _ in got] == [d for d, _ in expect]

@@ -1318,6 +1318,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["collation_de_order"] = collation_de_order
 
+    # r5 locale breadth: fr_ca (backwards secondary — accents compared
+    # from the END of the string) and da (æ/ø/å primaries after z, the
+    # "aa" contraction, caseFirst=upper).  Same protocol as de: derive
+    # locale-flavored strings deterministically from doc_id, key them
+    # with the frozen-table analyzer, and let DuckDB's REAL ICU order be
+    # the oracle.
+    def _collation_order_entry(locale, injections):
+        def entry(spark, sf_dir):
+            from pyspark.sql import Window
+
+            base = _docs(spark, sf_dir).select(
+                "doc_id", F.substring(F.col("text"), 1, 12).alias("s0")
+            )
+            cased = F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.upper(F.substring(F.col("s0"), 1, 1)),
+                    F.expr("substring(s0, 2)"),
+                ),
+            ).otherwise(F.col("s0"))
+            s = None
+            for i, (src_c, dst_c) in enumerate(injections[:-1]):
+                cond = F.col("doc_id") % 4 == i
+                rep = F.regexp_replace(cased, src_c, dst_c)
+                s = F.when(cond, rep) if s is None else s.when(cond, rep)
+            s = s.otherwise(
+                F.regexp_replace(cased, injections[-1][0], injections[-1][1])
+            )
+            derived = base.select("doc_id", s.alias("s"))
+
+            def keyed(pdfs):
+                from iresearch_spark.analysis.collation import (
+                    collation_keys_batch,
+                )
+
+                for pdf in pdfs:
+                    flat, _c, _p, _st, _ln = collation_keys_batch(
+                        pdf["s"].fillna(""), locale
+                    )
+                    pdf = pdf.assign(ckey=flat)
+                    yield pdf
+
+            kdf = derived.mapInPandas(
+                keyed, "doc_id bigint, s string, ckey string"
+            )
+            w = Window.orderBy("ckey", "s", "doc_id")
+            return (
+                kdf.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 100)
+                .select(
+                    F.col("rank").cast("int").alias("rank"), "doc_id", "s"
+                )
+                .orderBy("rank")
+            )
+
+        return entry
+
+    _FR_INJ = [("e", "é"), ("e", "è"), ("a", "â"), ("o", "ô")]
+    _DA_INJ = [("a", "æ"), ("o", "ø"), ("a", "aa"), ("u", "ü")]
+    q["collation_fr_order"] = _collation_order_entry("fr_ca", _FR_INJ)
+    q["collation_da_order"] = _collation_order_entry("da", _DA_INJ)
+
     # Benchmark decontamination probe (GPT-3 appendix-C shape): the
     # "benchmark" is a doc_id slice of the corpus, so sliced docs come
     # back 100%-contaminated and the rest show template-phrase overlap
@@ -1811,6 +1873,42 @@ SELECT rank, doc_id, s FROM (
          ) AS INT) AS rank, doc_id, s
   FROM d
 ) WHERE rank <= 100 ORDER BY rank"""
+    def _collation_order_sql(icu_locale, injections):
+        cases = " ".join(
+            f"WHEN {i} THEN regexp_replace(s1, '{a}', '{b}', 'g')"
+            for i, (a, b) in enumerate(injections[:-1])
+        )
+        last = injections[-1]
+        return f"""
+WITH b AS (
+  SELECT doc_id, substr(text, 1, 12) AS s0 FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN upper(substr(s0, 1, 1)) || substr(s0, 2)
+              ELSE s0 END AS s1
+  FROM b
+),
+d AS (
+  SELECT doc_id,
+         CASE doc_id % 4 {cases}
+           ELSE regexp_replace(s1, '{last[0]}', '{last[1]}', 'g') END AS s
+  FROM c
+)
+SELECT rank, doc_id, s FROM (
+  SELECT CAST(row_number() OVER (
+           ORDER BY icu_sort_key(s, '{icu_locale}'), s, doc_id
+         ) AS INT) AS rank, doc_id, s
+  FROM d
+) WHERE rank <= 100 ORDER BY rank"""
+
+    o["collation_fr_order"] = _collation_order_sql(
+        "fr_ca", [("e", "é"), ("e", "è"), ("a", "â"), ("o", "ô")]
+    )
+    o["collation_da_order"] = _collation_order_sql(
+        "da", [("a", "æ"), ("o", "ø"), ("a", "aa"), ("u", "ü")]
+    )
     o["contamination_check"] = quality.contamination_sql("doc_id % 97 = 0")
     o["repetition_stats"] = quality.repetition_stats_sql()
     o["url_canonical"] = urls.canonical_urls_sql(f"({_URL_EXPR_DUCK})")

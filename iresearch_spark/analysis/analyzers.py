@@ -352,10 +352,10 @@ def _one_stage(value: str | None, stage: str) -> list[tuple[str, int, int, int]]
         return [(stem_token(value), 0, 0, len(value))]
     if stage == "segmentation":
         return _segment_one(value)
-    if parse_collation_spec(stage) is not None:
+    if (_cloc := parse_collation_spec(stage)) is not None:
         # A6 collation ([up] core/analysis/collation_token_stream.cpp):
         # the whole value becomes one locale-sort-key term
-        return [(collation_key(value), 0, 0, len(value))]
+        return [(collation_key(value, _cloc), 0, 0, len(value))]
     nspec = parse_numeric_spec_typed(stage)
     if nspec is not None:
         # A7 numeric token stream ([up] core/analysis/token_streams.hpp ::
@@ -626,8 +626,8 @@ def _batch_stage(values: pd.Series, stage: str):
         return stemmed, counts, pos, starts, lens
     if stage == "segmentation":
         return _batch_segmentation(values)
-    if parse_collation_spec(stage) is not None:
-        return collation_keys_batch(values)
+    if (_cloc := parse_collation_spec(stage)) is not None:
+        return collation_keys_batch(values, _cloc)
     nspec = parse_numeric_spec_typed(stage)
     if nspec is not None:
         return _batch_numeric(values, *nspec)

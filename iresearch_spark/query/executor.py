@@ -2180,18 +2180,9 @@ def _make_segment_kernel(
             ("the", "of") never decompresses blocks the rare slot's docs
             don't touch — and the position blobs were always
             candidate-only."""
-            slot_readers = []
-            costs = []
-            for slot in slots:
-                rs = [
-                    get_reader((field, t))
-                    for t in slot
-                    if term_rows.get((field, t)) is not None
-                ]
-                if not rs:
-                    return np.empty(0, np.int64), np.empty(0, np.float64)
-                slot_readers.append(rs)
-                costs.append(sum(r.df for r in rs))
+            slot_readers, costs = _slot_readers(slots, field)
+            if slot_readers is None:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
             lead = int(np.argmin(costs))
             docs_u = [r.full()[0] for r in slot_readers[lead]]
             common = (
@@ -2199,8 +2190,34 @@ def _make_segment_kernel(
                 if len(docs_u) == 1
                 else np.unique(np.concatenate(docs_u))
             )
+            common = _seek_intersect_slots(
+                common, slot_readers, costs, skip={lead}
+            )
+            return _verify_positions(slots, offsets, boost, field, common)
+
+        def _slot_readers(slots, field):
+            """(readers-per-slot, Σdf cost per slot), or (None, None) if a
+            slot has no present term (an unmatchable slot empties the
+            positional node)."""
+            slot_readers, costs = [], []
+            for slot in slots:
+                rs = [
+                    get_reader((field, t))
+                    for t in slot
+                    if term_rows.get((field, t)) is not None
+                ]
+                if not rs:
+                    return None, None
+                slot_readers.append(rs)
+                costs.append(sum(r.df for r in rs))
+            return slot_readers, costs
+
+        def _seek_intersect_slots(common, slot_readers, costs, skip):
+            """Shrink `common` to docs where EVERY slot (except `skip`,
+            already satisfied) has some term present — cost-ordered
+            seek_entries, cheapest slots first."""
             for j in sorted(
-                (j for j in range(len(slots)) if j != lead),
+                (j for j in range(len(slot_readers)) if j not in skip),
                 key=lambda j: costs[j],
             ):
                 if len(common) == 0:
@@ -2210,6 +2227,11 @@ def _make_segment_kernel(
                     p, _o, _c = r.seek_entries(common)
                     present_any |= p
                 common = common[present_any]
+            return common
+
+        def _verify_positions(slots, offsets, boost, field, common):
+            """Exact positional verification + scoring over candidate docs
+            that already passed the doc-level slot intersection."""
             if len(common) == 0:
                 return common, np.empty(0, np.float64)
             flats = [_slot_positions(slot, field, common) for slot in slots]
@@ -2229,6 +2251,111 @@ def _make_segment_kernel(
             dls = field_dls(field)
             scores = w * tfn(hits[matched], dls[docs_out - 1], field_avgdl(field))
             return docs_out.astype(np.int64), scores
+
+        def _positional_topk(node, k):
+            """Top-k evaluation of a root Phrase/SamePosition with
+            per-block score upper bounds — the positional analogue of
+            dynamic-θ block-max WAND (VERDICT r4 #3).
+
+            The phrase score is w·tfn(hits, dl) with hits = matching
+            anchor count; hits ≤ tf of ANY single-term slot in the doc
+            (each matched anchor consumes a distinct position in every
+            slot), so for a single-reader slot's block B the score is
+            bounded by w·tfn(max_tf(B), min_dl(B)) — tfn is monotone
+            increasing in tf and decreasing in dl.  The cheapest
+            single-reader slot becomes the CANDIDATE GENERATOR: its
+            blocks are processed in descending bound order with iterated
+            θ tightening; every decoded candidate batch is doc-level
+            seek-intersected with the other slots and then
+            position-verified EXACTLY (verify-on-survivors), so results
+            are identical to the exhaustive path under the
+            (rounded score desc, doc asc) selection.  Blocks whose bound
+            falls below θ−ε are never decoded — the lead list is no
+            longer fully decompressed the way `_positional_match`'s
+            full() lead is.  Falls back to `_positional_match` when no
+            single-reader slot exists (every slot is a multiterm
+            expansion)."""
+            from iresearch_spark.query.wand import EPS
+
+            slots = _as_slots(node.terms)
+            offsets = (
+                list(node.slot_offsets())
+                if isinstance(node, qf.Phrase)
+                else [0] * len(slots)
+            )
+            slot_readers, costs = _slot_readers(slots, node.field)
+            if slot_readers is None:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            single = [
+                j for j in range(len(slots)) if len(slot_readers[j]) == 1
+            ]
+            if not single:
+                return None  # every slot is a multiterm expansion —
+                # no single bounded generator list; caller falls back to
+                # the exact full-lead path
+            lead = min(single, key=lambda j: costs[j])
+            r0 = slot_readers[lead][0]
+            w = node.boost * sum(
+                idf_l.get((node.field, t), 0.0)
+                for slot in slots
+                for t in slot
+            )
+            avgdl = field_avgdl(node.field)
+            ub_blocks = w * tfn(
+                r0.bmax[:, 0].astype(np.float64),
+                r0.bmax[:, 1].astype(np.float64),
+                avgdl,
+            )
+            order = np.argsort(-ub_blocks, kind="stable")
+            ub_desc = ub_blocks[order]
+            n = len(order)
+            docs_acc = np.empty(0, np.int64)
+            score_acc = np.empty(0, np.float64)
+            theta = -np.inf
+            pos = 0
+            chunk = max(4, (k + 127) // 128)
+            while pos < n:
+                end = (
+                    n
+                    if theta == -np.inf
+                    else int(
+                        np.searchsorted(
+                            -ub_desc, -(theta - EPS), side="right"
+                        )
+                    )
+                )
+                if pos >= end:
+                    break
+                take = np.sort(order[pos : min(pos + chunk, end)])
+                pos = min(pos + chunk, end)
+                chunk *= 2
+                cand, _tf = r0.decode_blocks(take)
+                if mask is not None and len(cand):
+                    cand = cand[~np.isin(cand, mask, assume_unique=True)]
+                if not len(cand):
+                    continue
+                cand = _seek_intersect_slots(
+                    cand, slot_readers, costs, skip={lead}
+                )
+                d_new, s_new = _verify_positions(
+                    slots, offsets, node.boost, node.field, cand
+                )
+                if not len(d_new):
+                    continue
+                docs_acc = np.concatenate([docs_acc, d_new])
+                score_acc = np.concatenate([score_acc, s_new])
+                if len(score_acc) >= k:
+                    theta = float(
+                        np.partition(score_acc, len(score_acc) - k)[
+                            len(score_acc) - k
+                        ]
+                    )
+            if score_round is not None:
+                score_acc = np.round(score_acc, score_round)
+            if len(docs_acc) > k:
+                sel = np.lexsort((docs_acc, -score_acc))[:k]
+                return docs_acc[sel], score_acc[sel]
+            return docs_acc, score_acc
 
         def _as_slots(parts):
             return [
@@ -2408,6 +2535,12 @@ def _make_segment_kernel(
                         group_pairs, k, tfn, mask=mask,
                         score_round=score_round,
                     )
+                elif (
+                    not scored_all
+                    and isinstance(tree, (qf.Phrase, qf.SamePosition))
+                    and (pt := _positional_topk(tree, k)) is not None
+                ):
+                    docs, scores = pt
                 elif (
                     fa := None if scored_all else _flatten_and_terms(tree)
                 ) is not None and len(fa) >= 2:

@@ -54,6 +54,12 @@ from iresearch_spark.codec.postings import (
 
 EPS = 1e-4
 
+# bench-only instrumentation (scripts/wand_pruning.py): when set to a
+# list, every TermPostings created in this process registers itself so a
+# driver-side kernel run can read back per-reader decode counters.  None
+# in production — the branch in __init__ costs one comparison per reader.
+INSTRUMENT: list | None = None
+
 
 class TermPostings:
     """Lazy accessor over one (term, segment) posting row."""
@@ -72,6 +78,8 @@ class TermPostings:
         # instrumentation for the pruning-rate bench (scripts/wand_pruning):
         # set of block indices ever decompressed
         self.decoded: set[int] = set()
+        if INSTRUMENT is not None:
+            INSTRUMENT.append(self)
 
     @property
     def n_blocks(self) -> int:

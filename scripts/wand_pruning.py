@@ -224,6 +224,115 @@ def _measure(root: str, k: int) -> None:
             }
         )
     )
+
+    # ------------------------------------------------------- positional
+    # Phrase top-k with per-block bounds (r5): drive the REAL segment
+    # kernel driver-side (same callable the cogroup runs) twice per
+    # phrase shape — pruned top-k vs the exhaustive scored_all path —
+    # and read decode counters back through wand.INSTRUMENT.  The
+    # selective-anchor shape (rare lead slot + hot second slot) is where
+    # the bound skips candidate-generation blocks the exact seek
+    # intersection still had to cover.
+    import pandas as pd
+
+    from iresearch_spark.query import filters as qf
+    from iresearch_spark.query import wand as wand_mod
+    from iresearch_spark.query.executor import _make_segment_kernel
+
+    pos_rows = (
+        store.read_postings(spark, sid)
+        .filter(F.col("field") == "text")
+        .filter(F.col("term").isin(all_terms))
+        .select(
+            "seg_id", "field", "term", "blob", "skip", "bmax", "df",
+            "pos_off", "pos_pay",
+        )
+        .collect()
+    )
+    seg_pdfs: dict[int, pd.DataFrame] = {}
+    for r in pos_rows:
+        seg_pdfs.setdefault(int(r["seg_id"]), []).append(
+            {
+                "field": r["field"],
+                "term": r["term"],
+                "blob": bytes(r["blob"]),
+                "skip": bytes(r["skip"]),
+                "bmax": bytes(r["bmax"]),
+                "df": int(r["df"]),
+                "pos_off": bytes(r["pos_off"]),
+                "pos_pay": bytes(r["pos_pay"]) if r["pos_pay"] else b"",
+            }
+        )
+    seg_pdfs = {s: pd.DataFrame(rows) for s, rows in seg_pdfs.items()}
+    norm_pdfs = {
+        s: pd.DataFrame(
+            {
+                "seg_id": [s],
+                "fidx": [text_fidx],
+                "dls_bin": [dls_by_seg[s].astype("<u4").tobytes()],
+            }
+        )
+        for s in seg_pdfs
+    }
+    idf_all = {("text", t): idf(gdf[t]) for t in all_terms}
+
+    def _run_phrase(terms, k_, scored_all_):
+        dec = blocks = 0
+        rows_out = {}
+        tree = qf.Phrase(list(terms), field="text")
+        for s, pdf in sorted(seg_pdfs.items()):
+            kern = _make_segment_kernel(
+                {0: tree}, idf_all, {"text": avgdl}, fields,
+                BM25_K1, BM25_B, k_, True, score_round=6,
+                n_docs=n_docs, scored_all=scored_all_,
+            )
+            wand_mod.INSTRUMENT = []
+            try:
+                out = kern(pdf, norm_pdfs[s])
+            finally:
+                readers = wand_mod.INSTRUMENT
+                wand_mod.INSTRUMENT = None
+            dec += sum(len(r.decoded) for r in readers)
+            blocks += sum(r.n_blocks for r in readers)
+            for rr in out.itertuples():
+                rows_out[(s, int(rr.doc_id))] = float(rr.score)
+        return rows_out, dec, blocks
+
+    for name, terms in {
+        "phrase_rare_hot": [rare[0], hot[0]],
+        "phrase_mid_hot": [mid[0], hot[1]],
+    }.items():
+        pruned, dec_p, blocks_p = _run_phrase(terms, k, False)
+        full, dec_f, blocks_f = _run_phrase(terms, k, True)
+        # rank identity: pruned global top-k ⊆ exhaustive, same scores,
+        # same (score desc, seg asc, doc asc) head
+        want = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))
+        have = sorted(pruned.items(), key=lambda kv: (-kv[1], kv[0]))
+        # per-segment top-k union vs global: every pruned row must match
+        # the exhaustive score and the global head must be covered
+        assert all(full.get(key) == sc for key, sc in have), name
+        head = [key for key, _ in want[:k]]
+        assert set(head) <= {key for key, _ in have}, name
+        print(
+            json.dumps(
+                {
+                    f"positional_{name}": {
+                        "terms": terms,
+                        "dfs": [gdf[t] for t in terms],
+                        "blocks_total": blocks_f,
+                        "blocks_decoded_exhaustive": dec_f,
+                        "blocks_decoded_pruned": dec_p,
+                        "decode_frac_exhaustive": round(
+                            dec_f / blocks_f, 4
+                        ) if blocks_f else 0,
+                        "decode_frac_pruned": round(dec_p / blocks_p, 4)
+                        if blocks_p
+                        else 0,
+                        "rank_identical": True,
+                    }
+                }
+            )
+        )
     spark.stop()
 
 

@@ -228,3 +228,88 @@ def test_blob_determinism_across_paths(spark, unit_corpus, tmp_path):
         spark, sdf, b, n_segments=4, source="b", band_bits=6, parts=5
     )
     assert blob_sig(a, sa) == blob_sig(b, sb)
+
+
+def test_salted_band_partition_spread(spark):
+    """M1 skew defense (VERDICT r4 #4): with one term in ~50% of docs and
+    few huge segments, the level-1 merge shuffle keyed WITH the doc-range
+    band spreads the hot term's posting mass across reducers; keyed
+    without it, the hot term concentrates per segment.  Asserts the
+    salted layout's max/median entry-mass spread is bounded (<3) and
+    strictly better than the unsalted layout's."""
+    import statistics
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from iresearch_spark.build import kernels
+    from iresearch_spark.fields import DEFAULT_FIELDS
+
+    n_docs, n_segments, parts, band_bits = 20_000, 2, 32, 8
+    corpus = (
+        spark.range(n_docs)
+        .select(
+            F.format_string("%09d", F.col("id")).alias("url"),
+            F.concat(
+                F.when(F.col("id") % 2 == 0, F.lit("hotterm ")).otherwise(
+                    F.lit("")
+                ),
+                F.format_string(
+                    "w%d x%d",
+                    F.col("id") % 4999,
+                    (F.col("id") * 7) % 4999,
+                ),
+            ).alias("text"),
+        )
+        .withColumn("html", F.lit(None).cast("binary"))
+        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+        .withColumn("lang", F.lit(None).cast("string"))
+    )
+    field_specs = list(DEFAULT_FIELDS)
+    tokenized = (
+        corpus.withColumn(
+            "seg_id", (F.crc32(F.col("url")) % n_segments).cast("int")
+        )
+        .select("seg_id", "url", "warc_ts", "lang", "html", "text")
+        .mapInArrow(
+            kernels.make_tokenize_kernel(field_specs, ()),
+            kernels.TOKENIZED_SCHEMA,
+        )
+    )
+    assigned = (
+        tokenized.repartition(n_segments, "seg_id")
+        .withColumn(
+            "doc_id",
+            F.row_number()
+            .over(W.partitionBy("seg_id").orderBy("url"))
+            .cast("bigint"),
+        )
+        .select(
+            "seg_id", "doc_id", "fdls", "terms", "tfids", "tfs",
+            "positions", "ostarts", "olens", "pchars",
+        )
+    )
+    partials = assigned.mapInArrow(
+        kernels.make_partials_kernel(
+            band_bits,
+            [f.offsets for f in field_specs],
+            [f.payloads for f in field_specs],
+        ),
+        kernels.PARTIAL_SCHEMA,
+    ).localCheckpoint()
+
+    def spread(keys):
+        rows = (
+            partials.repartition(parts, *keys)
+            .withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.sum("n").alias("mass"))
+            .collect()
+        )
+        masses = sorted(int(r["mass"]) for r in rows)
+        return masses[-1] / max(statistics.median(masses), 1)
+
+    salted = spread(["seg_id", "fidx", "term", "band"])
+    unsalted = spread(["seg_id", "fidx", "term"])
+    assert salted < 3.0, salted
+    assert salted < unsalted, (salted, unsalted)

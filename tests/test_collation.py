@@ -105,7 +105,80 @@ def test_unknown_codepoints_deterministic_tail():
 
 def test_locale_validation():
     assert parse_collation_spec("collation:de") == "de"
+    assert parse_collation_spec("collation:fr_ca") == "fr_ca"
+    assert parse_collation_spec("collation:da") == "da"
     assert parse_collation_spec("text") is None
     with pytest.raises(ValueError, match="not in frozen subset"):
         parse_collation_spec("collation:sv")
-    assert set(SUPPORTED_LOCALES) == {"root", "en", "de"}
+    assert set(SUPPORTED_LOCALES) == {"root", "en", "de", "fr_ca", "da"}
+
+
+# r5 locale breadth: fr_ca (backwards secondary) and da (post-z
+# primaries, the "aa" contraction, caseFirst=upper), same randomized
+# ICU-agreement protocol as de.
+
+DA_REPERTOIRE = (
+    "abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789"
+    " _-,;:!?.'\"()/"
+    "\u00e6\u00f8\u00e5\u00e4\u00f6\u00fc"
+    "\u00c6\u00d8\u00c5\u00c4\u00d6\u00dc"
+    "\u00e1\u00e0\u00e2\u00e3\u00e9\u00e8\u00ea\u00eb"
+    "\u00ed\u00ec\u00ee\u00ef\u00f1\u00f3\u00f2\u00f4\u00f5"
+    "\u00fa\u00f9\u00fb\u00e7"
+    "\u00c1\u00c0\u00c9\u00c8\u00ca\u00cd\u00d3\u00da"
+)
+
+
+@pytest.mark.parametrize("locale,repertoire", [
+    ("fr_ca", REPERTOIRE),
+    ("da", DA_REPERTOIRE),
+])
+def test_new_locale_order_matches_icu_randomized(locale, repertoire):
+    rng = random.Random(4321)
+    strings = list(
+        {
+            "".join(
+                rng.choice(repertoire)
+                for _ in range(rng.randint(0, 12))
+            )
+            for _ in range(600)
+        }
+    )
+    ours = sorted(strings, key=lambda s: (collation_key(s, locale), s))
+    icu = _icu_order(strings, locale)
+    assert ours == icu
+
+
+def test_fr_ca_backwards_secondary_targeted():
+    """The canonical Canadian-French case: accents compared from the END
+    of the string — cote < côte < coté < côté (forward locales give
+    cote < coté < côte < côté)."""
+    strings = ["côté", "coté", "côte", "cote", "cotés", "côtes"]
+    ours = sorted(strings, key=lambda s: (collation_key(s, "fr_ca"), s))
+    assert ours == _icu_order(strings, "fr_ca")
+    assert ours[:4] == ["cote", "côte", "coté", "côté"]
+    # de (forward) disagrees on the same strings — the locales really
+    # produce different keys
+    fwd = sorted(strings, key=lambda s: (collation_key(s, "de"), s))
+    assert fwd[:4] == ["cote", "coté", "côte", "côté"]
+
+
+def test_da_contraction_and_primaries_targeted():
+    """Danish: æ < ø < å after z; "aa" sorts as å (contraction, case
+    patterns aa/Aa/AA but NOT aA); ä ≡ æ, ö ≡ ø, ü ≡ y at the secondary
+    level; caseFirst=upper (A < a)."""
+    cases = [
+        ["z", "æ", "ø", "å", "aa", "ab", "b"],
+        ["aa", "aA", "Aa", "AA", "å", "Å", "ab"],
+        ["aab", "åb", "aac", "zz", "aaa"],
+        ["æ", "ä", "ab", "æa", "äa"],
+        ["ø", "ö", "oa", "øb", "öb"],
+        ["y", "ü", "ya", "üa", "yb", "u"],
+        ["a", "A", "b", "B"],
+        ["aä", "aa", "añ", "aà"],
+    ]
+    for strings in cases:
+        ours = sorted(strings, key=lambda s: (collation_key(s, "da"), s))
+        assert ours == _icu_order(strings, "da"), strings

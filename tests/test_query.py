@@ -626,3 +626,157 @@ def test_tail_elision_distributed_path_matches_collect(searcher, monkeypatch):
                 label,
                 tie,
             )
+
+
+def test_positional_topk_prunes_and_matches_exhaustive(spark, tmp_path):
+    """Root Phrase top-k with per-block bounds: identical results to the
+    exhaustive scored_all evaluation, while decoding strictly fewer lead
+    blocks on a selective-anchor shape (high-scoring matches packed into
+    early blocks, so θ fills fast and low-bound tail blocks are skipped)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from iresearch_spark import BM25_B, BM25_K1
+    from iresearch_spark.build import build_index
+    from iresearch_spark.oracle import OracleIndex
+    from iresearch_spark.query import filters as qf
+    from iresearch_spark.query import wand as wand_mod
+    from iresearch_spark.query.executor import (
+        IndexSearcher,
+        _make_segment_kernel,
+    )
+    from iresearch_spark.store import SnapshotStore
+
+    pad = "filler pad words here"
+    urls, texts = [], []
+    for i in range(2000):
+        u = f"{i:05d}"
+        if i < 50:  # high-tf phrase docs land in the FIRST lead blocks
+            t = ("alpha beta " * 5) + pad
+        elif i < 550:  # low-score matches: tf=1, long dl
+            t = "alpha beta " + pad * 10
+        else:
+            t = "beta " + pad
+        urls.append(u)
+        texts.append(t)
+    store = SnapshotStore(str(tmp_path / "idx"))
+    sdf = spark.createDataFrame(
+        list(zip(urls, texts)), "url string, text string"
+    )
+    sid = build_index(spark, sdf, store, n_segments=1, source="postopk")
+
+    s = IndexSearcher(spark, store, sid)
+    rows = (
+        store.read_postings(spark, sid)
+        .filter(F.col("term").isin(["alpha", "beta"]))
+        .select(
+            "seg_id", "field", "term", "blob", "skip", "bmax", "df",
+            "pos_off", "pos_pay",
+        )
+        .collect()
+    )
+    pdf = pd.DataFrame(
+        [
+            {
+                "field": r["field"],
+                "term": r["term"],
+                "blob": bytes(r["blob"]),
+                "skip": bytes(r["skip"]),
+                "bmax": bytes(r["bmax"]),
+                "df": int(r["df"]),
+                "pos_off": bytes(r["pos_off"]),
+                "pos_pay": bytes(r["pos_pay"]) if r["pos_pay"] else b"",
+            }
+            for r in rows
+        ]
+    )
+    norm = (
+        store.read_norms(spark, sid)
+        .filter(F.col("fidx") == 0)
+        .select("seg_id", "fidx", "dls_bin")
+        .collect()[0]
+    )
+    norms_pdf = pd.DataFrame(
+        {
+            "seg_id": [int(norm["seg_id"])],
+            "fidx": [0],
+            "dls_bin": [bytes(norm["dls_bin"])],
+        }
+    )
+    tree = qf.Phrase(["alpha", "beta"], field="text")
+    idf = {
+        ("text", t): s.idf(
+            int(pdf.loc[pdf["term"] == t, "df"].sum())
+        )
+        for t in ("alpha", "beta")
+    }
+
+    def run(scored_all):
+        kern = _make_segment_kernel(
+            {0: tree}, idf, {"text": s.avgdl}, ["text"],
+            BM25_K1, BM25_B, 10, True, score_round=6,
+            n_docs=s.n_docs, scored_all=scored_all,
+        )
+        wand_mod.INSTRUMENT = []
+        try:
+            out = kern(pdf, norms_pdf)
+        finally:
+            readers = wand_mod.INSTRUMENT
+            wand_mod.INSTRUMENT = None
+        dec = {  # decode counts keyed by df (alpha is the rarer lead)
+            r.df: (len(r.decoded), r.n_blocks) for r in readers
+        }
+        res = sorted(
+            (int(r.doc_id), float(r.score)) for r in out.itertuples()
+        )
+        return res, dec
+
+    pruned, dec_p = run(False)
+    full_all, dec_f = run(True)
+    exhaustive_topk = sorted(
+        sorted(full_all, key=lambda kv: (-kv[1], kv[0]))[:10]
+    )
+    assert pruned == exhaustive_topk
+    alpha_df = int(pdf.loc[pdf["term"] == "alpha", "df"].sum())
+    dec_alpha_p, nb_alpha = dec_p[alpha_df]
+    dec_alpha_f, _ = dec_f[alpha_df]
+    assert nb_alpha >= 4  # the lead list really spans multiple blocks
+    assert dec_alpha_f == nb_alpha  # exhaustive path decodes the lead fully
+    assert dec_alpha_p < dec_alpha_f  # pruned path skipped tail blocks
+
+
+def test_tail_elision_large_batch_natural_threshold(searcher, unit_corpus):
+    """VERDICT r4 #8: a genuinely large batch (200 queries x k=1000 ->
+    k*|batch| = 200k > ELISION_COLLECT_MAX) must take the DataFrame-union
+    large-batch branch NATURALLY (no forced threshold) and return exactly
+    what a full-shipping run returns.  The persist slot doubles as the
+    branch marker — only the large-batch path sets it."""
+    from iresearch_spark.query.filters import Prefix
+
+    words = sorted(
+        {w for t in unit_corpus["text"].tolist()[:200] for w in t.split()}
+    )
+    prefixes = sorted({w[:2] for w in words if len(w) >= 2})
+    batch = {
+        qid: Prefix(
+            prefixes[qid % len(prefixes)],
+            scored_terms_limit=1 + (qid % 3),
+        )
+        for qid in range(200)
+    }
+    searcher.close()
+    assert searcher._elision_persisted is None
+    lean = searcher.search_batch(
+        batch, k=1000, with_urls=False, score_round=6
+    ).collect()
+    assert searcher._elision_persisted is not None  # large branch taken
+    full = searcher.search_batch(
+        batch, k=1000, with_urls=False, score_round=6, _ship_all=True
+    ).collect()
+    key = lambda r: (r["qid"], r["rank"])
+    assert sorted(map(tuple, lean), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, full), key=lambda t: (t[0], t[1])
+    )
+    searcher.close()
+    assert searcher._elision_persisted is None

@@ -116,6 +116,14 @@ _FILTERS: dict[str, qf.Filter] = {
     "bm25_regexp": qf.Regexp("(tab|has|jo)[a-z]+"),
     # F12 match-all with boost
     "alldocs_boost": qf.AllDocs(boost=1.5),
+    # r5: one boolean level of And under a min_match=1 Or — routed
+    # through or_groups_topk (dynamic-θ bound propagation over
+    # conjunction groups); disjoint term sets keep the oracle additive
+    "bm25_or_of_and": qf.Or(
+        qf.And(qf.Term("table"), qf.Term("hash")),
+        qf.And(qf.Term("scan"), qf.Term("merge")),
+        qf.Term("dup"),
+    ),
 }
 
 # A10 minhash analyzer field: the query string's signature tokens (computed
@@ -263,6 +271,44 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
         [], expand_cond="regexp_full_match(term, '(tab|has|jo)[a-z]+')"
     ),
     "alldocs_boost": _ALLDOCS_SQL,
+    # Or(And(table,hash), And(scan,merge), dup): a group contributes the
+    # sum of its members' BM25 only when EVERY member is present; a doc
+    # matches when any group does.  Terms are disjoint across groups, so
+    # the total is a plain conditional sum.
+    "bm25_or_of_and": f"""{base_ctes()},
+qterms(term) AS (VALUES ('table'), ('hash'), ('scan'), ('merge'), ('dup')),
+contrib AS (
+  SELECT tf.doc_id, tf.term, {_score_expr(1.2, 0.75)} AS c
+  FROM tf JOIN qterms USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+piv AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'table' THEN c END) AS c_table,
+         max(CASE WHEN term = 'hash' THEN c END) AS c_hash,
+         max(CASE WHEN term = 'scan' THEN c END) AS c_scan,
+         max(CASE WHEN term = 'merge' THEN c END) AS c_merge,
+         max(CASE WHEN term = 'dup' THEN c END) AS c_dup
+  FROM contrib GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+         coalesce(CASE WHEN c_table IS NOT NULL AND c_hash IS NOT NULL
+                       THEN c_table + c_hash END, 0)
+         + coalesce(CASE WHEN c_scan IS NOT NULL AND c_merge IS NOT NULL
+                         THEN c_scan + c_merge END, 0)
+         + coalesce(c_dup, 0) AS score
+  FROM piv
+  WHERE (c_table IS NOT NULL AND c_hash IS NOT NULL)
+     OR (c_scan IS NOT NULL AND c_merge IS NOT NULL)
+     OR c_dup IS NOT NULL
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT doc_id, round(score, 6) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY rank""",
 }
 
 _LIVE_DOCS = (
@@ -1460,8 +1506,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # under the independent gate
         "collation_de_order", "contamination_check", "repetition_stats",
         "url_canonical", "url_dedup", "pii_scrub",
+        # the newest r5 kernel (or_groups_topk) goes straight under the
+        # driver gate; the core-WAND family it displaces stays covered
+        # in-window by bm25_term_low / bm25_and2 / bm25_or2
+        "bm25_or_of_and",
         # sentinels retained from the r4 window, one per family
-        "bm25_term_high", "lifecycle_term", "dedup_exact", "embed_ivf_ann",
+        "lifecycle_term", "dedup_exact", "embed_ivf_ann",
     ]
     assert len(_GATE_PRIORITY) == 50 and len(set(_GATE_PRIORITY)) == 50
     missing = [n for n in _GATE_PRIORITY if n not in q]

@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
 
-def main(root: str, n_batches: int, batch_docs: int) -> None:
+def main(root: str, n_batches: int, batch_docs: int, policy: str = "count") -> None:
     from pyspark.sql import functions as F
 
     from iresearch_spark.build.policy import consolidate_count
@@ -71,7 +71,7 @@ def main(root: str, n_batches: int, batch_docs: int) -> None:
         name="bench_ingest",
         checkpoint_dir=os.path.join(root, "ckpt"),
         n_segments=2,
-        consolidate_policy=consolidate_count,
+        consolidate_policy=consolidate_count if policy == "count" else None,
         policy_kwargs={"max_segments": 8},
         available_now=True,
     )
@@ -89,6 +89,7 @@ def main(root: str, n_batches: int, batch_docs: int) -> None:
     s = IndexSearcher(spark, store)
     out = {
         "metric": "streaming_ingest",
+        "policy": policy,
         "n_batches": n_batches,
         "batch_docs": batch_docs,
         "docs_total": n_total,
@@ -113,4 +114,5 @@ if __name__ == "__main__":
         sys.argv[1],
         int(sys.argv[2]) if len(sys.argv) > 2 else 10,
         int(sys.argv[3]) if len(sys.argv) > 3 else 100_000,
+        sys.argv[4] if len(sys.argv) > 4 else "count",
     )

@@ -84,12 +84,17 @@ def tier_mode(root: str, max_segments: int) -> None:
     watch = _DiskWatch(root)
     watch.start()
     t0 = time.time()
+    # max_segments_bytes stays at the policy DEFAULT (5 GB): the byte
+    # cap bounds the OUTPUT segment, and a merged segment is encoded by
+    # ONE task — an uncapped window (this bench first ran with a 60 GB
+    # override) merges into 10 GB+ segments whose concurrent encodes
+    # exhaust host RAM.  The cap is the scale discipline, not a tuning
+    # knob.
     committed = consolidate(
         spark,
         store,
         consolidate_tier,
         max_segments=max_segments,
-        max_segments_bytes=60 << 30,
         min_score=0.0,
     )
     wall = time.time() - t0

@@ -57,19 +57,24 @@ def main() -> None:
         return
 
     cpus = int(sys.argv[3])
+    # optional 4th arg: pin a specific snapshot id (e.g. the pre-
+    # consolidation 64-segment generation, so legs measure the same
+    # layout regardless of later maintenance commits)
+    sid = int(sys.argv[4]) if len(sys.argv) > 4 else None
     spark = bench._mk_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     from iresearch_spark.query import filters as qf
     from iresearch_spark.query.executor import IndexSearcher
 
     store = SnapshotStore(os.path.join(root, "index"))
-    searcher = IndexSearcher(spark, store)
+    searcher = IndexSearcher(spark, store, sid)
     bench._prewarm(spark, cpus)
     # reader-open warm-up: JVM/Arrow + term-dictionary materialization
     searcher.search_batch(
         {0: qf.Term("warmup"), 1: qf.Prefix("zzzzwarmup")}, k=5, with_urls=False
     ).count()
-    batch = bench._synthetic_queries(300)
+    n_q = int(os.environ.get("QS_BATCH", "300"))
+    batch = bench._synthetic_queries(n_q)
     t0 = time.time()
     searcher.search_batch(batch, k=10, with_urls=False).count()
     wall = time.time() - t0
@@ -77,8 +82,10 @@ def main() -> None:
         json.dumps(
             {
                 "cpus": cpus,
-                "batch300_s": round(wall, 3),
-                "qps": round(300 / wall, 2),
+                "snapshot": searcher.sid,
+                "n_queries": n_q,
+                "batch_s": round(wall, 3),
+                "qps": round(n_q / wall, 2),
             }
         )
     )
